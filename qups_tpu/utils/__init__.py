@@ -1,0 +1,13 @@
+from .dataclasses import pytree_dataclass, static_field, field
+from .cpx import ri_split, ri_join, to_host, to_device_ri
+from .maths import (
+    mod2db, db2pow, pow2db, nan2zero, rsqrt, isalmostn,
+    deg2rad, rad2deg, cosd, sind, vecnorm, next_pow2,
+)
+
+__all__ = [
+    "pytree_dataclass", "static_field", "field",
+    "ri_split", "ri_join", "to_host", "to_device_ri",
+    "mod2db", "db2pow", "pow2db", "nan2zero", "rsqrt", "isalmostn",
+    "deg2rad", "rad2deg", "cosd", "sind", "vecnorm", "next_pow2",
+]

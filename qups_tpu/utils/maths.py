@@ -1,0 +1,80 @@
+"""Numeric helpers mirroring QUPS's ``utils/`` (see SURVEY.md §2.6).
+
+The reference's dimension-juggling helpers (``swapdim``, ``sub``, ``tenmul``,
+``/root/reference/utils/swapdim.m:1``) vanish into ``jnp`` indexing/einsum; the
+numeric and test helpers below carry over.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def mod2db(x):
+    """Log-compressed magnitude: ``20*log10(|x|)`` (ref ``utils/mod2db.m``)."""
+    return 20.0 * jnp.log10(jnp.abs(x))
+
+
+def db2pow(x):
+    return 10.0 ** (jnp.asarray(x) / 10.0)
+
+
+def pow2db(x):
+    return 10.0 * jnp.log10(jnp.asarray(x))
+
+
+def nan2zero(x):
+    """Replace NaNs with zeros (ref ``utils/nan2zero.m``)."""
+    return jnp.where(jnp.isnan(x), jnp.zeros_like(x), x)
+
+
+def rsqrt(x):
+    return 1.0 / jnp.sqrt(x)
+
+
+def isalmostn(a, b, tol=None) -> bool:
+    """NaN-tolerant almost-equal — the reference test comparator
+    (``utils/isalmostn.m``, used throughout ``test/KernTest.m``)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        return False
+    if tol is None:
+        tol = 1e2 * np.finfo(np.result_type(a.dtype, b.dtype, np.float32)).eps
+    nan_match = np.isnan(a) == np.isnan(b)
+    if not nan_match.all():
+        return False
+    ok = np.ones(a.shape, dtype=bool)
+    m = ~np.isnan(a)
+    ok[m] = np.abs(a[m] - b[m]) < tol
+    return bool(ok.all())
+
+
+def deg2rad(x):
+    return jnp.asarray(x) * (np.pi / 180.0)
+
+
+def rad2deg(x):
+    return jnp.asarray(x) * (180.0 / np.pi)
+
+
+def cosd(x):
+    return jnp.cos(deg2rad(x))
+
+
+def sind(x):
+    return jnp.sin(deg2rad(x))
+
+
+def vecnorm(x, axis=0, keepdims=False):
+    """Euclidean norm along ``axis`` (MATLAB ``vecnorm`` semantics)."""
+    return jnp.sqrt(jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2, axis=axis, keepdims=keepdims)) \
+        if jnp.iscomplexobj(x) else jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims))
+
+
+def next_pow2(n: int) -> int:
+    n = int(n)
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
