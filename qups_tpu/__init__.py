@@ -12,6 +12,7 @@ from .core import (
     ScanCartesian, ScanPolar, ScanSpherical, ScanGeneric, Scatterers, Medium,
     ChannelData,
 )
+from .system import UltrasoundSystem
 from . import ops
 from . import utils
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+import math
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -37,12 +38,19 @@ class ChannelData:
     t0: Union[float, jnp.ndarray] = 0.0  # start time, broadcastable to (1, N|1, M|1, *F)
 
     def __post_init__(self):
-        d = jnp.asarray(self.data)
+        d = self.data if hasattr(self.data, "ndim") else jnp.asarray(self.data)
         assert d.ndim >= 3, "data must be at least (T, N, M)"
         object.__setattr__(self, "data", d)
-        t0 = jnp.asarray(self.t0)
-        while t0.ndim < 3 and t0.ndim > 0 and t0.size > 1:
-            t0 = t0[None]  # lift vector t0 to (1, 1, M)-style
+        # t0 is tiny metadata: keep it host-side (numpy / python float) so it
+        # never becomes a device-resident array at eager ops (complex/scalar
+        # downloads are restricted on some TPU backends); tracers pass through
+        t0 = self.t0
+        if isinstance(t0, (int, float)):
+            t0 = float(t0)
+        elif isinstance(t0, np.ndarray) or not isinstance(t0, jnp.ndarray):
+            t0 = np.asarray(t0, dtype=np.float32)
+            while 0 < t0.ndim < 3 and t0.size > 1:
+                t0 = t0[None]  # lift vector t0 to (1, 1, M)-style
         object.__setattr__(self, "t0", t0)
 
     # ------------------------------------------------------------ properties
@@ -59,11 +67,21 @@ class ChannelData:
     def time(self) -> jnp.ndarray:
         """Time axis ``t0 + (0:T-1)'/fs`` shaped (T, 1, [1|M], ...)."""
         n = jnp.arange(self.T, dtype=jnp.float32).reshape((-1,) + (1,) * (self.data.ndim - 1))
-        return jnp.asarray(self.t0) + n / self.fs
+        return self.t0 + n / self.fs
 
     @property
     def tend(self):
-        return jnp.asarray(self.t0) + (self.T - 1) / self.fs
+        return self.t0 + (self.T - 1) / self.fs
+
+    @property
+    def t0_host(self) -> np.ndarray:
+        """t0 as a flat host array (device-safe)."""
+        t0 = self.t0
+        if isinstance(t0, (int, float)):
+            return np.array([t0], np.float64)
+        if isinstance(t0, np.ndarray):
+            return t0.reshape(-1).astype(np.float64)
+        return np.asarray(jax.device_get(t0)).reshape(-1).astype(np.float64)
 
     def replace(self, **changes) -> "ChannelData":
         return dataclasses.replace(self, **changes)
@@ -79,7 +97,7 @@ class ChannelData:
 
             y = sum_sdim w * exp(2j pi fmod (tau - t0)) * x((tau - t0) fs)
         """
-        ntau = (jnp.asarray(tau) - jnp.asarray(self.t0)) * self.fs
+        ntau = (jnp.asarray(tau) - self.t0) * self.fs
         omega = 2 * np.pi * fmod / self.fs
         if method == "freq":
             v = interpf(self.data, ntau)
@@ -99,10 +117,10 @@ class ChannelData:
         delay tensors broadcast, so nothing of size ``I x N x M``
         materializes in HBM before the fused interp."""
         from ..ops.interp import bshape_left
-        t0 = jnp.asarray(self.t0)
+        t0 = self.t0
         # fold t0 into the smaller tensor
-        if np.prod(bshape_left(np.shape(tau1), t0.shape), dtype=np.int64) \
-                <= np.prod(bshape_left(np.shape(tau2), t0.shape), dtype=np.int64):
+        if np.prod(bshape_left(np.shape(tau1), np.shape(t0)), dtype=np.int64) \
+                <= np.prod(bshape_left(np.shape(tau2), np.shape(t0)), dtype=np.int64):
             n1 = (jnp.asarray(tau1) - t0) * self.fs
             n2 = jnp.asarray(tau2) * self.fs
         else:
@@ -151,7 +169,7 @@ class ChannelData:
         h = jnp.asarray(h).reshape((-1,) + (1,) * (self.data.ndim - 1))
         L = h.shape[0]
         d = convd(self.data, h, axis=TDIM, shape="full")
-        return self.replace(data=d, t0=jnp.asarray(self.t0) - (L - 1) / 2 / self.fs)
+        return self.replace(data=d, t0=self.t0 - (L - 1) / 2 / self.fs)
 
     def filtfilt(self, h) -> "ChannelData":
         """Zero-phase forward-backward filtering."""
@@ -160,7 +178,7 @@ class ChannelData:
         hh = convd(h, jnp.flip(jnp.conj(h), axis=0), axis=TDIM, shape="full")
         L = hh.shape[0]
         d = convd(self.data, hh, axis=TDIM, shape="full")
-        return self.replace(data=d, t0=jnp.asarray(self.t0) - (L - 1) / 2 / self.fs)
+        return self.replace(data=d, t0=self.t0 - (L - 1) / 2 / self.fs)
 
     def fft(self, n: Optional[int] = None):
         return jnp.fft.fft(self.data, n=n, axis=TDIM)
@@ -187,14 +205,14 @@ class ChannelData:
         from ..ops.conv import convd
         h = jnp.asarray(wv_samples).reshape((-1,) + (1,) * (self.data.ndim - 1))
         d = convd(self.data, h, axis=TDIM, shape="full")
-        return self.replace(data=d, t0=jnp.asarray(self.t0) + lag0)
+        return self.replace(data=d, t0=self.t0 + lag0)
 
     def zeropad(self, pre: int = 0, post: int = 0) -> "ChannelData":
         """Pad the time axis; ``t0`` moves back by ``pre`` samples
         (``ChannelData.zeropad``, ``ChannelData.m:1153``)."""
         pad = [(int(pre), int(post))] + [(0, 0)] * (self.data.ndim - 1)
         return self.replace(data=jnp.pad(self.data, pad),
-                            t0=jnp.asarray(self.t0) - pre / self.fs)
+                            t0=self.t0 - pre / self.fs)
 
     def estfc(self) -> float:
         """Estimate the center frequency from the spectral peak
@@ -208,25 +226,26 @@ class ChannelData:
     def rectifyt0(self, method: str = "cubic") -> "ChannelData":
         """Resample all transmits onto one shared time axis so ``t0``
         becomes scalar (``ChannelData.rectifyt0``, ``ChannelData.m:1205``)."""
-        t0 = jnp.asarray(self.t0)
+        t0 = self.t0_host
         if t0.size == 1:
-            return self.replace(t0=t0.reshape(()))
-        t0min = jnp.min(t0)
+            return self.replace(t0=float(t0[0]))
+        t0min = float(t0.min())
         nshift = (t0 - t0min) * self.fs  # >= 0, per-transmit
-        Tn = self.T + int(np.ceil(float(jnp.max(nshift))))
-        i = jnp.arange(Tn).reshape((-1,) + (1,) * (self.data.ndim - 1))
-        ntau = i - nshift  # sample at the shifted index
+        Tn = self.T + int(np.ceil(nshift.max()))
+        i = np.arange(Tn).reshape((-1,) + (1,) * (self.data.ndim - 1))
+        ntau = jnp.asarray(i - nshift.reshape((1, 1, -1)), jnp.float32)
         d = interp1(self.data, ntau, method=method)
-        return self.replace(data=d, t0=t0min.reshape(()))
+        return self.replace(data=d, t0=t0min)
 
     def align_int(self, method: str = "cubic") -> "ChannelData":
         """Resample to an integer-aligned time axis
         (``ChannelData.alignInt``, ``ChannelData.m:1449``)."""
         c = self.rectifyt0(method=method)
-        n0 = jnp.ceil(jnp.asarray(c.t0) * c.fs)
-        frac = n0 / c.fs - jnp.asarray(c.t0)
-        i = jnp.arange(c.T).reshape((-1,) + (1,) * (c.data.ndim - 1))
-        d = interp1(c.data, i + frac * c.fs, method=method)
+        t0 = float(c.t0_host[0])
+        n0 = math.ceil(t0 * c.fs)
+        frac = n0 / c.fs - t0
+        i = np.arange(c.T).reshape((-1,) + (1,) * (c.data.ndim - 1))
+        d = interp1(c.data, jnp.asarray(i + frac * c.fs, jnp.float32), method=method)
         return c.replace(data=d, t0=n0 / c.fs)
 
     # ------------------------------------------------------------ structure
@@ -244,18 +263,21 @@ class ChannelData:
         (``ChannelData.splice``, ``ChannelData.m:1706``)."""
         n = self.data.shape[axis]
         out = []
-        t0 = jnp.asarray(self.t0)
+        t0 = self.t0
         for i in range(n):
             d = jax.lax.index_in_dim(self.data, i, axis, keepdims=True)
-            t0i = jax.lax.index_in_dim(t0, i, axis, keepdims=True) \
-                if t0.ndim > axis and t0.shape[axis] == n else t0
+            t0i = t0
+            if np.ndim(t0) > axis and np.shape(t0)[axis] == n:
+                sl = [slice(None)] * np.ndim(t0)
+                sl[axis] = slice(i, i + 1)
+                t0i = t0[tuple(sl)]
             out.append(self.replace(data=d, t0=t0i))
         return out
 
     def subt(self, start: int, stop: int) -> "ChannelData":
         """Slice the time axis, adjusting t0 (``ChannelData.subD``)."""
         return self.replace(data=self.data[start:stop],
-                            t0=jnp.asarray(self.t0) + start / self.fs)
+                            t0=self.t0 + start / self.fs)
 
     # ------------------------------------------------------------ arithmetic
     def _binop(self, other, op):

@@ -1,0 +1,187 @@
+"""Multi-chip sharding for the hot pipelines.
+
+The reference's parallelism is MATLAB pools over transmits / scatterer
+blocks / elements with client-side concatenation (SURVEY.md §2.5). The
+TPU-native replacement is a ``jax.sharding.Mesh`` whose axes are the physics
+axes — ``frame`` (data parallel over acquisitions), ``rx`` (receive
+channels), ``tx`` (transmits) — with XLA collectives over ICI:
+
+* **DAS**: channel data sharded over (rx, tx, frame); each device beamforms
+  its channel subset against the full (replicated) pixel grid — the
+  delay/apodization tensors stay separable, so per-device live memory is
+  O(I * N/n_rx) — and partial images are ``psum``-reduced over the rx/tx
+  axes (the atomicAdd of ``src/interpd.cu:195-266`` becomes a collective).
+* **greens**: scatterers sharded over the ``tx`` axis (reusing it as a
+  generic worker axis), rx elements over ``rx``; per-device partial (T, N/a,
+  M) grids are all-gathered/psum'd as appropriate.
+
+Multi-host: build the mesh from ``jax.devices()`` after
+``jax.distributed.initialize``; axes ride ICI within a slice and DCN across
+slices — the spec code is identical.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.das import das
+from ..ops.greens import greens_splat
+
+
+def _factor(n: int, k: int) -> Tuple[int, ...]:
+    """Factor n into k roughly-even factors (largest first)."""
+    out = []
+    rem = n
+    for i in range(k - 1, 0, -1):
+        f = 1
+        for d in range(int(rem ** (1 / (i + 1))) + 1, 0, -1):
+            if rem % d == 0:
+                f = d
+                break
+        out.append(f)
+        rem //= f
+    out.append(rem)
+    return tuple(sorted(out, reverse=True))
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axes: Tuple[str, ...] = ("frame", "rx", "tx"),
+              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """Build a device mesh over the physics axes."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = _factor(n, len(axes))
+    assert int(np.prod(shape)) == n, (shape, n)
+    dev = np.array(devices).reshape(shape)
+    return Mesh(dev, axes)
+
+
+def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
+                apod=(), fmod: float = 0.0, tx_model: str = "virtual",
+                keep_rx: bool = False, keep_tx: bool = False,
+                method: str = "cubic"):
+    """Sharded delay-and-sum over a (frame, rx, tx) mesh.
+
+    ``x (T, N, M, F)`` is sharded N->'rx', M->'tx', F->'frame'; pixels are
+    replicated; the output image (I, 1, 1, F) is psum-reduced over rx/tx and
+    stays frame-sharded. With keep_rx/keep_tx the corresponding axis is
+    all-gathered implicitly by returning it sharded.
+    """
+    shard_map = jax.shard_map
+
+    # zero-pad the channel/transmit/frame axes to mesh-divisible sizes —
+    # zero data rows contribute nothing to the sum, and kept axes are
+    # cropped back after the collective
+    x = jnp.asarray(x)
+    N, M = x.shape[1], x.shape[2]
+    F = x.shape[3] if x.ndim >= 4 else None
+    nrx = mesh.shape.get("rx", 1)
+    ntx = mesh.shape.get("tx", 1)
+    nfr = mesh.shape.get("frame", 1) if x.ndim >= 4 else 1
+    pn_ = (-N) % nrx
+    pm_ = (-M) % ntx
+    pf_ = ((-F) % nfr) if F is not None else 0
+    if pn_ or pm_ or pf_:
+        pad = [(0, 0), (0, pn_), (0, pm_)] + ([(0, pf_)] if F is not None else [])
+        pad += [(0, 0)] * (x.ndim - len(pad))
+        x = jnp.pad(x, pad)
+        pr = np.pad(np.asarray(pr), ((0, pn_), (0, 0)), mode="edge")
+        pv = np.pad(np.asarray(pv), ((0, pm_), (0, 0)), mode="edge")
+        nv = np.pad(np.asarray(nv), ((0, pm_), (0, 0)), mode="edge")
+        t0a = np.asarray(t0, np.float32).reshape(-1)
+        if t0a.shape[0] == M:
+            t0 = np.pad(t0a, (0, pm_), mode="edge")
+        apod_in = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+        padded = []
+        for a in apod_in:
+            a = np.asarray(a)
+            spec = [(0, 0)] * a.ndim
+            if a.ndim >= 2 and a.shape[1] == N:
+                spec[1] = (0, pn_)
+            if a.ndim >= 3 and a.shape[2] == M:
+                spec[2] = (0, pm_)
+            padded.append(np.pad(a, spec))
+        apod = tuple(padded)
+
+    have_frame = "frame" in mesh.axis_names and np.ndim(x) >= 4
+    fspec = "frame" if have_frame else None
+    xspec = P(None, "rx", "tx", fspec) if np.ndim(x) >= 4 else P(None, "rx", "tx")
+
+    apod = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+    apod_specs = tuple(
+        P(None,
+          "rx" if (a.ndim >= 2 and a.shape[1] != 1) else None,
+          "tx" if (a.ndim >= 3 and a.shape[2] != 1) else None)
+        for a in map(jnp.asarray, apod))
+    cinv = jnp.asarray(cinv, jnp.float32)
+    cinv_spec = P() if cinv.ndim == 0 else P(None)
+    t0 = jnp.asarray(t0, jnp.float32).reshape(-1)
+    Mp = np.shape(pv)[0]  # padded transmit count
+    t0_spec = P("tx") if t0.shape[0] == Mp else P(None)
+
+    in_specs = (xspec, P(None, None), P("rx", None), P("tx", None),
+                P("tx", None), t0_spec, cinv_spec, apod_specs)
+    out_rx = "rx" if keep_rx else None
+    out_tx = "tx" if keep_tx else None
+    out_spec = P(None, out_rx, out_tx, fspec) if np.ndim(x) >= 4 \
+        else P(None, out_rx, out_tx)
+
+    def local(xl, pil, prl, pvl, nvl, t0l, cinvl, apodl):
+        img = das(xl, pil, prl, pvl, nvl, t0l, cinvl, fs=fs, apod=apodl,
+                  fmod=fmod, tx_model=tx_model, keep_rx=keep_rx,
+                  keep_tx=keep_tx, method=method)
+        if not keep_rx:
+            img = jax.lax.psum(img, "rx")
+        if not keep_tx:
+            img = jax.lax.psum(img, "tx")
+        return img
+
+    f = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+                  check_vma=False)
+    img = f(jnp.asarray(x), jnp.asarray(pi, jnp.float32),
+            jnp.asarray(pr, jnp.float32), jnp.asarray(pv, jnp.float32),
+            jnp.asarray(nv, jnp.float32), t0, cinv,
+            tuple(jnp.asarray(a) for a in apod))
+    # crop padded kept axes / frames back to original sizes
+    img = img[:, : (N if keep_rx else 1), : (M if keep_tx else 1)]
+    if F is not None:
+        img = img[:, :, :, :F]
+    return img
+
+
+def greens_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int, s0: float,
+                   t0k: float, fs: float, cinv, R0: float, fsr: float = 1.0,
+                   method: str = "cubic", block: int = 32):
+    """Sharded Green's-function FSA simulation.
+
+    Scatterers are sharded over the 'tx' mesh axis (worker axis), receive
+    elements over 'rx'; each device splats its scatterer block onto its
+    (T, N/n_rx, M) slab, the scatterer-partial grids are psum'd over 'tx',
+    and the rx axis stays sharded in the output.
+    """
+    shard_map = jax.shard_map
+
+    S = np.shape(ps)[0]
+    ntx = mesh.shape["tx"]
+    pad = (-S) % (ntx * block)
+    ps = jnp.pad(jnp.asarray(ps, jnp.float32), ((0, pad), (0, 0)))
+    amp = jnp.pad(jnp.asarray(amp), (0, pad))
+
+    def local(kernl, psl, ampl, pnl, pvl):
+        x = greens_splat(kernl, psl, ampl, pnl, pvl, T=T, s0=s0, t0k=t0k,
+                         fs=fs, cinv=cinv, R0=R0, fsr=fsr, method=method,
+                         block=block)
+        return jax.lax.psum(x, "tx")
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(None), P("tx", None), P("tx"),
+                            P("rx", None, None), P(None, None, None)),
+                  out_specs=P(None, "rx", None), check_vma=False)
+    return f(jnp.asarray(kern), ps, amp, jnp.asarray(pn, jnp.float32),
+             jnp.asarray(pv, jnp.float32))

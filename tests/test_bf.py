@@ -1,0 +1,139 @@
+"""Beamformer physics oracles — port of the reference's ``test/BFTest.m``
+strategy: simulate a point target with ``greens``, beamform, and assert the
+image peak falls within 1.1 mm of the target laterally and axially
+(``BFTest.m:294-316``).
+"""
+import numpy as np
+import pytest
+
+import qups_tpu as q
+
+C0 = 1540.0
+TARGET = np.array([0.0, 0.0, 30e-3])
+TOL = 1.1e-3  # meters
+
+
+def make_us(seq):
+    xdc = q.TransducerArray(numel=32, pitch=0.3e-3, fc=3e6)
+    scan = q.ScanCartesian(x=np.linspace(-5e-3, 5e-3, 51),
+                           z=np.linspace(25e-3, 35e-3, 51))
+    return q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=24e6)
+
+
+def seqs():
+    pf = TARGET.reshape(3, 1)
+    return {
+        "FSA": q.Sequence(type="FSA", numpulse=32, c0=C0),
+        "PW": q.SequenceRadial(type="PW", angles=[-10, -5, 0, 5, 10], c0=C0),
+        "FC": q.Sequence(
+            type="FC",
+            focus=pf + np.array([[1.5e-3 * i, 0.0, 0.0] for i in range(-2, 3)]).T,
+            c0=C0),
+    }
+
+
+def peak_pos(us, b):
+    """Position of the image peak (meters)."""
+    bm = np.abs(np.asarray(b)).squeeze()
+    assert bm.ndim == 2
+    i, j = np.unravel_index(np.argmax(bm), bm.shape)
+    P = us.scan.positions()  # (3, I1, I2, I3)
+    return P[:, i, j, 0]
+
+
+@pytest.fixture(scope="module")
+def sims():
+    out = {}
+    for name, seq in seqs().items():
+        us = make_us(seq)
+        scat = q.Scatterers(pos=TARGET.reshape(3, 1), c0=C0)
+        out[name] = (us, us.greens(scat))
+    return out
+
+
+@pytest.mark.parametrize("seqname", ["FSA", "PW", "FC"])
+def test_das_psf(sims, seqname):
+    us, chd = sims[seqname]
+    b = us.DAS(chd)
+    assert b.shape[:3] == us.scan.shape
+    p = peak_pos(us, b)
+    assert abs(p[0] - TARGET[0]) < TOL, p
+    assert abs(p[2] - TARGET[2]) < TOL, p
+
+
+@pytest.mark.parametrize("seqname", ["FSA", "PW", "FC"])
+def test_bfdas_psf(sims, seqname):
+    us, chd = sims[seqname]
+    b = us.bfDAS(chd)
+    p = peak_pos(us, b)
+    assert abs(p[0] - TARGET[0]) < TOL, p
+    assert abs(p[2] - TARGET[2]) < TOL, p
+
+
+def test_das_equals_bfdas(sims):
+    # DAS (fused geometry) and bfDAS (LUT path) agree to float tolerance
+    us, chd = sims["PW"]
+    b1 = np.asarray(us.DAS(chd)).squeeze()
+    b2 = np.asarray(us.bfDAS(chd)).squeeze()
+    scale = np.abs(b1).max()
+    assert np.abs(b1 - b2).max() / scale < 1e-3
+
+
+def test_das_keep_dims(sims):
+    us, chd = sims["PW"]
+    b = us.DAS(chd, keep_rx=True)
+    assert b.shape == us.scan.shape + (chd.N, 1)
+    b2 = us.DAS(chd, keep_tx=True)
+    assert b2.shape == us.scan.shape + (1, chd.M)
+    # summing the kept axes reproduces the summed image
+    b0 = np.asarray(us.DAS(chd)).squeeze()
+    tol = 1e-5 * np.abs(b0).max()
+    assert np.allclose(np.asarray(b).squeeze().sum(-1), b0, atol=tol)
+    assert np.allclose(np.asarray(b2).squeeze().sum(-1), b0, atol=tol)
+
+
+def test_das_iq_remodulation(sims):
+    # downmix the data, beamform with fmod -> same PSF location
+    us, chd = sims["PW"]
+    fc = us.fc
+    bb = chd.downmix(fc)
+    b = us.DAS(bb, fmod=fc)
+    p = peak_pos(us, b)
+    assert abs(p[0] - TARGET[0]) < TOL
+    assert abs(p[2] - TARGET[2]) < TOL
+
+
+def test_das_apodization(sims):
+    us, chd = sims["PW"]
+    I = int(np.prod(us.scan.shape))
+    N, M = chd.N, chd.M
+    # rx-only apodization: keep half the aperture
+    ap = np.ones((1, N, 1), np.float32)
+    ap[:, N // 2:, :] = 0
+    b = us.DAS(chd, apod=(ap,))
+    b_manual = np.asarray(us.DAS(chd, keep_rx=True)).squeeze()[:, :, :N // 2].sum(-1)
+    assert np.allclose(np.asarray(b).squeeze(), b_manual, atol=1e-2 * np.abs(b_manual).max())
+
+
+def test_das_heterogeneous_c(sims):
+    # per-pixel sound speed map (constant here) equals scalar c
+    us, chd = sims["PW"]
+    b1 = np.asarray(us.DAS(chd)).squeeze()
+    cmap = np.full(us.scan.shape, C0, np.float32)
+    b2 = np.asarray(us.DAS(chd, c0=cmap)).squeeze()
+    assert np.allclose(b1, b2, atol=1e-4 * np.abs(b1).max())
+
+
+def test_das_convex_polar():
+    # convex probe on a polar scan: pixel-position-based beamforming is
+    # grid-agnostic (SURVEY §7)
+    xdc = q.TransducerConvex.from_pitch(0.5e-3, 40e-3, numel=32, fc=3e6)
+    seq = q.Sequence(type="FSA", numpulse=32, c0=C0)
+    scan = q.ScanPolar(origin=xdc.center, r=np.linalg.norm(xdc.center) + np.linspace(25e-3, 35e-3, 41),
+                       a=np.linspace(-10, 10, 41))
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=24e6)
+    scat = q.Scatterers(pos=TARGET.reshape(3, 1), c0=C0)
+    chd = us.greens(scat)
+    b = us.DAS(chd)
+    p = peak_pos(us, b)
+    assert np.linalg.norm(p - TARGET) < TOL, p

@@ -1,0 +1,112 @@
+"""Sharding tests on the virtual 8-device CPU mesh — the ParTest analog:
+sharded results must match single-device results exactly (up to reduction
+order), across mesh layouts.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import qups_tpu as q
+from qups_tpu.ops.das import das
+from qups_tpu.ops.greens import greens_splat
+from qups_tpu.parallel import make_mesh, das_sharded, greens_sharded
+
+
+def _das_problem(T=128, N=8, M=4, I=36, F=None):
+    rng = np.random.default_rng(3)
+    shape = (T, N, M) if F is None else (T, N, M, F)
+    x = rng.standard_normal(shape).astype(np.float32)
+    pi = np.stack([np.linspace(-5e-3, 5e-3, I), np.zeros(I),
+                   np.linspace(20e-3, 30e-3, I)], -1).astype(np.float32)
+    pr = np.stack([np.linspace(-4e-3, 4e-3, N), np.zeros(N), np.zeros(N)], -1)
+    pv = np.stack([np.linspace(-3e-3, 3e-3, M), np.zeros(M), np.zeros(M)], -1)
+    nv = np.tile([0.0, 0.0, 1.0], (M, 1))
+    # start times chosen so the two-way delays land inside the data window
+    t0 = (25e-6 + np.linspace(0, 1e-6, M)).astype(np.float32)
+    return x, pi, pr.astype(np.float32), pv.astype(np.float32), nv.astype(np.float32), t0
+
+
+def test_mesh_factorization():
+    m = make_mesh(jax.devices())
+    assert int(np.prod(list(m.shape.values()))) == 8
+    m2 = make_mesh(jax.devices(), axes=("rx", "tx"), shape=(4, 2))
+    assert m2.shape["rx"] == 4
+
+
+@pytest.mark.parametrize("shape", [(1, 4, 2), (2, 2, 2), (1, 1, 8)])
+def test_das_sharded_matches_single(shape):
+    x, pi, pr, pv, nv, t0 = _das_problem(F=4)
+    mesh = make_mesh(jax.devices(), shape=shape)
+    ref = das(x, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=10e6, tx_model="plane")
+    got = das_sharded(mesh, x, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=10e6,
+                      tx_model="plane")
+    assert got.shape == ref.shape
+    scale = float(jnp.abs(ref).max())
+    assert scale > 0  # guard against a vacuous all-zero comparison
+    assert float(jnp.abs(got - ref).max()) < 1e-4 * scale
+
+
+def test_das_sharded_keep_rx():
+    x, pi, pr, pv, nv, t0 = _das_problem(F=2)
+    mesh = make_mesh(jax.devices(), shape=(2, 2, 2))
+    ref = das(x, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=10e6, tx_model="plane",
+              keep_rx=True)
+    got = das_sharded(mesh, x, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=10e6,
+                      tx_model="plane", keep_rx=True)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(ref).max()) > 0
+    assert float(jnp.abs(got - ref).max()) < 1e-4 * float(jnp.abs(ref).max())
+
+
+def test_das_sharded_with_apod():
+    x, pi, pr, pv, nv, t0 = _das_problem(F=2)
+    I, N, M = 36, 8, 4
+    rng = np.random.default_rng(0)
+    ap = rng.uniform(0.5, 1.0, (I, N, M)).astype(np.float32)
+    mesh = make_mesh(jax.devices(), shape=(2, 2, 2))
+    ref = das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=10e6, tx_model="plane",
+              apod=(ap,))
+    got = das_sharded(mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=10e6,
+                      tx_model="plane", apod=(ap,))
+    assert float(jnp.abs(got - ref).max()) < 1e-4 * float(jnp.abs(ref).max())
+
+
+def test_greens_sharded_matches_single():
+    rng = np.random.default_rng(1)
+    S, N, M, T, K = 13, 4, 2, 96, 21
+    kern = rng.standard_normal(K).astype(np.float32)
+    ps = np.stack([rng.uniform(-3e-3, 3e-3, S), np.zeros(S),
+                   rng.uniform(15e-3, 25e-3, S)], -1).astype(np.float32)
+    amp = rng.standard_normal(S).astype(np.float32)
+    pn = np.stack([np.linspace(-4e-3, 4e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)[:, None, :]
+    pv = np.stack([np.linspace(-2e-3, 2e-3, M), np.zeros(M), np.zeros(M)],
+                  -1).astype(np.float32)[:, None, :]
+    kw = dict(T=T, s0=1.5e-5, t0k=-1e-6, fs=5e6, cinv=1 / 1540.0, R0=1e-3,
+              block=4)
+    ref = greens_splat(jnp.asarray(kern), jnp.asarray(ps), jnp.asarray(amp),
+                       jnp.asarray(pn), jnp.asarray(pv), **kw)
+    mesh = make_mesh(jax.devices(), axes=("rx", "tx"), shape=(2, 4))
+    got = greens_sharded(mesh, kern, ps, amp, pn, pv, **kw)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) < 1e-4 * float(jnp.abs(ref).max())
+
+
+def test_system_greens_das_on_mesh_smoke():
+    # end-to-end on the mesh: simulate (sharded) then beamform (sharded)
+    xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=3e6)
+    seq = q.SequenceRadial(type="PW", angles=[0.0, 5.0], c0=1540.0)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, fs=12e6,
+                            scan=q.ScanCartesian(x=np.linspace(-3e-3, 3e-3, 16),
+                                                 z=np.linspace(25e-3, 33e-3, 16)))
+    scat = q.Scatterers(pos=[[0.0], [0.0], [29e-3]], c0=1540.0)
+    chd = us.greens(scat)
+    mesh = make_mesh(jax.devices(), shape=(1, 4, 2))
+    pv, nv, model = us._tx_geometry()
+    t0 = np.asarray(jax.device_get(jnp.asarray(chd.t0))).reshape(-1)
+    img = das_sharded(mesh, chd.data, us._pixels(), us.rx.positions().T, pv,
+                      nv, t0, 1 / 1540.0, fs=float(chd.fs), tx_model=model)
+    ref = us.DAS(chd)
+    assert float(jnp.abs(img.reshape(ref.shape) - ref).max()) \
+        < 1e-3 * float(jnp.abs(ref).max())

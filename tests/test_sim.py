@@ -1,0 +1,108 @@
+"""Simulator physics oracles — port of the reference's ``test/SimTest.m``
+strategy: each simulator must place the echo peak at the analytic
+time-of-flight, within 1.1 samples (``SimTest.m:299-324``).
+"""
+import numpy as np
+import pytest
+
+import qups_tpu as q
+
+
+def make_us(seq=None, numel=16, fc=3e6):
+    xdc = q.TransducerArray(numel=numel, pitch=0.3e-3, fc=fc)
+    seq = seq or q.Sequence(type="FSA", numpulse=numel, c0=1540.0)
+    scan = q.ScanCartesian(x=np.linspace(-5e-3, 5e-3, 32),
+                           z=np.linspace(25e-3, 35e-3, 32))
+    return q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=12e6)
+
+
+def test_greens_fsa_time_of_flight():
+    us = make_us()
+    scat = q.Scatterers(pos=[[0.0], [0.0], [30e-3]], c0=1540.0)
+    chd = us.greens(scat)
+    assert (chd.N, chd.M) == (16, 16)
+    x = np.asarray(chd.data)
+    t0 = float(np.asarray(chd.t0).reshape(-1)[0])
+    p = us.rx.positions()
+    ps = scat.pos[:, 0]
+    r = np.linalg.norm(p - ps[:, None], axis=0)  # (N,)
+    for n in [0, 8, 15]:
+        for m in [0, 8, 15]:
+            tau = (r[n] + r[m]) / 1540.0
+            i_pk = int(np.abs(x[:, n, m]).argmax())
+            t_pk = t0 + i_pk / chd.fs
+            assert abs(t_pk - tau) * chd.fs < 1.1, (n, m, t_pk, tau)
+
+
+def test_greens_splat_matches_dense():
+    us = make_us(numel=8)
+    scat = q.Scatterers(pos=[[1e-3, -2e-3], [0, 0], [28e-3, 31e-3]], c0=1540.0)
+    chd_s = us.greens(scat, impl="splat")
+    chd_d = us.greens(scat, impl="dense")
+    xs = np.asarray(chd_s.data)
+    xd = np.asarray(chd_d.data)
+    assert xs.shape == xd.shape
+    scale = np.abs(xd).max()
+    assert np.abs(xs - xd).max() / scale < 1e-3
+
+
+def test_greens_amplitude_propagation_loss():
+    # double the distance -> half the (one-way)^2 amplitude
+    us = make_us(numel=4)
+    a = []
+    for z in (20e-3, 40e-3):
+        scat = q.Scatterers(pos=[[0.0], [0.0], [z]], c0=1540.0)
+        chd = us.greens(scat)
+        a.append(np.abs(np.asarray(chd.data)[:, 1, 1]).max())
+    ratio = a[0] / a[1]
+    assert 2.5 < ratio < 6.0  # ~ (40/20)^2 = 4 with aperture-angle effects
+
+
+def test_greens_pw_focus_tx():
+    # plane-wave synthesis: peak time for a scatterer on axis at depth z is
+    # (z*cos(theta) + x*sin(theta) + r_rx)/c0 for steering angle theta
+    th = 5.0
+    seq = q.SequenceRadial(type="PW", angles=[0.0, th], c0=1540.0)
+    # wide aperture so the stationary point lies inside it
+    us = make_us(seq=seq, numel=64)
+    z = 30e-3
+    scat = q.Scatterers(pos=[[0.0], [0.0], [z]], c0=1540.0)
+    chd = us.greens(scat)
+    assert chd.M == 2
+    x = np.asarray(chd.data)
+    t0 = float(np.asarray(chd.t0).reshape(-1)[0])
+    p = us.rx.positions()
+    r_rx = np.linalg.norm(p - scat.pos[:, :1], axis=0)
+    n = 32
+    for m, ang in enumerate([0.0, th]):
+        tau = (z * np.cos(np.radians(ang))) / 1540.0 + r_rx[n] / 1540.0
+        i_pk = int(np.abs(x[:, n, m]).argmax())
+        t_pk = t0 + i_pk / chd.fs
+        assert abs(t_pk - tau) * chd.fs < 1.5, (m, t_pk, tau)
+
+
+def test_greens_fc_time_zero_at_focus():
+    # focused sequence: t=0 when the wavefront passes the focus, so an echo
+    # from a scatterer AT the focus peaks at t = |p_f - p_rx|/c0
+    pf = np.array([[0.0], [0.0], [30e-3]])
+    seq = q.Sequence(type="FC", focus=pf, c0=1540.0)
+    us = make_us(seq=seq)
+    scat = q.Scatterers(pos=pf, c0=1540.0)
+    chd = us.greens(scat)
+    x = np.asarray(chd.data)
+    t0 = float(np.asarray(chd.t0).reshape(-1)[0])
+    p = us.rx.positions()
+    r_rx = np.linalg.norm(p - pf, axis=0)
+    n = 8
+    tau = r_rx[n] / 1540.0
+    i_pk = int(np.abs(x[:, n, 0]).argmax())
+    t_pk = t0 + i_pk / chd.fs
+    assert abs(t_pk - tau) * chd.fs < 1.5
+
+
+def test_greens_subelements_smoke():
+    us = make_us(numel=4)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+    chd = us.greens(scat, element_subdivisions=(2, 2))
+    assert np.isfinite(np.abs(np.asarray(chd.data))).all()
+    assert np.abs(np.asarray(chd.data)).max() > 0
