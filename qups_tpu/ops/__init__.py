@@ -1,7 +1,14 @@
 from .interp import interp1, interpd, interpf, wsinterpd, wsinterpd2
 from .conv import convd, xcorr, conv_lag0, conv_len
+from .coherence import cohfac, slsc, dmas, pcf, pwznxcorr
+from .das import das, das_lut, delay_tables
+from .greens import greens_splat, greens_dense
+from .fdbf import bf_adjoint, refocus, stolt_migration
 
 __all__ = [
     "interp1", "interpd", "interpf", "wsinterpd", "wsinterpd2",
     "convd", "xcorr", "conv_lag0", "conv_len",
+    "cohfac", "slsc", "dmas", "pcf", "pwznxcorr",
+    "das", "das_lut", "delay_tables", "greens_splat", "greens_dense",
+    "bf_adjoint", "refocus", "stolt_migration",
 ]

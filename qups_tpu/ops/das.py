@@ -36,6 +36,15 @@ from .interp import expand_trailing, interp1
 TX_MODELS = ("plane", "virtual", "diverging")
 
 
+def _lift5(a):
+    """Lift an apodization array to 5 dims ``(I1', I2', I3', N', M')`` by
+    appending trailing singletons (MATLAB-style implicit expansion)."""
+    a = jnp.asarray(a)
+    if a.ndim > 5:
+        raise ValueError(f"apodization must be at most 5-D, got {a.shape}")
+    return a.reshape(a.shape + (1,) * (5 - a.ndim))
+
+
 def _norm3(v, axis=-1):
     return jnp.sqrt(jnp.sum(v * v, axis=axis))
 
@@ -70,10 +79,10 @@ def delay_tables(pi, pr, pv, nv, c0: float, tx_model: str = "virtual"):
 
 
 @partial(jax.jit, static_argnames=("tx_model", "keep_rx", "keep_tx", "method",
-                                   "fs", "fmod"))
+                                   "fs", "fmod", "im_shape"))
 def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
         tx_model: str = "virtual", keep_rx: bool = False, keep_tx: bool = False,
-        method: str = "cubic"):
+        method: str = "cubic", im_shape: Optional[Tuple[int, int, int]] = None):
     """Delay-and-sum beamform.
 
     Args:
@@ -89,7 +98,10 @@ def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
         ``kern/das_spec.m:169``).
       fs: sampling frequency of ``x``.
       apod: tuple of apodization arrays, each left-aligned broadcastable to
-        ``(I, N, M)``.
+        ``(I1, I2, I3, N, M)`` (the reference's separable-apodization
+        contract, ``kern/das_spec.m:256-260``) — applied per transmit with
+        broadcasting, so factored masks are never materialized at full size.
+        ``im_shape`` gives (I1, I2, I3); default ``(I, 1, 1)``.
       fmod: remodulation frequency for IQ (downmixed) data.
       tx_model: 'plane' | 'virtual' | 'diverging' (``bf.cu:103-110``).
       keep_rx / keep_tx: preserve instead of summing the rx/tx axis.
@@ -114,16 +126,27 @@ def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
     # rx path lengths are tx-independent: compute once (I, N)
     dr = _norm3(pi[:, None, :] - pr[None, :, :])
 
-    apod = tuple(jnp.asarray(a) for a in (apod if isinstance(apod, (tuple, list)) else (apod,)))
+    im_shape = im_shape or (I, 1, 1)
+    assert int(np.prod(im_shape)) == I, (im_shape, I)
+    apod = tuple(_lift5(a) for a in (apod if isinstance(apod, (tuple, list)) else (apod,)))
     # split apodization into per-tx (scanned) and tx-invariant (closure)
-    apod_m = tuple(a for a in apod if a.ndim >= 3 and a.shape[2] == M)
-    apod_c = tuple(a for a in apod if not (a.ndim >= 3 and a.shape[2] == M))
+    apod_m = tuple(a for a in apod if a.shape[4] == M)
+    apod_c = tuple(a[..., 0] for a in apod if a.shape[4] != M)
 
     cplx = jnp.iscomplexobj(x) or fmod != 0.0
     out_dtype = jnp.complex64 if cplx else x.dtype
 
     xT = jnp.moveaxis(x, 2, 0)  # (M, T, N, *F)
-    apod_mT = tuple(jnp.moveaxis(a, 2, 0) for a in apod_m)  # (M, I|1, N|1)
+    apod_mT = tuple(jnp.moveaxis(a, 4, 0) for a in apod_m)  # (M, I1', I2', I3', N')
+
+    def _apply_apod(v, apods_m):
+        # v: (I, N, *F) -> view as (I1, I2, I3, N, *F) for broadcast multiply
+        if not (apods_m or apod_c):
+            return v
+        v5 = v.reshape(im_shape + v.shape[1:])
+        for a in tuple(apods_m) + apod_c:  # (I1', I2', I3', N')
+            v5 = v5 * expand_trailing(a, v5.ndim)
+        return v5.reshape(v.shape)
 
     def step(pv_m, nv_m, t0_m, x_m, apods_m):
         dv = tx_distance(pi, pv_m, nv_m, tx_model)  # (I,)
@@ -134,11 +157,7 @@ def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
             v = v.astype(out_dtype)
         if fmod != 0.0:
             v = v * expand_trailing(jnp.exp((2j * np.pi * fmod) * tau), v.ndim)
-        for a in apods_m:  # per-tx slices (I|1, N|1)
-            v = v * expand_trailing(a, v.ndim)
-        for a in apod_c:   # tx-invariant (I|1, N|1) or (I,1,1)-style
-            aa = a[:, :, 0] if a.ndim >= 3 else a
-            v = v * expand_trailing(aa, v.ndim)
+        v = _apply_apod(v, apods_m)
         if not keep_rx:
             v = jnp.sum(v, axis=1, keepdims=True)   # (I, 1, *F)
         return v
@@ -160,7 +179,8 @@ def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
 
 
 def das_lut(x, tau_rx, tau_tx, t0, *, fs: float, apod=(), fmod: float = 0.0,
-            keep_rx: bool = False, keep_tx: bool = False, method: str = "cubic"):
+            keep_rx: bool = False, keep_tx: bool = False, method: str = "cubic",
+            im_shape: Optional[Tuple[int, int, int]] = None):
     """LUT ("bring your own delays") delay-and-sum — the engine behind
     ``bfDAS``/``bfDASLUT``/``bfEikonal`` (``UltrasoundSystem.bfDASLUT``,
     ``src/UltrasoundSystem.m:4476-4673``): beamform with arbitrary separable
@@ -174,15 +194,24 @@ def das_lut(x, tau_rx, tau_tx, t0, *, fs: float, apod=(), fmod: float = 0.0,
     I = tau_rx.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(t0, jnp.float32).reshape(-1), (M,))
 
-    apod = tuple(jnp.asarray(a) for a in (apod if isinstance(apod, (tuple, list)) else (apod,)))
-    apod_m = tuple(a for a in apod if a.ndim >= 3 and a.shape[2] == M)
-    apod_c = tuple(a for a in apod if not (a.ndim >= 3 and a.shape[2] == M))
+    im_shape = im_shape or (I, 1, 1)
+    apod = tuple(_lift5(a) for a in (apod if isinstance(apod, (tuple, list)) else (apod,)))
+    apod_m = tuple(a for a in apod if a.shape[4] == M)
+    apod_c = tuple(a[..., 0] for a in apod if a.shape[4] != M)
 
     cplx = jnp.iscomplexobj(x) or fmod != 0.0
     out_dtype = jnp.complex64 if cplx else x.dtype
     xT = jnp.moveaxis(x, 2, 0)
-    apod_mT = tuple(jnp.moveaxis(a, 2, 0) for a in apod_m)
+    apod_mT = tuple(jnp.moveaxis(a, 4, 0) for a in apod_m)
     tau_txT = jnp.moveaxis(tau_tx, 1, 0)  # (M, I)
+
+    def _apply_apod(v, apods_m):
+        if not (apods_m or apod_c):
+            return v
+        v5 = v.reshape(tuple(im_shape) + v.shape[1:])
+        for a in tuple(apods_m) + apod_c:
+            v5 = v5 * expand_trailing(a, v5.ndim)
+        return v5.reshape(v.shape)
 
     def step(tt_m, t0_m, x_m, apods_m):
         tau = tt_m[:, None] + tau_rx - t0_m  # (I, N)
@@ -191,11 +220,7 @@ def das_lut(x, tau_rx, tau_tx, t0, *, fs: float, apod=(), fmod: float = 0.0,
             v = v.astype(out_dtype)
         if fmod != 0.0:
             v = v * expand_trailing(jnp.exp((2j * np.pi * fmod) * tau), v.ndim)
-        for a in apods_m:
-            v = v * expand_trailing(a, v.ndim)
-        for a in apod_c:
-            aa = a[:, :, 0] if a.ndim >= 3 else a
-            v = v * expand_trailing(aa, v.ndim)
+        v = _apply_apod(v, apods_m)
         if not keep_rx:
             v = jnp.sum(v, axis=1, keepdims=True)
         return v

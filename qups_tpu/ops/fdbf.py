@@ -1,0 +1,224 @@
+"""Frequency-domain beamforming: adjoint, REFoCUS decoding, Stolt migration.
+
+TPU-native equivalents of QUPS's frequency-domain methods — these are the
+MXU-heavy beamformers (batched complex GEMMs / FFTs per frequency bin):
+
+* :func:`bf_adjoint` — matrix adjoint beamformer
+  (``UltrasoundSystem.bfAdjoint``, ``src/UltrasoundSystem.m:3770-4050``).
+* :func:`refocus` — REFoCUS transmit decoding back to FSA
+  (``UltrasoundSystem.refocus``, ``src/UltrasoundSystem.m:3505-3768``).
+* :func:`stolt_migration` — Stolt f-k plane-wave migration
+  (``UltrasoundSystem.bfMigration``, ``src/UltrasoundSystem.m:4675-4887``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .interp import interp1
+
+
+@partial(jax.jit, static_argnames=("fs", "fmod", "keep_rx", "keep_tx"))
+def bf_adjoint(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off, fbins, *,
+               fs: float, fmod: float = 0.0, keep_rx: bool = False,
+               keep_tx: bool = False):
+    """Frequency-domain adjoint beamformer.
+
+    For each selected DFT bin k (frequency f = k fs / K):
+
+        A(i, v)  = sum_m exp(-2j pi f tau_tx[i, m]) apod[m, v]
+                   exp(-2j pi f del_tx[m, v])          (tx steering, MXU)
+        Ahat     = A / |A|_v                            (power-normalized)
+        yn(i, v) = sum_n exp(+2j pi f tau_rx[i, n]) X[k, n, v]  (rx adjoint)
+        b(i)    += sum_v yn(i, v) conj(Ahat(i, v))
+
+    following ``UltrasoundSystem.m:4015-4027``.
+
+    Args:
+      x: channel data (T, N, V) (tx dim = synthesized pulses V).
+      tau_rx: (I, N) rx geometric delays [s]; tau_tx: (I, M) tx element
+        delays [s]; del_tx: (M, V) sequence firing delays (incl. t0Offset);
+        apod_tx: (M, V) sequence apodization.
+      t0: per-pulse data start time, scalar or (V,); t0_off: per-pulse
+        t0Offset of the sequence (V,).
+      fbins: int32 array of DFT bin indices to process (static count; pad
+        with -1 to skip).
+    """
+    x = jnp.asarray(x)
+    T, N, V = x.shape[:3]
+    K = T
+    df = fs / K
+    t = jnp.arange(T, dtype=jnp.float32)[:, None, None] / fs
+    t0 = jnp.broadcast_to(jnp.asarray(t0, jnp.float32).reshape(-1), (V,))
+    t0_off = jnp.broadcast_to(jnp.asarray(t0_off, jnp.float32).reshape(-1), (V,))
+    f = (jnp.arange(K, dtype=jnp.float32) * df)[:, None, None]  # (K,1,1)
+    xr = x * jnp.exp((2j * np.pi * fmod) * (t + t0[None, None, :]))
+    X = jnp.fft.fft(xr, axis=0)
+    X = X * jnp.exp(-2j * np.pi * f * t0[None, None, :])
+    X = X * jnp.exp(+2j * np.pi * f * t0_off[None, None, :])
+
+    tau_rx = jnp.asarray(tau_rx, jnp.float32)
+    tau_tx = jnp.asarray(tau_tx, jnp.float32)
+    del_tx = jnp.asarray(del_tx, jnp.float32)
+    apod_tx = jnp.asarray(apod_tx, jnp.float32)
+    I = tau_rx.shape[0]
+
+    if keep_rx and keep_tx:
+        raise ValueError("keep_rx and keep_tx are mutually exclusive here")
+    out_shape = (I, N) if keep_rx else ((I, V) if keep_tx else (I,))
+
+    def step(acc, k):
+        fk = k.astype(jnp.float32) * df
+        valid = k >= 0
+        Xf = jax.lax.dynamic_index_in_dim(X, jnp.maximum(k, 0), 0,
+                                          keepdims=False)  # (N, V)
+        Wtx = jnp.exp(-2j * np.pi * fk * tau_tx)  # (I, M)
+        # element m fires at -del[m, v] (the focusTx convention), so the
+        # wave from m reaches pixel i at tau_tx(i, m) - del(m, v)
+        S = apod_tx * jnp.exp(+2j * np.pi * fk * del_tx)  # (M, V)
+        A = Wtx @ S.astype(Wtx.dtype)  # (I, V)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=1, keepdims=True))
+        Ah = A / jnp.where(nrm == 0, 1.0, nrm)
+        Wrx = jnp.exp(+2j * np.pi * fk * tau_rx)  # (I, N)
+        if keep_rx:
+            # b(i,n) = W(i,n) * sum_v X(n,v) conj(Ah(i,v))
+            y = Wrx * (jnp.conj(Ah) @ Xf.T)
+        elif keep_tx:
+            y = (Wrx @ Xf) * jnp.conj(Ah)
+        else:
+            y = jnp.sum((Wrx @ Xf) * jnp.conj(Ah), axis=1)
+        return acc + jnp.where(valid, 1.0, 0.0) * y, None
+
+    acc0 = jnp.zeros(out_shape, jnp.complex64)
+    b, _ = jax.lax.scan(step, acc0, jnp.asarray(fbins, jnp.int32))
+    return b
+
+
+def select_fbins(x_host: np.ndarray, fs: float, fthresh_db: float = -np.inf,
+                 max_bins: Optional[int] = None) -> np.ndarray:
+    """Host-side frequency-bin selection (``UltrasoundSystem.m:3934-3938``):
+    positive-frequency bins within ``fthresh_db`` of the spectral peak."""
+    X = np.fft.fft(x_host, axis=0)
+    T = x_host.shape[0]
+    lev = 20 * np.log10(np.abs(X).reshape(T, -1).max(axis=1) + 1e-30)
+    lev = lev - lev.max()
+    f = np.fft.fftfreq(T) * fs
+    sel = np.where((lev >= fthresh_db) & (f >= 0) & (f < fs / 2))[0]
+    if max_bins is not None and sel.size > max_bins:
+        keep = np.argsort(lev[sel])[::-1][:max_bins]
+        sel = np.sort(sel[keep])
+    return sel.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("fs", "method", "gamma"))
+def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
+            method: str = "tikhonov"):
+    """REFoCUS: decode synthesized-transmit data back to FSA
+    (``UltrasoundSystem.refocus``, ``UltrasoundSystem.m:3696-3767``).
+
+    Per frequency f: encoding ``H[v, m] = apd[m, v] exp(+2j pi f tau[m, v])``
+    (matching ``focusTx``: pulse v sums ``x_m(t + tau[m, v])``);
+    inverse by tikhonov ``(H'H + gamma w I) \\ H'``, adjoint, or pinv; then
+    the per-frequency transmit-dim matrix multiply and inverse FFT.
+
+    Args: x (T, N, V); tau (M, V) element firing delays; apd (M, V).
+    Returns: (T, N, M) FSA data (t0 handling is the caller's: the output time
+    axis matches the input's).
+    """
+    x = jnp.asarray(x)
+    T, N, V = x.shape[:3]
+    M = tau.shape[0]
+    if gamma is None:
+        gamma = 10.0 * (M / 10.0) ** 2
+    f = (jnp.fft.fftfreq(T) * fs).astype(jnp.float32)  # (T,)
+    tauT = jnp.asarray(tau, jnp.float32).T  # (V, M)
+    aT = jnp.asarray(apd, jnp.float32).T    # (V, M)
+    H = aT[None] * jnp.exp(+2j * np.pi * f[:, None, None] * tauT[None])  # (K,V,M)
+    # per-frequency spectral norm for whitening (reference pagenorm2)
+    s = jnp.linalg.matrix_norm(H, ord=2) if hasattr(jnp.linalg, "matrix_norm") \
+        else jnp.linalg.norm(H, ord=2, axis=(1, 2))
+    w = 1.0 / jnp.maximum(s, 1e-30) ** 2  # (K,)
+    if method == "tikhonov":
+        HH = jnp.einsum("kvm,kvn->kmn", jnp.conj(H), H)  # (K, M, M)
+        A = HH + (gamma * w)[:, None, None] * jnp.eye(M, dtype=HH.dtype)
+        Hi = jnp.linalg.solve(A, jnp.conj(jnp.swapaxes(H, 1, 2)))  # (K, M, V)
+    elif method == "adjoint":
+        Hi = jnp.conj(jnp.swapaxes(H, 1, 2)) * w[:, None, None]
+    elif method == "pinv":
+        Hi = jnp.linalg.pinv(H) * w[:, None, None]
+    else:
+        raise ValueError(method)
+    Hi = jnp.nan_to_num(Hi)
+    t0 = jnp.asarray(t0, jnp.float32).reshape(-1)
+    t0v = jnp.broadcast_to(t0, (V,))
+    X = jnp.fft.fft(x, axis=0)
+    X = X * jnp.exp(-2j * np.pi * f[:, None, None] * t0v[None, None, :])
+    # y[k, n, m] = sum_v Hi[k, m, v] X[k, n, v]   (batched complex GEMM, MXU)
+    Y = jnp.einsum("kmv,knv->knm", Hi, X)
+    t0min = jnp.min(t0)
+    Y = Y * jnp.exp(+2j * np.pi * f[:, None, None] * t0min)
+    return jnp.fft.ifft(Y, axis=0), t0min
+
+
+@partial(jax.jit, static_argnames=("fs", "fmod", "keep_tx", "method",
+                                   "jacobian", "pitch", "c0", "angles_deg",
+                                   "nfft"))
+def stolt_migration(x, t0, del_tx, angles_deg, *, fs: float, c0: float,
+                    pitch: float, fmod: float = 0.0, keep_tx: bool = False,
+                    method: str = "cubic", jacobian: bool = True,
+                    nfft: Optional[Tuple[int, int]] = None):
+    """Stolt f-k migration for plane-wave data on a linear array
+    (``UltrasoundSystem.bfMigration``, ``UltrasoundSystem.m:4740-4860``):
+
+    2-D FFT (t, x) -> (f, kx); exploding-reflector remap
+    ``f -> cs sign(f) sqrt(kx^2 + f^2/cs^2)`` with ``cs = c0/sqrt(2)`` and
+    optional jacobian; Garcia's PWI lateral alignment
+    ``gamma = sin(th)/(2 - cos(th))``; inverse FFTs give the image on the
+    (z = c0 t/2, x = element) grid.
+
+    Args: x (T, N, M); t0 scalar or (M,); del_tx (N, M) sequence delays.
+    Returns image (T, N, M') with M' = M if keep_tx else 1.
+    """
+    x = jnp.asarray(x)
+    T, N, M = x.shape[:3]
+    # FFT sizes: pad to avoid wrap-around of echoes near the window edges
+    # (the reference exposes this as the Nfft argument,
+    # ``UltrasoundSystem.m:4744``)
+    F, K = nfft if nfft is not None else (T, N)
+    cs = c0 / np.sqrt(2.0)
+    f = ((np.arange(F) - F // 2) / F * fs).astype(np.float32)  # centered
+    kx = ((np.arange(K) - K // 2) / K / pitch).astype(np.float32)
+    fj = jnp.asarray(f)[:, None, None]
+    kxj = jnp.asarray(kx)[None, :, None]
+    t0 = jnp.broadcast_to(jnp.asarray(t0, jnp.float32).reshape(-1), (M,))
+    t = jnp.arange(T, dtype=jnp.float32)[:, None, None] / fs + t0[None, None, :]
+
+    xr = x * jnp.exp((2j * np.pi * fmod) * t)
+    Xf = jnp.fft.fftshift(jnp.fft.fft(xr, n=F, axis=0), axes=0)
+    Xf = Xf * jnp.exp(-2j * np.pi * fj * t0[None, None, :])
+    Xf = Xf * jnp.exp(-2j * np.pi * fj * jnp.asarray(del_tx, jnp.float32)[None])
+    Xk = jnp.fft.fftshift(jnp.fft.fft(Xf, n=K, axis=1), axes=1)
+
+    fkz = cs * jnp.sign(fj) * jnp.sqrt(kxj ** 2 + (fj / cs) ** 2)  # (F,K,1)
+    kkz = (fkz - f[0]) * F / fs  # 0-based fractional bin index
+    y = interp1(Xk, jnp.broadcast_to(kkz, (F, K, M)), method=method)
+    if jacobian:
+        kz = fj / cs
+        y = (y * kz) / (fkz + 1e-30)
+    y = y * jnp.exp(+2j * np.pi * fj * t0[None, None, :])
+    b = jnp.fft.ifft(jnp.fft.ifftshift(y, axes=0), n=F, axis=0)
+    # lateral alignment for steered plane waves (Garcia PWI)
+    th = np.radians(np.asarray(angles_deg, np.float64))
+    gamma = (np.sin(th) / (2 - np.cos(th))).astype(np.float32)  # (M,)
+    tb = jnp.arange(F, dtype=jnp.float32)[:, None, None] / fs + t0[None, None, :]
+    zax = c0 / 2 * tb  # (F, 1, M)
+    b = b * jnp.exp(2j * np.pi * kxj * jnp.asarray(gamma)[None, None, :] * zax)
+    b = jnp.fft.ifft(jnp.fft.ifftshift(b, axes=1), n=K, axis=1)
+    b = b[:T, :N]
+    if keep_tx:
+        return b
+    return jnp.sum(b, axis=2, keepdims=True)

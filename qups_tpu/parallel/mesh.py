@@ -65,7 +65,7 @@ def make_mesh(devices: Optional[Sequence] = None,
 def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                 apod=(), fmod: float = 0.0, tx_model: str = "virtual",
                 keep_rx: bool = False, keep_tx: bool = False,
-                method: str = "cubic"):
+                method: str = "cubic", im_shape=None):
     """Sharded delay-and-sum over a (frame, rx, tx) mesh.
 
     ``x (T, N, M, F)`` is sharded N->'rx', M->'tx', F->'frame'; pixels are
@@ -101,11 +101,12 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         padded = []
         for a in apod_in:
             a = np.asarray(a)
-            spec = [(0, 0)] * a.ndim
-            if a.ndim >= 2 and a.shape[1] == N:
-                spec[1] = (0, pn_)
-            if a.ndim >= 3 and a.shape[2] == M:
-                spec[2] = (0, pm_)
+            a = a.reshape(a.shape + (1,) * (5 - a.ndim))  # lift to 5-D
+            spec = [(0, 0)] * 5
+            if a.shape[3] == N:
+                spec[3] = (0, pn_)
+            if a.shape[4] == M:
+                spec[4] = (0, pm_)
             padded.append(np.pad(a, spec))
         apod = tuple(padded)
 
@@ -114,11 +115,13 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     xspec = P(None, "rx", "tx", fspec) if np.ndim(x) >= 4 else P(None, "rx", "tx")
 
     apod = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+    apod = tuple(jnp.asarray(a).reshape(np.shape(a) + (1,) * (5 - np.ndim(a)))
+                 for a in apod)  # (I1', I2', I3', N', M')
     apod_specs = tuple(
-        P(None,
-          "rx" if (a.ndim >= 2 and a.shape[1] != 1) else None,
-          "tx" if (a.ndim >= 3 and a.shape[2] != 1) else None)
-        for a in map(jnp.asarray, apod))
+        P(None, None, None,
+          "rx" if a.shape[3] != 1 else None,
+          "tx" if a.shape[4] != 1 else None)
+        for a in apod)
     cinv = jnp.asarray(cinv, jnp.float32)
     cinv_spec = P() if cinv.ndim == 0 else P(None)
     t0 = jnp.asarray(t0, jnp.float32).reshape(-1)
@@ -135,7 +138,8 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     def local(xl, pil, prl, pvl, nvl, t0l, cinvl, apodl):
         img = das(xl, pil, prl, pvl, nvl, t0l, cinvl, fs=fs, apod=apodl,
                   fmod=fmod, tx_model=tx_model, keep_rx=keep_rx,
-                  keep_tx=keep_tx, method=method)
+                  keep_tx=keep_tx, method=method,
+                  im_shape=tuple(im_shape) if im_shape else None)
         if not keep_rx:
             img = jax.lax.psum(img, "rx")
         if not keep_tx:

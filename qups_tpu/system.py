@@ -215,11 +215,11 @@ class UltrasoundSystem:
         cinv = np.reciprocal(np.asarray(c0v, np.float32))
         if cinv.ndim > 1:  # per-pixel map on the scan grid
             cinv = cinv.reshape(-1)
-        t0 = np.asarray(jax.device_get(jnp.asarray(chd.t0))).reshape(-1)
+        t0 = chd.t0_host
         img = das(chd.data, self._pixels(), self.rx.positions().T, pv, nv,
                   t0, cinv, fs=float(chd.fs), apod=apod, fmod=float(fmod),
                   tx_model=model, keep_rx=keep_rx, keep_tx=keep_tx,
-                  method=method)
+                  method=method, im_shape=tuple(self.scan.shape))
         return img.reshape(self.scan.shape + img.shape[1:])
 
     def das_delay_tables(self, c0: Optional[float] = None):
@@ -248,8 +248,326 @@ class UltrasoundSystem:
         """Beamform from arbitrary rx/tx delay tables — the "bring your own
         delays" API (``UltrasoundSystem.bfDASLUT``,
         ``UltrasoundSystem.m:4476-4673``)."""
-        t0 = np.asarray(jax.device_get(jnp.asarray(chd.t0))).reshape(-1)
+        t0 = chd.t0_host
         img = das_lut(chd.data, tau_rx, tau_tx, t0, fs=float(chd.fs),
                       apod=apod, fmod=float(fmod), keep_rx=keep_rx,
-                      keep_tx=keep_tx, method=method)
+                      keep_tx=keep_tx, method=method,
+                      im_shape=tuple(self.scan.shape))
         return img.reshape(self.scan.shape + img.shape[1:])
+
+
+# ----------------------------------------------------------------------------
+# Apodization generators — geometry masks/weights broadcastable to
+# (I1, I2, I3, N, M) (``UltrasoundSystem.m:4892-5428``). All are host-side
+# numpy; the DAS kernels apply them per-transmit with broadcasting.
+# ----------------------------------------------------------------------------
+def _place(vec, dim, ndim=5):
+    """Place a 1-D vector along dimension ``dim`` of an ndim-D array."""
+    v = np.asarray(vec)
+    shape = [1] * ndim
+    shape[dim] = v.size
+    return v.reshape(shape)
+
+
+def _lat_axis(scan):
+    """(values, data-dim) of the lateral axis: x for cartesian, a for polar
+    (``scanlat`` behavior in the reference)."""
+    if isinstance(scan, ScanCartesian):
+        return scan.x, scan.order.index("X")
+    if isinstance(scan, ScanPolar):
+        return scan.a, scan.order.index("A")
+    raise TypeError(f"unsupported scan type {type(scan).__name__}")
+
+
+def _lat_tx(us):
+    """Per-transmit lateral coordinate: focus x (cartesian) or angle."""
+    if isinstance(us.scan, ScanPolar):
+        th = np.degrees(np.arctan2(us.seq.focus_array[0] - us.scan.origin[0],
+                                   us.seq.focus_array[2] - us.scan.origin[2]))
+        return th
+    return us.seq.focus_array[0]
+
+
+def _ap_scanline(us, tol: Optional[float] = None) -> np.ndarray:
+    """Scanline matching for focused line-by-line imaging
+    (``UltrasoundSystem.apScanline``, ``UltrasoundSystem.m:4892``):
+    mask pixels whose lateral coordinate matches each transmit's scanline.
+    Returns an (I1,I2,I3,1,M)-broadcastable mask."""
+    xi, xdim = _lat_axis(us.scan)
+    xv = _lat_tx(us)
+    if tol is None:
+        d = np.diff(xi)
+        tol = float(d[0]) if d.size else np.inf
+    m = (np.abs(_place(xi, xdim) - _place(xv, 4)) < tol).astype(np.float32)
+    return m
+
+
+def _ap_multiline(us) -> np.ndarray:
+    """Linear interpolation between the two nearest transmit scanlines
+    (``UltrasoundSystem.apMultiline``, ``UltrasoundSystem.m:4970``)."""
+    xi, xdim = _lat_axis(us.scan)
+    xv = _lat_tx(us)
+    M = xv.size
+    X = xi.size
+    apod = np.zeros((X, M), np.float32)
+    order = np.argsort(xv)
+    xs = xv[order]
+    for ix, x in enumerate(xi):
+        li = np.searchsorted(xs, x, side="right") - 1  # last xs <= x
+        ri = np.searchsorted(xs, x, side="left")       # first xs >= x
+        if li < 0 or ri >= M:
+            continue  # outside the transmit span
+        d = xs[ri] - xs[li]
+        if d == 0:
+            apod[ix, order[li]] += 1.0
+        else:
+            apod[ix, order[li]] += 1.0 - abs(xs[li] - x) / d
+            apod[ix, order[ri]] += 1.0 - abs(xs[ri] - x) / d
+    shape = [1] * 5
+    shape[xdim] = X
+    shape[4] = M
+    return apod.reshape(shape)
+
+
+def _ap_translating_aperture(us, tol=None) -> np.ndarray:
+    """Receive aperture translating with the transmit scanline
+    (``UltrasoundSystem.apTranslatingAperture``, ``UltrasoundSystem.m:5074``):
+    accept pixels within ``tol[0]`` of the transmit lateral position and
+    receivers within ``tol[1]`` of the pixel lateral position."""
+    xi, xdim = _lat_axis(us.scan)
+    xv = _lat_tx(us)
+    if isinstance(us.scan, ScanPolar):
+        th, _, _, _, _ = us.rx.orientations()
+        xn = np.asarray(th)
+    else:
+        xn = us.rx.positions()[0]
+    if tol is None:
+        d = np.diff(xi)
+        tol = (float(d[0]) if d.size else np.inf,) * 2
+    tol = np.broadcast_to(np.atleast_1d(tol), (2,))
+    m = (np.abs(_place(xi, xdim) - _place(xv, 4)) <= tol[0]) \
+        & (np.abs(_place(xi, xdim) - _place(xn, 3)) <= tol[1])
+    return m.astype(np.float32)
+
+
+def _ap_aperture_growth(us, f: float = 1.5, Dmax: float = np.inf) -> np.ndarray:
+    """F-number-limited aperture growth
+    (``UltrasoundSystem.apApertureGrowth``, ``UltrasoundSystem.m:5165``):
+    accept receiver n for pixel i when ``z > f * |2 d|`` with ``d`` the
+    (element-frame) lateral offset, and ``|2 d| < Dmax``."""
+    pn = us.rx.positions()  # (3, N)
+    P = us.scan.positions()  # (3, I1, I2, I3)
+    Xi = P[0][..., None]  # (I1, I2, I3, 1)
+    Zi = P[2][..., None]
+    Xn = pn[0].reshape(1, 1, 1, -1)
+    Zn = pn[2].reshape(1, 1, 1, -1)
+    th, _, _, _, _ = us.rx.orientations()
+    if np.any(np.abs(th) > 1e-12):  # non-planar array (convex)
+        ae = np.radians(th).reshape(1, 1, 1, -1)
+        rp = np.hypot(Xi - Xn, Zi - Zn)
+        ap = np.arctan2(Xi - Xn, Zi - Zn)
+        d = rp * np.sin(ap - ae)
+        z = np.abs(rp * np.cos(ap - ae))
+    else:
+        d = Xn - Xi
+        z = Zi
+    m = (z > f * np.abs(2 * d)) & (np.abs(2 * d) < Dmax)
+    return m.astype(np.float32)[..., None]  # (I1, I2, I3, N, 1)
+
+
+def _ap_tx_parallelogram(us, theta=None, phi=(0.0, 0.0)) -> np.ndarray:
+    """Plane-wave parallelogram projection
+    (``UltrasoundSystem.apTxParallelogram``, ``UltrasoundSystem.m:5269``):
+    accept pixels whose projection along the steering direction (within the
+    angular spread ``phi``) lands inside the transducer bounds."""
+    fx = us.seq.focus_array
+    if theta is None:
+        theta = np.degrees(np.arctan2(fx[0], fx[2]))
+    theta = np.atleast_1d(theta)
+    M = theta.size
+    P = us.scan.positions()  # (3, I1, I2, I3)
+    pb = us.xdc.bounds()
+    masks = []
+    for k in range(len(phi)):
+        ang = np.radians(theta + phi[k])  # (M,)
+        nvx = np.sin(ang).reshape(1, 1, 1, M)
+        nvz = np.cos(ang).reshape(1, 1, 1, M)
+        # project pixel to z == 0 along the steering vector
+        x0 = P[0][..., None] - nvx * (P[2][..., None] / nvz)
+        masks.append((pb[0, 0] < x0) & (x0 <= pb[0, 1]))
+    ok = masks[0]
+    for mk in masks[1:]:
+        ok = ok | mk
+    return ok.astype(np.float32)[:, :, :, None, :]  # (I1,I2,I3,1,M)
+
+
+def _rx_pixel_cos(us):
+    """Normalized inner product <element normal, unit(pixel - element)>."""
+    pn = us.rx.positions()  # (3, N)
+    _, _, nn, _, _ = us.rx.orientations()  # (3, N)
+    P = us.scan.positions()  # (3, I1, I2, I3)
+    r = P[:, :, :, :, None] - pn[:, None, None, None, :]  # (3, I1,I2,I3,N)
+    r = r / np.maximum(np.linalg.norm(r, axis=0, keepdims=True), 1e-30)
+    return np.einsum("cn,cijkn->ijkn", nn, r)
+
+
+def _ap_acceptance_angle(us, theta: float = 45.0) -> np.ndarray:
+    """Element acceptance angle: ``<n, r_hat> >= cos(theta)``
+    (``UltrasoundSystem.apAcceptanceAngle``, ``UltrasoundSystem.m:5303``)."""
+    c = _rx_pixel_cos(us)
+    return (c >= np.cos(np.radians(theta))).astype(np.float32)[..., None]
+
+
+def _ap_cosine_angle(us, theta: float = 45.0) -> np.ndarray:
+    """Cosine taper over the rx-to-pixel angle
+    (``UltrasoundSystem.apCosineAngle``, ``UltrasoundSystem.m:5377``):
+    ``cos(min(90, 90/theta * angle))``."""
+    c = np.clip(_rx_pixel_cos(us), -1.0, 1.0)
+    ang = np.degrees(np.arccos(c))
+    w = np.cos(np.radians(np.minimum(90.0, (90.0 / theta) * ang)))
+    return w.astype(np.float32)[..., None]
+
+
+UltrasoundSystem.ap_scanline = _ap_scanline
+UltrasoundSystem.ap_multiline = _ap_multiline
+UltrasoundSystem.ap_translating_aperture = _ap_translating_aperture
+UltrasoundSystem.ap_aperture_growth = _ap_aperture_growth
+UltrasoundSystem.ap_tx_parallelogram = _ap_tx_parallelogram
+UltrasoundSystem.ap_acceptance_angle = _ap_acceptance_angle
+UltrasoundSystem.ap_cosine_angle = _ap_cosine_angle
+
+
+# ----------------------------------------------------------------------------
+# Frequency-domain beamformers and transmit decoding
+# ----------------------------------------------------------------------------
+def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
+                fthresh_db: float = -40.0, max_bins: Optional[int] = None,
+                keep_rx: bool = False, keep_tx: bool = False):
+    """Frequency-domain adjoint beamformer (``UltrasoundSystem.bfAdjoint``,
+    ``src/UltrasoundSystem.m:3770-4050``): per-frequency steering-vector
+    matrix products (batched complex GEMMs on the MXU). Returns the image
+    shaped ``(*scan.shape, N', M')``."""
+    from .ops.fdbf import bf_adjoint
+
+    c0v = float(c0 if c0 is not None else self_c0(us))
+    pi = us._pixels()
+    tau_rx = np.linalg.norm(pi[:, None, :] - us.rx.positions().T[None], axis=-1) / c0v
+    tau_tx = np.linalg.norm(pi[:, None, :] - us.tx.positions().T[None], axis=-1) / c0v
+    del_tx = us.seq.delays(us.tx)          # (M, V)
+    apod_tx = us.seq.apodization(us.tx)    # (M, V)
+    t0_off = np.broadcast_to(us.seq.t0_offset(), (us.seq.num_pulse,))
+    del_tx = del_tx + t0_off[None, :]
+
+    # frequency selection: spectral level per bin computed on device (real)
+    T = chd.T
+    lev_fn = jax.jit(lambda x: 20.0 * jnp.log10(
+        jnp.abs(jnp.fft.fft(x, axis=0)).reshape(T, -1).max(axis=1) + 1e-30))
+    lev = np.asarray(lev_fn(chd.data))
+    lev = lev - lev.max()
+    f = np.fft.fftfreq(T) * chd.fs
+    sel = np.where((lev >= fthresh_db) & (f >= 0) & (f < chd.fs / 2))[0]
+    if max_bins is not None and sel.size > max_bins:
+        keep = np.argsort(lev[sel])[::-1][:max_bins]
+        sel = np.sort(sel[keep])
+
+    b = bf_adjoint(chd.data, tau_rx, tau_tx, del_tx, apod_tx,
+                   chd.t0_host, t0_off, sel.astype(np.int32),
+                   fs=float(chd.fs), fmod=float(fmod),
+                   keep_rx=keep_rx, keep_tx=keep_tx)
+    if keep_rx:
+        return b.reshape(us.scan.shape + (chd.N, 1))
+    if keep_tx:
+        return b.reshape(us.scan.shape + (1, chd.M))
+    return b.reshape(us.scan.shape + (1, 1))
+
+
+def self_c0(us) -> float:
+    return float(us.seq.c0)
+
+
+def _refocus(us, chd, seq: Optional[Sequence] = None, gamma: Optional[float] = None,
+             method: str = "tikhonov"):
+    """Decode synthesized transmits back to FSA (REFoCUS)
+    (``UltrasoundSystem.refocus``, ``src/UltrasoundSystem.m:3505-3768``)."""
+    from .ops.fdbf import refocus as _rf
+
+    seq = seq or us.seq
+    tau = seq.delays(us.tx)         # (M, V)
+    apd = seq.apodization(us.tx)    # (M, V)
+    t0 = chd.t0_host
+    t0v = np.broadcast_to(t0, (chd.M,)) if t0.size == 1 else t0
+    y, _ = _rf(chd.data, tau, apd, t0v, fs=float(chd.fs),
+               gamma=gamma, method=method)
+    return chd.replace(data=y, t0=float(t0v.min()))
+
+
+def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
+                  keep_tx: bool = False, method: str = "cubic",
+                  jacobian: bool = True, resample: bool = True,
+                  nfft: Optional[Tuple[int, int]] = None):
+    """Stolt f-k plane-wave migration (``UltrasoundSystem.bfMigration``,
+    ``src/UltrasoundSystem.m:4675-4887``). Requires a PW sequence on a
+    TransducerArray. Returns ``(b, bscan)`` where ``bscan`` is the image's
+    native cartesian scan; with ``resample=True``, ``b`` is bilinearly
+    resampled onto ``us.scan`` (shape ``(*scan.shape, 1, M')``)."""
+    from .ops.fdbf import stolt_migration
+
+    assert us.seq.type == "PW", "bfMigration requires a plane-wave sequence"
+    assert isinstance(us.xdc, TransducerArray), \
+        "bfMigration requires a TransducerArray"
+    c0v = float(c0 if c0 is not None else us.seq.c0)
+    t0 = chd.t0_host
+    if t0.size > 1 and not np.allclose(t0, t0[0]):
+        chd = chd.rectifyt0()
+        t0 = chd.t0_host
+    # Realize the start-time offset as leading zeros: a large t0 as a pure
+    # phase ramp oscillates faster than the DFT bin spacing and is destroyed
+    # by the Stolt frequency-axis resampling.
+    pre = int(round(float(t0[0]) * chd.fs))
+    if pre > 0:
+        chd = chd.zeropad(pre, 0)
+        t0 = chd.t0_host
+    f = us.seq.focus_array
+    angles = np.degrees(np.arctan2(f[0], f[2]))
+    del_tx = us.seq.delays(us.xdc)  # (N, M)
+    if nfft is None:
+        from .utils import next_pow2
+        nfft = (next_pow2(2 * chd.T), next_pow2(2 * chd.N))
+    b = stolt_migration(chd.data, t0, del_tx, tuple(angles),
+                        fs=float(chd.fs), c0=c0v, pitch=float(us.xdc.pitch),
+                        fmod=float(fmod), keep_tx=keep_tx, method=method,
+                        jacobian=jacobian, nfft=tuple(nfft))
+    # native image grid: z from the two-way time axis, x at the elements
+    pn = us.xdc.positions()
+    zax = us.xdc.offset[2] + c0v / 2 * (float(t0[0]) + np.arange(chd.T) / chd.fs)
+    bscan = ScanCartesian(x=pn[0], y=[us.xdc.offset[1]], z=zax)
+    if not resample:
+        return b, bscan
+    # bilinear resample onto us.scan
+    P = us.scan.positions()  # (3, I1, I2, I3)
+    zi = (P[2] - zax[0]) / (zax[1] - zax[0])
+    xi = (P[0] - pn[0, 0]) / us.xdc.pitch
+    zi = jnp.asarray(zi.reshape(-1), jnp.float32)
+    xi = jnp.asarray(xi.reshape(-1), jnp.float32)
+
+    @jax.jit
+    def _resamp(b):
+        Tn, Nn = b.shape[:2]
+        z0 = jnp.clip(jnp.floor(zi).astype(jnp.int32), 0, Tn - 1)
+        x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, Nn - 1)
+        z1 = jnp.clip(z0 + 1, 0, Tn - 1)
+        x1 = jnp.clip(x0 + 1, 0, Nn - 1)
+        wz = jnp.clip(zi - z0, 0, 1)[:, None]
+        wx = jnp.clip(xi - x0, 0, 1)[:, None]
+        v = ((1 - wz) * (1 - wx) * b[z0, x0] + (1 - wz) * wx * b[z0, x1]
+             + wz * (1 - wx) * b[z1, x0] + wz * wx * b[z1, x1])
+        oob = ((zi < 0) | (zi > Tn - 1) | (xi < 0) | (xi > Nn - 1))[:, None]
+        return jnp.where(oob, 0.0, v)
+
+    v = _resamp(b)  # (I, M')
+    return v.reshape(us.scan.shape + (1,) + v.shape[1:]), bscan
+
+
+UltrasoundSystem.bfAdjoint = _bf_adjoint
+UltrasoundSystem.refocus = _refocus
+UltrasoundSystem.bfMigration = _bf_migration

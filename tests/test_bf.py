@@ -108,8 +108,8 @@ def test_das_apodization(sims):
     I = int(np.prod(us.scan.shape))
     N, M = chd.N, chd.M
     # rx-only apodization: keep half the aperture
-    ap = np.ones((1, N, 1), np.float32)
-    ap[:, N // 2:, :] = 0
+    ap = np.ones((1, 1, 1, N, 1), np.float32)
+    ap[..., N // 2:, :] = 0
     b = us.DAS(chd, apod=(ap,))
     b_manual = np.asarray(us.DAS(chd, keep_rx=True)).squeeze()[:, :, :N // 2].sum(-1)
     assert np.allclose(np.asarray(b).squeeze(), b_manual, atol=1e-2 * np.abs(b_manual).max())

@@ -63,7 +63,7 @@ def test_das_sharded_with_apod():
     x, pi, pr, pv, nv, t0 = _das_problem(F=2)
     I, N, M = 36, 8, 4
     rng = np.random.default_rng(0)
-    ap = rng.uniform(0.5, 1.0, (I, N, M)).astype(np.float32)
+    ap = rng.uniform(0.5, 1.0, (I, 1, 1, N, M)).astype(np.float32)
     mesh = make_mesh(jax.devices(), shape=(2, 2, 2))
     ref = das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=10e6, tx_model="plane",
               apod=(ap,))
