@@ -1,0 +1,87 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): beamformed pixel*tx*rx sums/s per chip, from the
+1024^2-pixel DAS image at 256x256 tx/rx. The reference baseline is an RTX
+3070 CUDA kernel at < 2 s for that config => 3.436e13 sums/s
+(``README.md:29``); ``vs_baseline`` is our sums/s over that number.
+
+Environment knobs:
+  QUPS_BENCH_SIZE  = full | medium | small  (default: medium)
+  QUPS_BENCH_REPS  = repetitions (default 2)
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SUMS_PER_S = 1024**2 * 256**2 / 2.0  # RTX 3070, README.md:29
+
+
+def das_problem(T, N, M, n):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    xs = np.linspace(-12e-3, 12e-3, n)
+    zs = np.linspace(5e-3, 45e-3, n)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()], -1).astype(np.float32)
+    pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    th = np.radians(np.linspace(-9, 9, M))
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.stack([np.sin(th), np.zeros(M), np.cos(th)], -1).astype(np.float32)
+    t0 = np.full(M, 2 * 5e-3 / 1540.0, np.float32)
+    return x, pi, pr, pv, nv, t0
+
+
+def main():
+    size = os.environ.get("QUPS_BENCH_SIZE", "medium")
+    reps = int(os.environ.get("QUPS_BENCH_REPS", "2"))
+    cfg = {
+        "small": dict(T=1024, N=64, M=16, n=256),
+        "medium": dict(T=2048, N=128, M=64, n=512),
+        "full": dict(T=4096, N=256, M=256, n=1024),
+    }[size]
+
+    import jax
+    import jax.numpy as jnp
+    from qups_tpu.ops.das import das_tiled as _das_fast  # fast path
+    dev = jax.devices()[0]
+
+    x, pi, pr, pv, nv, t0 = das_problem(**cfg)
+    n = cfg["n"]
+    sums = n * n * cfg["M"] * cfg["N"]
+
+    def run():
+        img = _das_fast(jnp.asarray(x), jnp.asarray(pi), jnp.asarray(pr),
+                        jnp.asarray(pv), jnp.asarray(nv), jnp.asarray(t0),
+                        1.0 / 1540.0, fs=31.25e6, tx_model="plane",
+                        method="linear")
+        return float(jnp.sum(jnp.abs(img)))  # forces execution + download
+
+    t0c = time.time()
+    chk = run()
+    compile_s = time.time() - t0c
+    times = []
+    for _ in range(reps):
+        t1 = time.time()
+        run()
+        times.append(time.time() - t1)
+    dt = min(times)
+    sums_per_s = sums / dt
+
+    print(json.dumps({
+        "metric": "DAS beamform throughput (pixel*tx*rx sums/s per chip)",
+        "value": sums_per_s,
+        "unit": "sums/s",
+        "vs_baseline": sums_per_s / BASELINE_SUMS_PER_S,
+        "detail": {
+            "config": cfg, "size": size, "latency_s": dt,
+            "compile_s": compile_s, "device": str(dev), "check": chk,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

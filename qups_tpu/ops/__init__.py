@@ -4,6 +4,8 @@ from .coherence import cohfac, slsc, dmas, pcf, pwznxcorr
 from .das import das, das_lut, delay_tables
 from .greens import greens_splat, greens_dense
 from .fdbf import bf_adjoint, refocus, stolt_migration
+from .eikonal import msfm, msfm_multi
+from .rays import wbilerp, xiaolinwu_line, ray_paths, global_average_c
 
 __all__ = [
     "interp1", "interpd", "interpf", "wsinterpd", "wsinterpd2",
@@ -11,4 +13,6 @@ __all__ = [
     "cohfac", "slsc", "dmas", "pcf", "pwznxcorr",
     "das", "das_lut", "delay_tables", "greens_splat", "greens_dense",
     "bf_adjoint", "refocus", "stolt_migration",
+    "msfm", "msfm_multi",
+    "wbilerp", "xiaolinwu_line", "ray_paths", "global_average_c",
 ]

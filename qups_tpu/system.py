@@ -571,3 +571,193 @@ def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
 UltrasoundSystem.bfAdjoint = _bf_adjoint
 UltrasoundSystem.refocus = _refocus
 UltrasoundSystem.bfMigration = _bf_migration
+
+
+# ----------------------------------------------------------------------------
+# Eikonal beamformer (heterogeneous sound speed)
+# ----------------------------------------------------------------------------
+def _grid_interp2(vals, zi, xi):
+    """Bilinear interpolation of ``vals (Nz, Nx)`` at fractional indices."""
+    Nz, Nx = vals.shape
+    z0 = np.clip(np.floor(zi).astype(int), 0, Nz - 1)
+    x0 = np.clip(np.floor(xi).astype(int), 0, Nx - 1)
+    z1 = np.clip(z0 + 1, 0, Nz - 1)
+    x1 = np.clip(x0 + 1, 0, Nx - 1)
+    wz = np.clip(zi - z0, 0, 1)
+    wx = np.clip(xi - x0, 0, 1)
+    return ((1 - wz) * (1 - wx) * vals[z0, x0] + (1 - wz) * wx * vals[z0, x1]
+            + wz * (1 - wx) * vals[z1, x0] + wz * wx * vals[z1, x1])
+
+
+def _cmap_zx(cgrd: ScanCartesian, cmap: np.ndarray) -> np.ndarray:
+    """Reorder a property map on ``cgrd`` to (Z, X) layout."""
+    ydim = cgrd.order.index("Y")
+    m2 = np.squeeze(cmap, axis=ydim)
+    # remaining dims in order of the scan's data dims
+    rem = [c for c in cgrd.order if c != "Y"]
+    return m2 if rem == ["Z", "X"] else m2.T
+
+
+def _eikonal_tables(us, medium, cgrd: ScanCartesian, workers=None):
+    """Per-element one-way travel-time LUTs through a heterogeneous medium
+    (``UltrasoundSystem.bfEikonal``, ``src/UltrasoundSystem.m:4052-4332``):
+    fast-marching maps per element on the (isotropic, 2-D) medium grid,
+    sampled at the scan pixels. Returns ``(tau_rx (I, N), tau_tx (I, M))``."""
+    from .ops.eikonal import msfm_multi
+
+    assert isinstance(cgrd, ScanCartesian), "cgrd must be a ScanCartesian"
+    assert cgrd.ny == 1, "eikonal tables currently support 2-D grids"
+    assert np.isclose(cgrd.dx, cgrd.dz, rtol=1e-3), \
+        "eikonal requires isotropic grid spacing (UltrasoundSystem.m:4269)"
+    h = float(cgrd.dz)
+    czx = _cmap_zx(cgrd, medium.props(cgrd, "c"))  # (Nz, Nx)
+
+    def cells(p):  # element positions (3, E) -> nearest (iz, ix) cells
+        iz = np.clip(np.round((p[2] - cgrd.z[0]) / h).astype(int), 0, cgrd.nz - 1)
+        ix = np.clip(np.round((p[0] - cgrd.x[0]) / h).astype(int), 0, cgrd.nx - 1)
+        return np.stack([iz, ix], -1)
+
+    same = us.tx is us.rx
+    prx = us.rx.positions()
+    maps_rx = msfm_multi(czx, h, cells(prx), workers=workers)  # (N, Nz, Nx)
+    if same:
+        maps_tx = maps_rx
+    else:
+        maps_tx = msfm_multi(czx, h, cells(us.tx.positions()), workers=workers)
+
+    # sample the maps at the scan pixels (bilinear)
+    P = us.scan.positions().reshape(3, -1)
+    zi = (P[2] - cgrd.z[0]) / h
+    xi = (P[0] - cgrd.x[0]) / h
+    tau_rx = np.stack([_grid_interp2(m, zi, xi) for m in maps_rx], -1)  # (I, N)
+    tau_tx = np.stack([_grid_interp2(m, zi, xi) for m in maps_tx], -1)  # (I, M)
+    return tau_rx.astype(np.float32), tau_tx.astype(np.float32)
+
+
+def _bf_eikonal(us, chd, medium, cgrd: Optional[ScanCartesian] = None,
+                apod=(), fmod: float = 0.0, keep_tx: bool = False,
+                keep_rx: bool = False, method: str = "cubic", workers=None):
+    """Delay-and-sum with eikonal travel times through a heterogeneous
+    Medium (``UltrasoundSystem.bfEikonal``,
+    ``src/UltrasoundSystem.m:4052-4332``). Currently supports FSA sequences
+    (per-element transmits) on 2-D grids; the travel-time maps replace the
+    straight-ray delay tables of :meth:`bfDAS`."""
+    assert us.seq.type == "FSA", \
+        "bfEikonal currently requires an FSA sequence (per-element delays)"
+    if cgrd is None:
+        # default sim grid: the scan extended to include the transducer
+        b = us.xdc.bounds()
+        lam = us.lmbda
+        h = lam / 4
+        x0 = min(b[0, 0], us.scan.positions()[0].min()) - 2 * h
+        x1 = max(b[0, 1], us.scan.positions()[0].max()) + 2 * h
+        z0 = min(b[2, 0], us.scan.positions()[2].min()) - 2 * h
+        z1 = max(b[2, 1], us.scan.positions()[2].max()) + 2 * h
+        cgrd = ScanCartesian(x=np.arange(x0, x1 + h, h), y=[0.0],
+                             z=np.arange(z0, z1 + h, h))
+    tau_rx, tau_tx = _eikonal_tables(us, medium, cgrd, workers=workers)
+    return us.bfDASLUT(chd, tau_rx, tau_tx, apod=apod, fmod=fmod,
+                       keep_tx=keep_tx, keep_rx=keep_rx, method=method)
+
+
+UltrasoundSystem.eikonal_tables = _eikonal_tables
+UltrasoundSystem.bfEikonal = _bf_eikonal
+
+
+# ----------------------------------------------------------------------------
+# Full-wave (k-space pseudospectral) simulation
+# ----------------------------------------------------------------------------
+def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
+                        cfl: float = 0.3, npml: int = 10,
+                        tmax: Optional[float] = None):
+    """Full-wave simulation through a heterogeneous Medium via the native
+    k-space PSTD stepper (``UltrasoundSystem.kspaceFirstOrder``,
+    ``src/UltrasoundSystem.m:2458-3170``): builds the grid + PML, a
+    CFL-limited dt aligned to ``us.fs`` (``:2714-2729``), projects elements
+    to grid nodes for sources and sensors, runs one sim per transmit, and
+    returns the received traces as ChannelData (T, N, M)."""
+    from .sim.fdtd import kspace_sim_2d
+
+    if cgrd is None:
+        b = us.xdc.bounds()
+        lam = us.lmbda
+        h = lam / 4
+        P = us.scan.positions()
+        x0 = min(b[0, 0], P[0].min()) - 2 * h
+        x1 = max(b[0, 1], P[0].max()) + 2 * h
+        z0 = min(b[2, 0], P[2].min()) - 2 * h
+        z1 = max(b[2, 1], P[2].max()) + 2 * h
+        cgrd = ScanCartesian(x=np.arange(x0, x1 + h, h), y=[0.0],
+                             z=np.arange(z0, z1 + h, h))
+    assert isinstance(cgrd, ScanCartesian) and cgrd.ny == 1
+    assert np.isclose(cgrd.dx, cgrd.dz, rtol=1e-3), "grid must be isotropic"
+    h = float(cgrd.dz)
+
+    # property maps (Z, X) + PML padding (edge replicate)
+    cmap = _cmap_zx(cgrd, medium.props(cgrd, "c"))
+    rmap = _cmap_zx(cgrd, medium.props(cgrd, "rho"))
+    cmap = np.pad(cmap, npml, mode="edge")
+    rmap = np.pad(rmap, npml, mode="edge")
+    cmax = float(cmap.max())
+
+    # CFL-limited dt aligned to us.fs (integer divisor)
+    fs = float(us.fs)
+    dt_cfl = cfl * h / cmax
+    k = max(1, int(np.ceil(1.0 / (fs * dt_cfl))))
+    dt = 1.0 / (fs * k)
+
+    # element -> node projection (nearest node; sub-element refinement via
+    # Transducer.bary_centers is possible, Transducer.elem2grid analog)
+    def nodes(p):  # (3, E) -> (iz, ix)
+        iz = np.clip(np.round((p[2] - cgrd.z[0]) / h).astype(int) + npml,
+                     0, cmap.shape[0] - 1)
+        ix = np.clip(np.round((p[0] - cgrd.x[0]) / h).astype(int) + npml,
+                     0, cmap.shape[1] - 1)
+        return iz, ix
+    ptx = us.tx.positions()
+    prx = us.rx.positions()
+    tz, txc = nodes(ptx)
+    rz, rxc = nodes(prx)
+    rec_rows = tuple(sorted(set(rz.tolist())))
+    row_of = {r: i for i, r in enumerate(rec_rows)}
+
+    # transmit waveform at sim rate
+    wv = us.tx.impulse.conv(us.seq.pulse, 1.0 / dt)
+    delays = us.seq.delays(us.tx)       # (N_el, M)
+    apod = us.seq.apodization(us.tx)    # (N_el, M)
+    M = us.seq.num_pulse
+
+    # simulation length
+    if tmax is None:
+        diag = np.hypot(cgrd.x[-1] - cgrd.x[0], cgrd.z[-1] - cgrd.z[0])
+        tmax = 2.2 * diag / float(cmap.min()) + wv.duration
+    steps = int(np.ceil(tmax / dt))
+
+    chds = []
+    for v in range(M):
+        act = np.abs(apod[:, v]) > 0
+        maxdel = float(delays[act, v].max()) if act.any() else 0.0
+        t0_sim = -maxdel + wv.t0
+        s = np.arange(steps) * dt
+        # element n pulse centered at absolute -delays[n, v]
+        sig = np.stack([
+            apod[n, v] * np.real(np.asarray(
+                wv.sample(s + t0_sim + delays[n, v])))
+            for n in np.where(act)[0]], axis=1)  # (steps, Q)
+        rec = kspace_sim_2d(cmap, rmap, jnp.asarray(tz[act]),
+                            jnp.asarray(txc[act]),
+                            jnp.asarray(sig, jnp.float32), steps=steps,
+                            dt=dt, dx=h, c_ref=cmax,
+                            record_rows=rec_rows)
+        rec = np.asarray(rec)  # (steps, n_rows, Nx)
+        tr = np.stack([rec[:, row_of[rz[n]], rxc[n]]
+                       for n in range(us.rx.numel)], axis=1)  # (steps, N)
+        tr = tr[::k]  # downsample to us.fs
+        chds.append((tr, t0_sim))
+    T = min(c[0].shape[0] for c in chds)
+    data = np.stack([c[0][:T] for c in chds], axis=2)  # (T, N, M)
+    t0 = np.array([c[1] for c in chds])
+    return ChannelData(data=jnp.asarray(data), fs=fs, t0=t0)
+
+
+UltrasoundSystem.kspaceFirstOrder = _kspace_first_order

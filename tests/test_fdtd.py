@@ -1,0 +1,110 @@
+"""Full-wave PSTD simulator tests — the SimTest k-Wave oracle: the echo from
+a scatterer must arrive at the analytic time-of-flight (tolerance ~grid
+steps, ``test/SimTest.m:299-324``), plus free-field propagation sanity."""
+import numpy as np
+import pytest
+
+import qups_tpu as q
+from qups_tpu.sim.fdtd import kspace_sim_2d
+
+
+def test_free_field_pulse_speed():
+    # a point source pulse travels at c: check arrival time at a probe row
+    c0 = 1500.0
+    h = 0.2e-3
+    N = 128
+    cmap = np.full((N, N), c0)
+    rho = np.full((N, N), 1000.0)
+    dt = 0.3 * h / c0
+    steps = 300
+    fc = 2e6
+    t = np.arange(steps) * dt
+    sig = (np.exp(-((t - 0.8e-6) * fc * 2) ** 2)
+           * np.sin(2 * np.pi * fc * t))[:, None].astype(np.float32)
+    src = (np.array([20]), np.array([64]))
+    rec = kspace_sim_2d(cmap, rho, src[0], src[1], sig, steps=steps, dt=dt,
+                        dx=h, c_ref=c0, record_rows=(80, 100))
+    rec = np.asarray(rec)  # (steps, 2, N)
+    tr80 = rec[:, 0, 64]
+    tr100 = rec[:, 1, 64]
+    # differential arrival between the rows removes the source/2-D-tail bias
+    dt_rows = t[np.abs(tr100).argmax()] - t[np.abs(tr80).argmax()]
+    want = 20 * h / c0
+    assert abs(dt_rows - want) < 4 * dt, (dt_rows, want)
+    # absolute peak arrives near (within the pulse tail of) the TOF
+    dist = 80 * h
+    t_exp = dist / c0 + 0.8e-6
+    assert abs(t[np.abs(tr100).argmax()] - t_exp) < 1e-6
+    # no energy before the causal arrival
+    pre = np.abs(tr100[: int((dist / c0) / dt) - 20]).max()
+    assert pre < 0.05 * np.abs(tr100).max()
+
+
+def test_kspace_scatterer_echo_tof():
+    # pulse-echo from a density scatterer arrives at 2 z / c
+    c0 = 1500.0
+    fc = 2e6
+    lam = c0 / fc
+    xdc = q.TransducerArray(numel=16, pitch=lam / 2, fc=fc)
+    z_t = 8e-3
+    scan = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 41),
+                           z=np.linspace(2e-3, 11e-3, 41))
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc,
+        seq=q.Sequence(type="PW", focus=[[0.0], [0.0], [1.0]], c0=c0),
+        scan=scan, fs=4 * fc)
+    # medium: point-like density scatterer at (0, z_t)
+    def blob(P):
+        return (np.hypot(P[0], P[2] - z_t) < lam / 4)
+    med = q.Medium(c0=c0, rho0=1000.0, pertreg=((blob, {"rho": 2000.0}),))
+    cgrd = q.ScanCartesian(x=np.arange(-5e-3, 5e-3, lam / 6), y=[0.0],
+                           z=np.arange(-0.5e-3, 11.5e-3, lam / 6))
+    chd = us.kspaceFirstOrder(med, cgrd)
+    assert (chd.N, chd.M) == (16, 1)
+    x = np.asarray(chd.data)[:, 8, 0]  # center element
+    t = np.asarray(chd.time)[:, 0, 0]
+    # remove the direct transmit artifact: look after 1.2x the echo path start
+    t_echo = 2 * z_t / c0
+    sel = t > 0.6 * t_echo
+    i_pk = np.abs(x[sel]).argmax()
+    t_pk = t[sel][i_pk]
+    # tolerance: 10 grid steps (SimTest k-Wave tolerance)
+    tol = 10 * (lam / 6) / c0
+    assert abs(t_pk - t_echo) < tol, (t_pk, t_echo, tol)
+
+
+def test_kspace_heterogeneous_slowdown():
+    # a slow layer delays the echo relative to homogeneous
+    c0 = 1500.0
+    fc = 2e6
+    lam = c0 / fc
+    xdc = q.TransducerArray(numel=8, pitch=lam / 2, fc=fc)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc,
+        seq=q.Sequence(type="PW", focus=[[0.0], [0.0], [1.0]], c0=c0),
+        scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 11),
+                             z=np.linspace(1e-3, 8e-3, 11)), fs=4 * fc)
+    z_t = 6e-3
+    blob = lambda P: (np.hypot(P[0], P[2] - z_t) < lam / 4)
+    cgrd = q.ScanCartesian(x=np.arange(-3e-3, 3e-3, lam / 6), y=[0.0],
+                           z=np.arange(-0.5e-3, 8.5e-3, lam / 6))
+    slow = lambda P: (P[2] > 1e-3) & (P[2] < 3e-3)
+    med1 = q.Medium(c0=c0, pertreg=((blob, {"rho": 2000.0}),))
+    med2 = q.Medium(c0=c0, pertreg=((slow, {"c": 1200.0}),
+                                    (blob, {"rho": 2000.0})))
+    t1 = _echo_time(us, med1, cgrd, z_t, c0)
+    t2 = _echo_time(us, med2, cgrd, z_t, c0)
+    # two-way extra delay through 2mm of 1200 m/s instead of 1500 m/s
+    extra = 2 * 2e-3 * (1 / 1200 - 1 / 1500)
+    assert t2 > t1 + 0.3 * extra, (t1, t2, extra)
+
+
+def _echo_time(us, med, cgrd, z_t, c0):
+    # search a window around the expected scatterer return so layer
+    # interface reflections (earlier, stronger) don't dominate
+    chd = us.kspaceFirstOrder(med, cgrd)
+    x = np.asarray(chd.data)[:, us.rx.numel // 2, 0]
+    t = np.asarray(chd.time)[:, 0, 0]
+    t_echo = 2 * z_t / c0
+    sel = (t > 0.85 * t_echo) & (t < 1.5 * t_echo)
+    return t[sel][np.abs(x[sel]).argmax()]

@@ -1,0 +1,76 @@
+"""Ray path-integral tests (KernTest wbilerp coverage,
+``test/KernTest.m:326``)."""
+import numpy as np
+import pytest
+
+from qups_tpu.ops.rays import wbilerp, xiaolinwu_line, ray_paths, global_average_c
+
+
+def test_wbilerp_total_weight_is_length():
+    # weights of the bilinear interpolant of f=1 sum to the segment length
+    xg = np.linspace(0, 10e-3, 11)
+    zg = np.linspace(0, 10e-3, 11)
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        pa = rng.uniform(0, 10e-3, 2)
+        pb = rng.uniform(0, 10e-3, 2)
+        iz, ix, w = wbilerp(xg, zg, pa, pb)
+        L = np.hypot(*(pb - pa))
+        assert np.isclose(w.sum(), L, rtol=1e-9), (w.sum(), L)
+
+
+def test_wbilerp_linear_field_exact():
+    # integral of a linear field along the line is exact under bilerp
+    xg = np.linspace(0, 1.0, 6)
+    zg = np.linspace(0, 1.0, 6)
+    f = lambda x, z: 2.0 * x + 3.0 * z + 1.0
+    F = f(xg[None, :], zg[:, None])  # (nz, nx) nodal values
+    pa = np.array([0.05, 0.1])
+    pb = np.array([0.9, 0.85])
+    iz, ix, w = wbilerp(xg, zg, pa, pb)
+    got = (w * F[iz, ix]).sum()
+    # analytic line integral of linear field = mean of endpoints * length
+    L = np.hypot(*(pb - pa))
+    want = 0.5 * (f(*pa) + f(*pb)) * L
+    assert np.isclose(got, want, rtol=1e-9)
+
+
+def test_wbilerp_axis_aligned():
+    xg = np.arange(5.0)
+    zg = np.arange(5.0)
+    iz, ix, w = wbilerp(xg, zg, (1.0, 2.0), (3.0, 2.0))  # along x at z=2
+    # only nodes on the z=2 row get weight
+    assert set(iz) == {2}
+    assert np.isclose(w.sum(), 2.0)
+
+
+def test_xiaolinwu_weights():
+    px, py, w = xiaolinwu_line(0, 0, 8, 3)
+    assert len(px) == len(w)
+    # pairs of weights per column sum ~ 1
+    assert 0 < w.min() <= w.max() <= 1
+
+
+def test_ray_paths_travel_time():
+    # travel time through constant slowness = length / c
+    xg = np.linspace(0, 20e-3, 21)
+    zg = np.linspace(0, 20e-3, 21)
+    c = 1500.0
+    pa = np.array([[1e-3], [1e-3]])
+    pb = np.array([[18e-3], [15e-3]])
+    W = ray_paths(xg, zg, pa, pb)
+    t = (W[:, :, 0] / c).sum()
+    L = np.hypot(17e-3, 14e-3)
+    assert np.isclose(t, L / c, rtol=1e-9)
+
+
+def test_global_average_c_two_layers():
+    xg = np.linspace(0, 10e-3, 21)
+    zg = np.linspace(0, 20e-3, 41)
+    C = np.full((41, 21), 1500.0)
+    C[20:, :] = 1000.0  # bottom half slower
+    pa = np.array([5e-3, 0.0])
+    pb = np.array([[5e-3], [20e-3]])  # straight down through both layers
+    cbar = global_average_c(C, xg, zg, pa, pb)
+    want = 20e-3 / (10e-3 / 1500 + 10e-3 / 1000)
+    assert np.isclose(cbar[0], want, rtol=0.02)
