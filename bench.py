@@ -36,7 +36,7 @@ def das_problem(T, N, M, n):
 
 
 def main():
-    size = os.environ.get("QUPS_BENCH_SIZE", "medium")
+    size = os.environ.get("QUPS_BENCH_SIZE", "full")
     reps = int(os.environ.get("QUPS_BENCH_REPS", "2"))
     cfg = {
         "small": dict(T=1024, N=64, M=16, n=256),
@@ -46,19 +46,20 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from qups_tpu.ops.das import das_tiled as _das_fast  # fast path
+    from qups_tpu.ops.das_pallas import das_tiled as _das_fast  # Pallas kernel
     dev = jax.devices()[0]
 
     x, pi, pr, pv, nv, t0 = das_problem(**cfg)
     n = cfg["n"]
     sums = n * n * cfg["M"] * cfg["N"]
 
+    f = jax.jit(lambda xx: jnp.sum(jnp.abs(_das_fast(
+        xx, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6, tx_model="plane",
+        method="linear", im_shape=(n, n, 1)))))
+    xj = jnp.asarray(x)
+
     def run():
-        img = _das_fast(jnp.asarray(x), jnp.asarray(pi), jnp.asarray(pr),
-                        jnp.asarray(pv), jnp.asarray(nv), jnp.asarray(t0),
-                        1.0 / 1540.0, fs=31.25e6, tx_model="plane",
-                        method="linear")
-        return float(jnp.sum(jnp.abs(img)))  # forces execution + download
+        return float(f(xj))  # forces execution + download
 
     t0c = time.time()
     chk = run()
