@@ -240,6 +240,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     prk[0, :N] = pr_np[:, 0]
     prk[1, :N] = pr_np[:, 1]
     prk[2, :N] = pr_np[:, 2]
+    # padded (zero-trace) elements replicate the last real position so the
+    # shared group window min is not skewed by out-of-geometry dummies
+    prk[0, N:] = pr_np[-1, 0]
+    prk[1, N:] = pr_np[-1, 1]
+    prk[2, N:] = pr_np[-1, 2]
     pvk = np.zeros((8, Mpad), np.float32)
     pvk[0, :M] = pv_np[:, 0]
     pvk[1, :M] = pv_np[:, 1]
@@ -263,9 +268,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                       1.0, T, tx_model)
 
     Tp = -(-T // 128) * 128
-    if Tp != T:
-        x = jnp.pad(x, ((0, Tp - T), (0, 0), (0, 0)))
-    xT = jnp.transpose(x, (2, 1, 0))  # (M, N, T): time on the minor axis
+    Np8 = -(-N // 8) * 8
+    if Tp != T or Np8 != N:
+        # zero traces contribute nothing regardless of geometry
+        x = jnp.pad(x, ((0, Tp - T), (0, Np8 - N), (0, 0)))
+    xT = jnp.transpose(x, (2, 1, 0))  # (M, Np8, T): time on the minor axis
 
     def run(xr):
         o = _das_tiled_real(xr, jnp.asarray(pzs), jnp.asarray(pxs),

@@ -203,12 +203,19 @@ class UltrasoundSystem:
     def DAS(self, chd: ChannelData, apod=(), fmod: float = 0.0,
             c0: Optional[Union[float, np.ndarray]] = None,
             keep_tx: bool = False, keep_rx: bool = False,
-            method: str = "cubic"):
+            method: str = "cubic", kernel: str = "auto"):
         """Compute-optimized delay-and-sum beamformer
         (``UltrasoundSystem.DAS``, ``UltrasoundSystem.m:3172-3372``).
 
         Returns the image shaped ``(*scan.shape, N', M', *F)`` where the rx/tx
         dims are kept (N/M) or summed (1) per the flags.
+
+        ``kernel``: 'auto' uses the fused Pallas TPU kernel when eligible
+        (TPU backend, planar scan, scalar sound speed, no apodization,
+        summed output, linear interp, no frame dims — the benchmark hot
+        path); 'xla' forces the general scan-over-transmits path; 'pallas'
+        forces the Pallas kernel (mirrors the reference's CUDA-vs-native
+        dispatch, ``kern/das_spec.m:184-195``).
         """
         pv, nv, model = self._tx_geometry()
         c0v = self.seq.c0 if c0 is None else c0
@@ -216,10 +223,25 @@ class UltrasoundSystem:
         if cinv.ndim > 1:  # per-pixel map on the scan grid
             cinv = cinv.reshape(-1)
         t0 = chd.t0_host
-        img = das(chd.data, self._pixels(), self.rx.positions().T, pv, nv,
-                  t0, cinv, fs=float(chd.fs), apod=apod, fmod=float(fmod),
-                  tx_model=model, keep_rx=keep_rx, keep_tx=keep_tx,
-                  method=method, im_shape=tuple(self.scan.shape))
+        apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+        eligible = (
+            not apod_t and not keep_rx and not keep_tx and not fmod
+            and cinv.ndim == 0 and chd.data.ndim == 3
+            and self.scan.shape[2] == 1
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        if kernel == "pallas" or (kernel == "auto" and eligible):
+            from .ops.das_pallas import das_tiled
+            img = das_tiled(chd.data, self._pixels(), self.rx.positions().T,
+                            pv, nv, t0, cinv, fs=float(chd.fs),
+                            tx_model=model, method="linear",
+                            im_shape=tuple(self.scan.shape))
+        else:
+            img = das(chd.data, self._pixels(), self.rx.positions().T, pv,
+                      nv, t0, cinv, fs=float(chd.fs), apod=apod,
+                      fmod=float(fmod), tx_model=model, keep_rx=keep_rx,
+                      keep_tx=keep_tx, method=method,
+                      im_shape=tuple(self.scan.shape))
         return img.reshape(self.scan.shape + img.shape[1:])
 
     def das_delay_tables(self, c0: Optional[float] = None):
