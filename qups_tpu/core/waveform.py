@@ -145,6 +145,14 @@ class Waveform:
 
         with ``isig = pi^2 * bw^2 * fc^2 / (-2 * ln(10^(bwr/20)))`` and cutoff
         time where the envelope falls to ``tpr`` dB.
+
+        Example:
+            import numpy as np
+            from qups_tpu import Waveform
+            wv = Waveform.Gauspuls(5e6, 0.6)
+            wv = Waveform(fun=wv.fun, t0=wv.t0, tend=wv.tend, fs=40e6)
+            s = np.asarray(wv.samples)
+            assert abs(s[np.argmin(np.abs(wv.time))]) == np.abs(s).max()
         """
         isig = (4 * np.pi**2 * (-(bw_frac**2) * fc**2 / (8 * np.log(10 ** (bwr / 20))))) / 2
         tc = float(np.sqrt(-np.log(10 ** (tpr / 20)) / isig))

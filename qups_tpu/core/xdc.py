@@ -189,6 +189,10 @@ class TransducerArray(Transducer):
     def aperture_size(self) -> float:
         return self.numel * self.pitch
 
+    def scale(self, dist: float = 1.0, time: float = 1.0) -> "TransducerArray":
+        base = Transducer.scale(self, dist=dist, time=time)
+        return dataclasses.replace(base, pitch=self.pitch * dist)
+
     def positions(self) -> np.ndarray:
         half = (self.numel - 1) * self.pitch / 2
         x = np.linspace(-half, half, self.numel)

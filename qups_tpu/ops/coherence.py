@@ -27,7 +27,14 @@ from .conv import convd
 
 
 def cohfac(b, axis: int = -1):
-    """Coherence factor ``|sum b|^2 / (N * sum |b|^2)`` (``kern/cohfac.m``)."""
+    """Coherence factor ``|sum b|^2 / (N * sum |b|^2)`` (``kern/cohfac.m``).
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import cohfac
+        b = np.ones((10, 32), np.complex64)      # perfectly coherent aperture
+        assert np.allclose(np.asarray(cohfac(b, axis=1)), 1.0, atol=1e-6)
+    """
     b = jnp.asarray(b)
     n = b.shape[axis]
     num = jnp.abs(jnp.sum(b, axis=axis)) ** 2

@@ -1,0 +1,103 @@
+"""Configuration sweep (the USTest idea, ``test/USTest.m``): the cartesian
+product of transducer types x sequence types x scan types x beamformers must
+run end-to-end and produce finite images of the right shape."""
+import numpy as np
+import pytest
+
+import qups_tpu as q
+
+C0 = 1540.0
+
+
+def make_xdc(kind):
+    if kind == "array":
+        return q.TransducerArray(numel=8, pitch=0.4e-3, fc=3e6)
+    if kind == "convex":
+        return q.TransducerConvex.from_pitch(0.5e-3, 40e-3, numel=8, fc=3e6)
+    if kind == "matrix":
+        return q.TransducerMatrix(numd=(4, 2), pitch2=(0.4e-3, 0.4e-3), fc=3e6)
+    if kind == "generic":
+        pos = np.stack([np.linspace(-2e-3, 2e-3, 8), np.zeros(8), np.zeros(8)])
+        return q.TransducerGeneric(pos=pos, fc=3e6)
+    raise ValueError(kind)
+
+
+def make_seq(kind, numel):
+    if kind == "FSA":
+        return q.Sequence(type="FSA", numpulse=numel, c0=C0)
+    if kind == "PW":
+        return q.SequenceRadial(type="PW", angles=[-5.0, 5.0], c0=C0)
+    if kind == "FC":
+        pf = np.array([[-1e-3, 1e-3], [0, 0], [25e-3, 25e-3]])
+        return q.Sequence(type="FC", focus=pf, c0=C0)
+    if kind == "DV":
+        pf = np.array([[0.0], [0.0], [-10e-3]])
+        return q.Sequence(type="DV", focus=pf, c0=C0)
+    raise ValueError(kind)
+
+
+def make_scan(kind):
+    if kind == "cart":
+        return q.ScanCartesian(x=np.linspace(-3e-3, 3e-3, 10),
+                               z=np.linspace(20e-3, 30e-3, 12))
+    if kind == "polar":
+        return q.ScanPolar(r=np.linspace(20e-3, 30e-3, 12),
+                           a=np.linspace(-8, 8, 10))
+    if kind == "sphere":
+        return q.ScanSpherical(r=np.linspace(20e-3, 30e-3, 8),
+                               a=np.linspace(-8, 8, 5),
+                               e=np.linspace(-4, 4, 3))
+    if kind == "generic":
+        pos = np.random.default_rng(0).uniform(-3e-3, 3e-3, (3, 6, 5, 1))
+        pos[2] = np.abs(pos[2]) + 22e-3
+        return q.ScanGeneric(pos=pos)
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize("xk", ["array", "convex", "matrix", "generic"])
+@pytest.mark.parametrize("sk", ["FSA", "PW", "FC", "DV"])
+def test_sim_and_das(xk, sk):
+    xdc = make_xdc(xk)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=make_seq(sk, xdc.numel),
+                            scan=make_scan("cart"), fs=12e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [25e-3]], c0=C0)
+    chd = us.greens(scat)
+    assert np.isfinite(np.abs(np.asarray(chd.data))).all()
+    b = us.DAS(chd)
+    assert b.shape[:3] == us.scan.shape
+    assert np.isfinite(np.abs(np.asarray(b))).all()
+
+
+@pytest.mark.parametrize("ck", ["cart", "polar", "sphere", "generic"])
+@pytest.mark.parametrize("bf", ["DAS", "bfDAS"])
+def test_scans_and_beamformers(ck, bf):
+    xdc = make_xdc("array")
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=make_seq("PW", xdc.numel),
+                            scan=make_scan(ck), fs=12e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [25e-3]], c0=C0)
+    chd = us.greens(scat)
+    b = getattr(us, bf)(chd)
+    assert b.shape[:3] == us.scan.shape
+    assert np.isfinite(np.abs(np.asarray(b))).all()
+    assert np.abs(np.asarray(b)).max() > 0
+
+
+def test_scale_units_mm_us():
+    # the mm/us-rescaled system produces the same image (up to amplitude)
+    xdc = make_xdc("array")
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=make_seq("PW", 8),
+                            scan=make_scan("cart"), fs=12e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [25e-3]], c0=C0)
+    chd = us.greens(scat)
+    b1 = np.asarray(us.DAS(chd)).squeeze()
+
+    us2 = us.scale(dist=1e3, time=1e6)  # mm / us
+    chd2 = chd.replace(fs=chd.fs / 1e6, t0=chd.t0 * 1e6)
+    b2 = np.asarray(us2.DAS(chd2)).squeeze()
+    i1 = np.unravel_index(np.abs(b1).argmax(), b1.shape)
+    i2 = np.unravel_index(np.abs(b2).argmax(), b2.shape)
+    # mm/us is the better-conditioned f32 computation (why the reference
+    # tests run in those units) — allow one pixel of f32 disagreement
+    assert abs(i1[0] - i2[0]) <= 1 and abs(i1[1] - i2[1]) <= 1
+    c = np.abs(np.vdot(b1, b2)) / (np.linalg.norm(b1) * np.linalg.norm(b2))
+    assert c > 0.95, c
