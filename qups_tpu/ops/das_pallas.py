@@ -40,7 +40,7 @@ from .das import tx_distance  # geometry reference (XLA path)
 
 def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, x_ref, o_ref, *,
             N: int, T: int, J: int, fs: float, cinv: float, tx_model: str,
-            W: int = 128):
+            planar: bool = False, W: int = 128):
     """Grid: (RB, CB, M). Blocks: pz/px/py (8, 128) pixel coords;
     pr (8, Npad) rx positions rows [x, y, z]; pv (8, Mpad) per-tx rows
     [pvx, pvy, pvz, nvx, nvy, nvz, t0]; x (1, N, T) traces of tx m (time on
@@ -63,15 +63,20 @@ def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, x_ref, o_ref, *,
     nvz = pv_ref[5, m]
     t0m = pv_ref[6, m]
 
-    # transmit path length (shared across rx)
+    # transmit path length (shared across rx); planar (y == 0) skips y math
     rvx = px - pvx
-    rvy = py - pvy
     rvz = pz - pvz
-    rdotn = rvx * nvx + rvy * nvy + rvz * nvz
+    if planar:
+        rdotn = rvx * nvx + rvz * nvz
+        r2 = rvx * rvx + rvz * rvz
+    else:
+        rvy = py - pvy
+        rdotn = rvx * nvx + rvy * nvy + rvz * nvz
+        r2 = rvx * rvx + rvy * rvy + rvz * rvz
     if tx_model == "plane":
         dv = rdotn
     else:
-        rnorm = jnp.sqrt(rvx * rvx + rvy * rvy + rvz * rvz)
+        rnorm = jnp.sqrt(r2)
         dv = rnorm if tx_model == "diverging" else jnp.where(
             rdotn >= 0, rnorm, -rnorm)
 
@@ -86,12 +91,14 @@ def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, x_ref, o_ref, *,
         for r in range(8):
             n = n8 + r
             ex = pr_ref[0, n]
-            ey = pr_ref[1, n]
             ez = pr_ref[2, n]
             dx_ = px - ex
-            dy_ = py - ey
             dz_ = pz - ez
-            dr = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+            if planar:
+                dr = jnp.sqrt(dx_ * dx_ + dz_ * dz_)
+            else:
+                dy_ = py - pr_ref[1, n]
+                dr = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
             ti = (cinv * (dv + dr) - t0m) * fs
             i0f = jnp.floor(ti)
             u = ti - i0f
@@ -130,20 +137,22 @@ def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, x_ref, o_ref, *,
     o_ref[:] += acc
 
 
-def _plan_windows(pi, pr, pv, nv, t0, fs, cinv, T, tx_model, W=128):
-    """Host-side: max per-tile delay-index spread over all (tile, n, m) ->
-    the static window count J (the range-block trick, geometry only)."""
-    I = pi.shape[0]
-    RB = I // (8 * 128)
-    piR = pi.reshape(RB, 8 * 128, 3)
+def _plan_windows(pz, px, py, pr, pv, nv, t0, fs, cinv, T, tx_model,
+                  W=128):
+    """Host-side: per-row-stripe (8 image rows) max delay-index spread over
+    (true 8x128 tile x 8-rx-group x tx) -> static window count J per stripe
+    (the range-block trick of ``greens.cu:628-715``, geometry only)."""
+    I1, I2 = pz.shape
+    RB, CB = I1 // 8, I2 // 128
+    # tiles (RB*CB, 1024, 3) in kernel layout
+    g = np.stack([px, py, pz], -1).reshape(RB, 8, CB, 128, 3)
+    tiles = np.moveaxis(g, 2, 1).reshape(RB * CB, 8 * 128, 3)
     N = pr.shape[0]
-    spread = 0.0
-    # spread is over a (tile x 8-rx-group) jointly; subsample groups/tx for
-    # the bound (delays vary smoothly) with margin below
+    spread = np.zeros(RB * CB)
     gstarts = np.unique((np.linspace(0, max(0, N - 8), 8) // 8).astype(int) * 8)
     msel = np.unique(np.linspace(0, pv.shape[0] - 1, 8).astype(int))
     for mi in msel:
-        rv = piR - pv[mi]
+        rv = tiles - pv[mi]
         if tx_model == "plane":
             dv = (rv * nv[mi]).sum(-1)
         else:
@@ -152,25 +161,26 @@ def _plan_windows(pi, pr, pv, nv, t0, fs, cinv, T, tx_model, W=128):
                 (rv * nv[mi]).sum(-1) >= 0, r, -r)
         for g0 in gstarts:
             nn = np.arange(g0, min(g0 + 8, N))
-            dr = np.linalg.norm(piR[:, None] - pr[nn][None, :, None],
-                                axis=-1)  # (RB, 8, P)
+            dr = np.linalg.norm(tiles[:, None] - pr[nn][None, :, None],
+                                axis=-1)  # (RB*CB, 8, P)
             ti = (cinv * (dv[:, None] + dr) - t0[mi]) * fs
-            sgrp = (ti.max(axis=(1, 2)) - ti.min(axis=(1, 2))).max()
-            spread = max(spread, float(sgrp))
-    J = int(np.ceil((spread * 1.1 + 8) / W)) + 1
-    return max(2, J)
+            sgrp = ti.max(axis=(1, 2)) - ti.min(axis=(1, 2))
+            spread = np.maximum(spread, sgrp)
+    Jt = np.ceil((spread * 1.1 + 8) / W).astype(int) + 1
+    # one J per row stripe: max over its column tiles
+    return np.maximum(1, Jt.reshape(RB, CB).max(axis=1))  # (RB,)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fs", "tx_model", "im_shape", "J", "interpret"))
-def _das_tiled_real(x, pz, px, py, pr, pv, *, fs, tx_model, im_shape, J,
-                    interpret=False):
+    "fs", "tx_model", "J", "planar", "interpret"))
+def _das_tiled_real(x, pz, px, py, pr, pv, *, fs, tx_model, J,
+                    planar=False, interpret=False):
     RB = pz.shape[0] // 8
     CB = pz.shape[1] // 128
     M = x.shape[0]
     N, T = x.shape[1], x.shape[2]
     kern = functools.partial(_kernel, N=N, T=T, J=J, fs=fs,
-                             cinv=1.0, tx_model=tx_model)
+                             cinv=1.0, tx_model=tx_model, planar=planar)
     # cinv folded into delays? no — pass via closure: we fold cinv into
     # positions upstream instead (positions scaled by cinv) to keep the
     # kernel argument list scalar-free.
@@ -263,10 +273,6 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     pvs = pvk.copy()
     pvs[:3] *= sc  # positions scaled; normals stay unit; t0 already seconds
 
-    pig = np.stack([pxs, pys, pzs], axis=-1).reshape(-1, 3)
-    J = _plan_windows(pig, prs[:3].T[:N], pvs[:3].T[:M], nv_np, t0, fs,
-                      1.0, T, tx_model)
-
     Tp = -(-T // 128) * 128
     Np8 = -(-N // 8) * 8
     if Tp != T or Np8 != N:
@@ -274,13 +280,30 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         x = jnp.pad(x, ((0, Tp - T), (0, Np8 - N), (0, 0)))
     xT = jnp.transpose(x, (2, 1, 0))  # (M, Np8, T): time on the minor axis
 
+    planar = bool(np.all(pys == 0) and np.all(prs[1] == 0)
+                  and np.all(pvs[1] == 0))
+    Jrb = _plan_windows(pzs, pxs, pys, prs[:3].T[:N], pvs[:3].T[:M], nv_np,
+                        t0, fs, 1.0, Tp, tx_model)  # (RB,)
+
+    # bucket row stripes by J so deep (small-spread) regions don't pay the
+    # worst-case window count of the shallow rows
+    buckets = {}
+    for rb, j in enumerate(Jrb):
+        buckets.setdefault(int(j), []).append(rb)
+
     def run(xr):
-        o = _das_tiled_real(xr, jnp.asarray(pzs), jnp.asarray(pxs),
-                            jnp.asarray(pys), jnp.asarray(prs),
-                            jnp.asarray(pvs), fs=float(fs),
-                            tx_model=tx_model, im_shape=(I1p, I2p), J=J,
-                            interpret=interpret)
-        return o[:I1, :I2].reshape(I, 1, 1)
+        out = jnp.zeros((pzs.shape[0], pzs.shape[1]), jnp.float32)
+        for j, rbs in sorted(buckets.items()):
+            rows = np.concatenate([np.arange(rb * 8, rb * 8 + 8)
+                                   for rb in rbs])
+            o = _das_tiled_real(xr, jnp.asarray(pzs[rows]),
+                                jnp.asarray(pxs[rows]),
+                                jnp.asarray(pys[rows]), jnp.asarray(prs),
+                                jnp.asarray(pvs), fs=float(fs),
+                                tx_model=tx_model, J=j, planar=planar,
+                                interpret=interpret)
+            out = out.at[jnp.asarray(rows)].set(o)
+        return out[:I1, :I2].reshape(I, 1, 1)
 
     if jnp.iscomplexobj(x):
         bre = run(jnp.real(xT).astype(jnp.float32))
