@@ -38,19 +38,30 @@ from jax.experimental.pallas import tpu as pltpu
 from .das import tx_distance  # geometry reference (XLA path)
 
 
-def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, x_ref, o_ref, *,
+def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, *refs,
             N: int, T: int, J: int, fs: float, cinv: float, tx_model: str,
-            planar: bool = False, W: int = 128):
+            planar: bool = False, iq: bool = False, fmod: float = 0.0,
+            W: int = 128):
     """Grid: (RB, CB, M). Blocks: pz/px/py (8, 128) pixel coords;
     pr (8, Npad) rx positions rows [x, y, z]; pv (8, Mpad) per-tx rows
     [pvx, pvy, pvz, nvx, nvy, nvz, t0]; x (1, N, T) traces of tx m (time on
     lanes so trace windows slice directly onto a vector register);
-    o (8, 128) image tile (accumulated over the m grid dim)."""
+    o (8, 128) image tile (accumulated over the m grid dim). In IQ mode the
+    trace/output are (re, im) ref pairs and the ``fmod`` remodulation phasor
+    ``exp(2j pi fmod tau)`` (``bf.cu:117``) rotates each sample."""
+    if iq:
+        xre_ref, xim_ref, ore_ref, oim_ref = refs
+    else:
+        (x_ref, o_ref) = refs
     m = pl.program_id(2)
 
     @pl.when(m == 0)
     def _init():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        if iq:
+            ore_ref[:] = jnp.zeros_like(ore_ref)
+            oim_ref[:] = jnp.zeros_like(oim_ref)
+        else:
+            o_ref[:] = jnp.zeros_like(o_ref)
 
     pz = pz_ref[:]
     px = px_ref[:]
@@ -80,10 +91,11 @@ def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, x_ref, o_ref, *,
         dv = rnorm if tx_model == "diverging" else jnp.where(
             rdotn >= 0, rnorm, -rnorm)
 
-    def rx_group_body(g, acc):
+    def rx_group_body(g, accs):
         # process 8 receive elements per iteration: slab loads need 8-aligned
         # sublane starts, and adjacent elements share (almost) the same
         # delay window, so the aligned chunks are shared across the group
+        accre, accim = accs
         n8 = pl.multiple_of(g * 8, 8)
         tis = []
         us_ = []
@@ -111,30 +123,51 @@ def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, x_ref, o_ref, *,
             qmin = jnp.minimum(qmin, jnp.min(tis[r]))
         q0 = jnp.clip(qmin // W, 0, T // W - 1)
 
-        val0 = [jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
-        val1 = [jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
+        nch = 2 if iq else 1
+        val0 = [[jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
+                for _ in range(nch)]
+        val1 = [[jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
+                for _ in range(nch)]
         for j in range(J):
             qj = jnp.clip(q0 + j, 0, T // W - 1)
             ws = pl.multiple_of(qj * W, W)
-            slab = x_ref[0, pl.ds(n8, 8), pl.ds(ws, W)]  # (8, W) aligned
+            slabs = [xr[0, pl.ds(n8, 8), pl.ds(ws, W)]
+                     for xr in ((xre_ref, xim_ref) if iq else (x_ref,))]
             for r in range(8):
-                wrow = jnp.broadcast_to(slab[r].reshape(1, W), (8, W))
                 lj = tis[r] - ws
                 sel0 = (lj >= 0) & (lj < W)
                 sel1 = (lj >= -1) & (lj < W - 1)
-                g0 = jnp.take_along_axis(wrow, jnp.clip(lj, 0, W - 1), axis=1)
-                g1 = jnp.take_along_axis(wrow, jnp.clip(lj + 1, 0, W - 1),
-                                         axis=1)
-                val0[r] = jnp.where(sel0, g0, val0[r])
-                val1[r] = jnp.where(sel1, g1, val1[r])
+                l0 = jnp.clip(lj, 0, W - 1)
+                l1 = jnp.clip(lj + 1, 0, W - 1)
+                for c, slab in enumerate(slabs):
+                    wrow = jnp.broadcast_to(slab[r].reshape(1, W), (8, W))
+                    g0 = jnp.take_along_axis(wrow, l0, axis=1)
+                    g1 = jnp.take_along_axis(wrow, l1, axis=1)
+                    val0[c][r] = jnp.where(sel0, g0, val0[c][r])
+                    val1[c][r] = jnp.where(sel1, g1, val1[c][r])
         for r in range(8):
-            v = val0[r] * (1.0 - us_[r]) + val1[r] * us_[r]
-            acc = acc + jnp.where(valids[r], v, 0.0)
-        return acc
+            vre = val0[0][r] * (1.0 - us_[r]) + val1[0][r] * us_[r]
+            vre = jnp.where(valids[r], vre, 0.0)
+            if iq:
+                vim = val0[1][r] * (1.0 - us_[r]) + val1[1][r] * us_[r]
+                vim = jnp.where(valids[r], vim, 0.0)
+                if fmod != 0.0:
+                    # tau (seconds) = ti / fs; phasor exp(2j pi fmod tau)
+                    ph = (2.0 * np.pi * fmod / fs) * (tis[r] + us_[r])
+                    cph = jnp.cos(ph)
+                    sph = jnp.sin(ph)
+                    vre, vim = vre * cph - vim * sph, vre * sph + vim * cph
+                accim = accim + vim
+            accre = accre + vre
+        return (accre, accim)
 
-    acc = jax.lax.fori_loop(0, N // 8, rx_group_body,
-                            jnp.zeros((8, 128), jnp.float32))
-    o_ref[:] += acc
+    z8 = jnp.zeros((8, 128), jnp.float32)
+    accre, accim = jax.lax.fori_loop(0, N // 8, rx_group_body, (z8, z8))
+    if iq:
+        ore_ref[:] += accre
+        oim_ref[:] += accim
+    else:
+        o_ref[:] += accre
 
 
 def _plan_windows(pz, px, py, pr, pv, nv, t0, fs, cinv, T, tx_model,
@@ -172,46 +205,44 @@ def _plan_windows(pz, px, py, pr, pv, nv, t0, fs, cinv, T, tx_model,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fs", "tx_model", "J", "planar", "interpret"))
+    "fs", "tx_model", "J", "planar", "fmod", "interpret"))
 def _das_tiled_real(x, pz, px, py, pr, pv, *, fs, tx_model, J,
-                    planar=False, interpret=False):
+                    planar=False, fmod=0.0, xim=None, interpret=False):
     RB = pz.shape[0] // 8
     CB = pz.shape[1] // 128
     M = x.shape[0]
     N, T = x.shape[1], x.shape[2]
+    iq = xim is not None
     kern = functools.partial(_kernel, N=N, T=T, J=J, fs=fs,
-                             cinv=1.0, tx_model=tx_model, planar=planar)
-    # cinv folded into delays? no — pass via closure: we fold cinv into
-    # positions upstream instead (positions scaled by cinv) to keep the
-    # kernel argument list scalar-free.
+                             cinv=1.0, tx_model=tx_model, planar=planar,
+                             iq=iq, fmod=fmod)
+    # cinv is folded into the positions upstream (scaled by cinv) to keep
+    # the kernel argument list scalar-free
     grid = (RB, CB, M)
+    tile = pl.BlockSpec((8, 128), lambda rb, cb, m: (rb, cb),
+                        memory_space=pltpu.VMEM)
+    trace = pl.BlockSpec((1, N, T), lambda rb, cb, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [tile, tile, tile,
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # pr (8, Npad)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # pv (8, Mpad)
+                trace] + ([trace] if iq else [])
+    oshape = jax.ShapeDtypeStruct(pz.shape, jnp.float32)
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, 128), lambda rb, cb, m: (rb, cb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda rb, cb, m: (rb, cb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda rb, cb, m: (rb, cb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pr (8, Npad)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pv (8, Mpad)
-            pl.BlockSpec((1, N, T), lambda rb, cb, m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, 128), lambda rb, cb, m: (rb, cb),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(pz.shape, jnp.float32),
+        in_specs=in_specs,
+        out_specs=(tile, tile) if iq else tile,
+        out_shape=(oshape, oshape) if iq else oshape,
         interpret=interpret,
-    )(pz, px, py, pr, pv, x)
+    )(pz, px, py, pr, pv, x, *((xim,) if iq else ()))
     return out
 
 
 def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
               tx_model: str = "virtual", method: str = "linear",
               fmod: float = 0.0, im_shape: Optional[Tuple[int, ...]] = None,
-              interpret: bool = False):
+              out: str = "complex", interpret: bool = False):
     """Fast Pallas DAS (single-tx-model, linear interp, rx+tx summed).
 
     Same contract as :func:`qups_tpu.ops.das.das` for the common path:
@@ -220,7 +251,10 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     cartesian 'ZXY' and polar 'RAY' grids flattened in C order when I2 is a
     multiple of 128 — the wrapper pads otherwise). Returns (I, 1, 1).
     """
-    x = jnp.asarray(x)
+    x_in = x
+    cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype", np.float32))))
+    if not cplx:
+        x = jnp.asarray(x)
     pi = np.asarray(pi, np.float32)
     pr_np = np.asarray(pr, np.float32)
     pv_np = np.asarray(pv, np.float32)
@@ -275,10 +309,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
     Tp = -(-T // 128) * 128
     Np8 = -(-N // 8) * 8
-    if Tp != T or Np8 != N:
-        # zero traces contribute nothing regardless of geometry
-        x = jnp.pad(x, ((0, Tp - T), (0, Np8 - N), (0, 0)))
-    xT = jnp.transpose(x, (2, 1, 0))  # (M, Np8, T): time on the minor axis
+    if not cplx:
+        if Tp != T or Np8 != N:
+            # zero traces contribute nothing regardless of geometry
+            x = jnp.pad(x, ((0, Tp - T), (0, Np8 - N), (0, 0)))
+        xT = jnp.transpose(x, (2, 1, 0))  # (M, Np8, T): time on lanes
 
     planar = bool(np.all(pys == 0) and np.all(prs[1] == 0)
                   and np.all(pvs[1] == 0))
@@ -291,8 +326,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     for rb, j in enumerate(Jrb):
         buckets.setdefault(int(j), []).append(rb)
 
-    def run(xr):
-        out = jnp.zeros((pzs.shape[0], pzs.shape[1]), jnp.float32)
+    def run(xr, xi=None):
+        outs = [jnp.zeros((pzs.shape[0], pzs.shape[1]), jnp.float32)
+                for _ in range(2 if xi is not None else 1)]
         for j, rbs in sorted(buckets.items()):
             rows = np.concatenate([np.arange(rb * 8, rb * 8 + 8)
                                    for rb in rbs])
@@ -301,12 +337,39 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                                 jnp.asarray(pys[rows]), jnp.asarray(prs),
                                 jnp.asarray(pvs), fs=float(fs),
                                 tx_model=tx_model, J=j, planar=planar,
+                                fmod=float(fmod), xim=xi,
                                 interpret=interpret)
-            out = out.at[jnp.asarray(rows)].set(o)
-        return out[:I1, :I2].reshape(I, 1, 1)
+            o = o if isinstance(o, tuple) else (o,)
+            rj = jnp.asarray(rows)
+            outs = [oo.at[rj].set(oj) for oo, oj in zip(outs, o)]
+        outs = [oo[:I1, :I2].reshape(I, 1, 1) for oo in outs]
+        if xi is not None:
+            if out == "ri":
+                # TPU-boundary-safe: never materialize device complex
+                return jnp.stack(outs, axis=-1)
+            return (outs[0] + 1j * outs[1]).astype(jnp.complex64)
+        if out == "ri":
+            return jnp.stack([outs[0], jnp.zeros_like(outs[0])], axis=-1)
+        return outs[0]
 
-    if jnp.iscomplexobj(x):
-        bre = run(jnp.real(xT).astype(jnp.float32))
-        bim = run(jnp.imag(xT).astype(jnp.float32))
-        return (bre + 1j * bim).astype(jnp.complex64)
+    if cplx:
+        # split re/im without eager device-complex ops (boundary-restricted
+        # on some TPU backends): host split for host arrays, one jit for
+        # device arrays
+        if isinstance(x_in, np.ndarray) or not isinstance(x_in, jnp.ndarray):
+            xh = np.transpose(np.asarray(x_in), (2, 1, 0))
+            if Tp != T or Np8 != N:
+                xh = np.pad(xh, ((0, 0), (0, Np8 - N), (0, Tp - T)))
+            return run(jnp.asarray(xh.real, jnp.float32),
+                       jnp.asarray(xh.imag, jnp.float32))
+        xre, xim = jax.jit(
+            lambda v: (jnp.real(jnp.transpose(v, (2, 1, 0))).astype(jnp.float32),
+                       jnp.imag(jnp.transpose(v, (2, 1, 0))).astype(jnp.float32)))(x_in)
+        if Tp != T or Np8 != N:
+            pad = ((0, 0), (0, Np8 - N), (0, Tp - T))
+            xre = jnp.pad(xre, pad)
+            xim = jnp.pad(xim, pad)
+        return run(xre, xim)
+    if fmod != 0.0:  # real data with remodulation -> complex output
+        return run(xT.astype(jnp.float32), jnp.zeros_like(xT, jnp.float32))
     return run(xT.astype(jnp.float32))

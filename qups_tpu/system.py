@@ -203,7 +203,7 @@ class UltrasoundSystem:
     def DAS(self, chd: ChannelData, apod=(), fmod: float = 0.0,
             c0: Optional[Union[float, np.ndarray]] = None,
             keep_tx: bool = False, keep_rx: bool = False,
-            method: str = "cubic", kernel: str = "auto"):
+            method: str = "cubic", kernel: str = "auto", out: str = "auto"):
         """Compute-optimized delay-and-sum beamformer
         (``UltrasoundSystem.DAS``, ``UltrasoundSystem.m:3172-3372``).
 
@@ -216,6 +216,11 @@ class UltrasoundSystem:
         path); 'xla' forces the general scan-over-transmits path; 'pallas'
         forces the Pallas kernel (mirrors the reference's CUDA-vs-native
         dispatch, ``kern/das_spec.m:184-195``).
+
+        ``out``: 'complex' | 'ri' | 'auto'. TPU backends here cannot move
+        complex arrays across jit boundaries, so 'auto' returns the
+        ri-format image ``(..., 2)`` on TPU Pallas paths and a complex
+        image elsewhere (see ``qups_tpu/utils/cpx.py``).
         """
         pv, nv, model = self._tx_geometry()
         c0v = self.seq.c0 if c0 is None else c0
@@ -225,17 +230,19 @@ class UltrasoundSystem:
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
         eligible = (
-            not apod_t and not keep_rx and not keep_tx and not fmod
+            not apod_t and not keep_rx and not keep_tx
             and cinv.ndim == 0 and chd.data.ndim == 3
             and self.scan.shape[2] == 1
             and jax.devices()[0].platform not in ("cpu",)
         )
         if kernel == "pallas" or (kernel == "auto" and eligible):
             from .ops.das_pallas import das_tiled
+            if out == "auto":
+                out = "ri" if jax.devices()[0].platform != "cpu" else "complex"
             img = das_tiled(chd.data, self._pixels(), self.rx.positions().T,
                             pv, nv, t0, cinv, fs=float(chd.fs),
-                            tx_model=model, method="linear",
-                            im_shape=tuple(self.scan.shape))
+                            tx_model=model, method="linear", fmod=float(fmod),
+                            im_shape=tuple(self.scan.shape), out=out)
         else:
             img = das(chd.data, self._pixels(), self.rx.positions().T, pv,
                       nv, t0, cinv, fs=float(chd.fs), apod=apod,

@@ -73,3 +73,16 @@ def test_rx_not_multiple_of_8_raises_or_pads():
         raise
     except Exception:
         pytest.skip("non-multiple-of-8 rx unsupported (documented)")
+
+
+def test_iq_fmod():
+    x, pi, pr, pv, nv, t0 = problem(cplx=True)
+    fmod = 3e5
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         fmod=fmod)).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", fmod=fmod,
+                               im_shape=(16, 128, 1),
+                               interpret=True)).squeeze()
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
