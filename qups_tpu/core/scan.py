@@ -270,6 +270,58 @@ class ScanSpherical(Scan):
         Z = R * np.cos(ph) * np.cos(th) + og[2]
         return np.stack([X, Y, Z])
 
+    def to_cartesian(self, dx: Optional[float] = None) -> "ScanCartesian":
+        p = self.positions().reshape(3, -1)
+        dx = dx or min(d for d in (self.dr,) if np.isfinite(d))
+        return ScanCartesian(
+            x=_linspace_step(p[0].min(), p[0].max(), dx),
+            y=_linspace_step(p[1].min(), p[1].max(), dx)
+            if np.ptp(p[1]) > 0 else np.unique(p[1]),
+            z=_linspace_step(p[2].min(), p[2].max(), dx))
+
+    def scan_convert(self, b, scan_c: Optional[ScanCartesian] = None):
+        """Resample a spherical image (order 'RAE') onto a cartesian volume
+        via trilinear interpolation (3-D sector scan conversion, the
+        ``ScanSpherical.scanConvert`` capability). OOB voxels are NaN."""
+        assert self.order == "RAE", "data must be in order 'RAE'"
+        if scan_c is None:
+            scan_c = self.to_cartesian()
+        og = np.asarray(self.origin)
+        P = scan_c.positions()  # (3, I1, I2, I3)
+        X = P[0] - og[0]
+        Y = P[1] - og[1]
+        Z = P[2] - og[2]
+        R = np.sqrt(X**2 + Y**2 + Z**2)
+        A = np.degrees(np.arctan2(X, Z))
+        E = np.degrees(np.arcsin(np.clip(Y / np.maximum(R, 1e-30), -1, 1)))
+        b = jnp.asarray(b)
+        da = _axis_step(self.a)
+        de = _axis_step(self.e)
+        ri = jnp.asarray((R - self.r[0]) / max(self.dr, np.finfo(float).tiny))
+        ai = jnp.asarray((A - self.a[0]) / max(da, np.finfo(float).tiny))
+        ei = jnp.asarray((E - self.e[0]) / max(de, np.finfo(float).tiny))
+        nr, na, ne = self.nr, self.na, self.ne
+        oob = ((ri < 0) | (ri > nr - 1) | (ai < 0) | (ai > na - 1)
+               | (ei < 0) | (ei > ne - 1))
+        out = 0.0
+        r0 = jnp.clip(jnp.floor(ri).astype(jnp.int32), 0, nr - 1)
+        a0 = jnp.clip(jnp.floor(ai).astype(jnp.int32), 0, na - 1)
+        e0 = jnp.clip(jnp.floor(ei).astype(jnp.int32), 0, ne - 1)
+        wr = jnp.clip(ri - r0, 0, 1)
+        wa = jnp.clip(ai - a0, 0, 1)
+        we = jnp.clip(ei - e0, 0, 1)
+        for cr in (0, 1):
+            for ca in (0, 1):
+                for ce in (0, 1):
+                    w = ((wr if cr else 1 - wr) * (wa if ca else 1 - wa)
+                         * (we if ce else 1 - we))
+                    idx = (jnp.clip(r0 + cr, 0, nr - 1),
+                           jnp.clip(a0 + ca, 0, na - 1),
+                           jnp.clip(e0 + ce, 0, ne - 1))
+                    out = out + w * b[idx]
+        out = jnp.where(oob, jnp.nan, out)
+        return out, scan_c
+
     def scale(self, dist: float = 1.0) -> "ScanSpherical":
         return dataclasses.replace(
             self, r=self.r * dist, origin=tuple(v * dist for v in self.origin))

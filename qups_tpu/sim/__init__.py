@@ -1,3 +1,3 @@
-from .fdtd import kspace_sim_2d
+from .fdtd import kspace_sim_2d, kspace_sim_3d
 
-__all__ = ["kspace_sim_2d"]
+__all__ = ["kspace_sim_2d", "kspace_sim_3d"]

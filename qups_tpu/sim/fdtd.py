@@ -113,3 +113,70 @@ def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
     _, _, _, _, rec = jax.lax.fori_loop(0, steps, step_fn,
                                         (z, z, z, z, rec0))
     return rec
+
+
+@partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref", "record_rows"))
+def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
+                  dx: float, c_ref: float, record_rows: Tuple[int, ...]):
+    """3-D k-space PSTD simulation (volumetric ``kspaceFirstOrder3D``
+    capability, ``UltrasoundSystem.m:2458``).
+
+    Args:
+      c, rho: (Nz, Nx, Ny) maps; src_idx: (3, Q) int32 node indices
+      (z, x, y); src_sig: (steps, Q); record_rows: z-planes recorded fully.
+
+    Returns: (steps, len(record_rows), Nx, Ny) pressure.
+    """
+    c = jnp.asarray(c, jnp.float32)
+    rho = jnp.asarray(rho, jnp.float32)
+    Nz, Nx, Ny = c.shape
+    ks = [np.fft.fftfreq(n, dx) * 2 * np.pi for n in (Nz, Nx, Ny)]
+    KZ = jnp.asarray(ks[0][:, None, None], jnp.float32)
+    KX = jnp.asarray(ks[1][None, :, None], jnp.float32)
+    KY = jnp.asarray(ks[2][None, None, :], jnp.float32)
+    Knp = np.sqrt(ks[0][:, None, None] ** 2 + ks[1][None, :, None] ** 2
+                  + ks[2][None, None, :] ** 2)
+    kappa = jnp.asarray(np.sinc(c_ref * Knp * dt / 2 / np.pi), jnp.float32)
+    sh = [jnp.exp(s * 1j * K * dx / 2)
+          for K in (KZ, KX, KY) for s in (+1, -1)]
+    ez_f, ez_b, ex_f, ex_b, ey_f, ey_b = sh
+
+    npml = 8
+    alpha = 2.0 * c_ref / dx
+    pml = [jnp.asarray(_pml_profile(n, npml, alpha, dt), jnp.float32)
+           for n in (Nz, Nx, Ny)]
+    pml_z = pml[0][:, None, None]
+    pml_x = pml[1][None, :, None]
+    pml_y = pml[2][None, None, :]
+
+    rho0 = rho
+    c2 = c * c
+
+    def dd(f, K, stag, axis):
+        F = jnp.fft.fft(f, axis=axis)
+        return jnp.real(jnp.fft.ifft(1j * K * kappa * stag * F, axis=axis))
+
+    rows = jnp.asarray(np.asarray(record_rows, np.int32))
+    sz, sx, sy = (jnp.asarray(src_idx[i], jnp.int32) for i in range(3))
+
+    def step_fn(i, state):
+        uz, ux, uy, rz, rx_, ry, rec = state
+        p = c2 * (rz + rx_ + ry)
+        uz = pml_z * (pml_z * uz - dt / rho0 * dd(p, KZ, ez_f, 0))
+        ux = pml_x * (pml_x * ux - dt / rho0 * dd(p, KX, ex_f, 1))
+        uy = pml_y * (pml_y * uy - dt / rho0 * dd(p, KY, ey_f, 2))
+        rz = pml_z * (pml_z * rz - dt * rho0 * dd(uz, KZ, ez_b, 0))
+        rx_ = pml_x * (pml_x * rx_ - dt * rho0 * dd(ux, KX, ex_b, 1))
+        ry = pml_y * (pml_y * ry - dt * rho0 * dd(uy, KY, ey_b, 2))
+        s = src_sig[i] / (3 * c2[sz, sx, sy])
+        rz = rz.at[sz, sx, sy].add(s)
+        rx_ = rx_.at[sz, sx, sy].add(s)
+        ry = ry.at[sz, sx, sy].add(s)
+        p = c2 * (rz + rx_ + ry)
+        rec = rec.at[i].set(p[rows])
+        return uz, ux, uy, rz, rx_, ry, rec
+
+    z = jnp.zeros((Nz, Nx, Ny), jnp.float32)
+    rec0 = jnp.zeros((steps, len(record_rows), Nx, Ny), jnp.float32)
+    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, z, z, z, rec0))
+    return out[-1]

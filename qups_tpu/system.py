@@ -718,15 +718,24 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
         z1 = max(b[2, 1], P[2].max()) + 2 * h
         cgrd = ScanCartesian(x=np.arange(x0, x1 + h, h), y=[0.0],
                              z=np.arange(z0, z1 + h, h))
-    assert isinstance(cgrd, ScanCartesian) and cgrd.ny == 1
+    assert isinstance(cgrd, ScanCartesian)
     assert np.isclose(cgrd.dx, cgrd.dz, rtol=1e-3), "grid must be isotropic"
     h = float(cgrd.dz)
+    vol = cgrd.ny > 1
+    if vol:
+        assert np.isclose(cgrd.dy, cgrd.dz, rtol=1e-3), "grid must be isotropic"
 
-    # property maps (Z, X) + PML padding (edge replicate)
-    cmap = _cmap_zx(cgrd, medium.props(cgrd, "c"))
-    rmap = _cmap_zx(cgrd, medium.props(cgrd, "rho"))
-    cmap = np.pad(cmap, npml, mode="edge")
-    rmap = np.pad(rmap, npml, mode="edge")
+    # property maps (Z, X[, Y]) + PML padding (edge replicate)
+    if vol:
+        def to_zxy(m):
+            order = cgrd.order
+            perm = [order.index(c) for c in "ZXY"]
+            return np.transpose(m, perm)
+        cmap = np.pad(to_zxy(medium.props(cgrd, "c")), npml, mode="edge")
+        rmap = np.pad(to_zxy(medium.props(cgrd, "rho")), npml, mode="edge")
+    else:
+        cmap = np.pad(_cmap_zx(cgrd, medium.props(cgrd, "c")), npml, mode="edge")
+        rmap = np.pad(_cmap_zx(cgrd, medium.props(cgrd, "rho")), npml, mode="edge")
     cmax = float(cmap.max())
 
     # CFL-limited dt aligned to us.fs (integer divisor)
@@ -737,16 +746,24 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
 
     # element -> node projection (nearest node; sub-element refinement via
     # Transducer.bary_centers is possible, Transducer.elem2grid analog)
-    def nodes(p):  # (3, E) -> (iz, ix)
+    def nodes(p):  # (3, E) -> (iz, ix[, iy])
         iz = np.clip(np.round((p[2] - cgrd.z[0]) / h).astype(int) + npml,
                      0, cmap.shape[0] - 1)
         ix = np.clip(np.round((p[0] - cgrd.x[0]) / h).astype(int) + npml,
                      0, cmap.shape[1] - 1)
+        if vol:
+            iy = np.clip(np.round((p[1] - cgrd.y[0]) / h).astype(int) + npml,
+                         0, cmap.shape[2] - 1)
+            return iz, ix, iy
         return iz, ix
     ptx = us.tx.positions()
     prx = us.rx.positions()
-    tz, txc = nodes(ptx)
-    rz, rxc = nodes(prx)
+    if vol:
+        tz, txc, tyc = nodes(ptx)
+        rz, rxc, ryc = nodes(prx)
+    else:
+        tz, txc = nodes(ptx)
+        rz, rxc = nodes(prx)
     rec_rows = tuple(sorted(set(rz.tolist())))
     row_of = {r: i for i, r in enumerate(rec_rows)}
 
@@ -773,14 +790,25 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
             apod[n, v] * np.real(np.asarray(
                 wv.sample(s + t0_sim + delays[n, v])))
             for n in np.where(act)[0]], axis=1)  # (steps, Q)
-        rec = kspace_sim_2d(cmap, rmap, jnp.asarray(tz[act]),
-                            jnp.asarray(txc[act]),
-                            jnp.asarray(sig, jnp.float32), steps=steps,
-                            dt=dt, dx=h, c_ref=cmax,
-                            record_rows=rec_rows)
-        rec = np.asarray(rec)  # (steps, n_rows, Nx)
-        tr = np.stack([rec[:, row_of[rz[n]], rxc[n]]
-                       for n in range(us.rx.numel)], axis=1)  # (steps, N)
+        if vol:
+            from .sim.fdtd import kspace_sim_3d
+            rec = kspace_sim_3d(cmap, rmap,
+                                np.stack([tz[act], txc[act], tyc[act]]),
+                                jnp.asarray(sig, jnp.float32), steps=steps,
+                                dt=dt, dx=h, c_ref=cmax,
+                                record_rows=rec_rows)
+            rec = np.asarray(rec)  # (steps, n_rows, Nx, Ny)
+            tr = np.stack([rec[:, row_of[rz[n]], rxc[n], ryc[n]]
+                           for n in range(us.rx.numel)], axis=1)
+        else:
+            rec = kspace_sim_2d(cmap, rmap, jnp.asarray(tz[act]),
+                                jnp.asarray(txc[act]),
+                                jnp.asarray(sig, jnp.float32), steps=steps,
+                                dt=dt, dx=h, c_ref=cmax,
+                                record_rows=rec_rows)
+            rec = np.asarray(rec)  # (steps, n_rows, Nx)
+            tr = np.stack([rec[:, row_of[rz[n]], rxc[n]]
+                           for n in range(us.rx.numel)], axis=1)  # (steps, N)
         tr = tr[::k]  # downsample to us.fs
         chds.append((tr, t0_sim))
     T = min(c[0].shape[0] for c in chds)

@@ -108,3 +108,56 @@ def _echo_time(us, med, cgrd, z_t, c0):
     t_echo = 2 * z_t / c0
     sel = (t > 0.85 * t_echo) & (t < 1.5 * t_echo)
     return t[sel][np.abs(x[sel]).argmax()]
+
+
+def test_kspace_3d_free_field():
+    # 3-D free field: differential arrival between two z-planes matches c
+    from qups_tpu.sim.fdtd import kspace_sim_3d
+    c0, h = 1500.0, 0.4e-3
+    N = 48
+    cmap = np.full((N, N, N), c0)
+    rho = np.full((N, N, N), 1000.0)
+    dt = 0.3 * h / c0
+    steps = 140
+    fc = 1.5e6
+    t = np.arange(steps) * dt
+    sig = (np.exp(-((t - 1.2e-6) * fc * 2) ** 2)
+           * np.sin(2 * np.pi * fc * t))[:, None].astype(np.float32)
+    src = np.array([[10], [24], [24]])
+    rec = kspace_sim_3d(cmap, rho, src, sig, steps=steps, dt=dt, dx=h,
+                        c_ref=c0, record_rows=(28, 40))
+    rec = np.asarray(rec)
+    tr1 = rec[:, 0, 24, 24]
+    tr2 = rec[:, 1, 24, 24]
+    dt_rows = t[np.abs(tr2).argmax()] - t[np.abs(tr1).argmax()]
+    want = 12 * h / c0
+    assert abs(dt_rows - want) < 4 * dt, (dt_rows, want)
+    assert np.isfinite(rec).all()
+
+
+def test_kspace_3d_system_matrix_probe():
+    # volumetric sim through the system wrapper with a matrix probe: echo
+    # from a density blob at the analytic two-way time
+    c0, fc = 1500.0, 1.5e6
+    lam = c0 / fc
+    xdc = q.TransducerMatrix(numd=(6, 6), pitch2=(lam / 2, lam / 2), fc=fc)
+    z_t = 5e-3
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc,
+        seq=q.Sequence(type="PW", focus=[[0.0], [0.0], [1.0]], c0=c0),
+        scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 6),
+                             z=np.linspace(2e-3, 7e-3, 6)), fs=4 * fc)
+    blob = lambda P: (np.sqrt(P[0]**2 + P[1]**2 + (P[2]-z_t)**2) < lam / 3)
+    h = lam / 5
+    cgrd = q.ScanCartesian(x=np.arange(-3.2e-3, 3.2e-3, h),
+                           y=np.arange(-3.2e-3, 3.2e-3, h),
+                           z=np.arange(-0.6e-3, 6.6e-3, h))
+    med = q.Medium(c0=c0, pertreg=((blob, {"rho": 2500.0}),))
+    chd = us.kspaceFirstOrder(med, cgrd)
+    assert chd.N == 36 and chd.M == 1
+    x = np.asarray(chd.data)[:, 14, 0]
+    t = np.asarray(chd.time)[:, 0, 0]
+    t_echo = 2 * z_t / c0
+    sel = (t > 0.7 * t_echo) & (t < 1.6 * t_echo)
+    t_pk = t[sel][np.abs(x[sel]).argmax()]
+    assert abs(t_pk - t_echo) < 10 * h / c0, (t_pk, t_echo)

@@ -361,3 +361,23 @@ def test_channel_data_filter():
     pb = Y[np.argmin(np.abs(f - 5e6))]
     sb = Y[np.argmin(np.abs(f - 15e6))]
     assert pb > 10 * sb
+
+
+def test_scan_convert_spherical():
+    ss = ScanSpherical(r=np.linspace(5e-3, 30e-3, 32),
+                       a=np.linspace(-30, 30, 31), e=np.linspace(-20, 20, 21))
+    b = np.ones(ss.shape)
+    bc, scn = ss.scan_convert(b)
+    bc = np.asarray(bc)
+    inb = ~np.isnan(bc)
+    assert inb.any()
+    assert np.allclose(bc[inb], 1, atol=1e-5)
+    # a radial gradient survives conversion
+    R0 = ss.grid_polar()[0] if hasattr(ss, "grid_polar") else None
+    b2 = np.broadcast_to(ss.r[:, None, None], ss.shape).copy()
+    bc2, _ = ss.scan_convert(b2)
+    bc2 = np.asarray(bc2)
+    P = scn.positions()
+    Rq = np.linalg.norm(P, axis=0)
+    m = ~np.isnan(bc2)
+    assert np.allclose(bc2[m], Rq[m], rtol=0.02)
