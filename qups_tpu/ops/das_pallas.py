@@ -41,7 +41,7 @@ from .das import tx_distance  # geometry reference (XLA path)
 def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, *refs,
             N: int, T: int, J: int, fs: float, cinv: float, tx_model: str,
             planar: bool = False, iq: bool = False, fmod: float = 0.0,
-            W: int = 128):
+            MC: int = 1, W: int = 128):
     """Grid: (RB, CB, M). Blocks: pz/px/py (8, 128) pixel coords;
     pr (8, Npad) rx positions rows [x, y, z]; pv (8, Mpad) per-tx rows
     [pvx, pvy, pvz, nvx, nvy, nvz, t0]; x (1, N, T) traces of tx m (time on
@@ -53,9 +53,9 @@ def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, *refs,
         xre_ref, xim_ref, ore_ref, oim_ref = refs
     else:
         (x_ref, o_ref) = refs
-    m = pl.program_id(2)
+    mc = pl.program_id(2)
 
-    @pl.when(m == 0)
+    @pl.when(mc == 0)
     def _init():
         if iq:
             ore_ref[:] = jnp.zeros_like(ore_ref)
@@ -66,103 +66,111 @@ def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, *refs,
     pz = pz_ref[:]
     px = px_ref[:]
     py = py_ref[:]
-    pvx = pv_ref[0, m]
-    pvy = pv_ref[1, m]
-    pvz = pv_ref[2, m]
-    nvx = pv_ref[3, m]
-    nvy = pv_ref[4, m]
-    nvz = pv_ref[5, m]
-    t0m = pv_ref[6, m]
 
-    # transmit path length (shared across rx); planar (y == 0) skips y math
-    rvx = px - pvx
-    rvz = pz - pvz
-    if planar:
-        rdotn = rvx * nvx + rvz * nvz
-        r2 = rvx * rvx + rvz * rvz
-    else:
-        rvy = py - pvy
-        rdotn = rvx * nvx + rvy * nvy + rvz * nvz
-        r2 = rvx * rvx + rvy * rvy + rvz * rvz
-    if tx_model == "plane":
-        dv = rdotn
-    else:
-        rnorm = jnp.sqrt(r2)
-        dv = rnorm if tx_model == "diverging" else jnp.where(
-            rdotn >= 0, rnorm, -rnorm)
+    def tx_body(c, outer_accs):
+        m = mc * MC + c  # global transmit index (into pv's packed params)
+        pvx = pv_ref[0, m]
+        pvy = pv_ref[1, m]
+        pvz = pv_ref[2, m]
+        nvx = pv_ref[3, m]
+        nvy = pv_ref[4, m]
+        nvz = pv_ref[5, m]
+        t0m = pv_ref[6, m]
 
-    def rx_group_body(g, accs):
-        # process 8 receive elements per iteration: slab loads need 8-aligned
-        # sublane starts, and adjacent elements share (almost) the same
-        # delay window, so the aligned chunks are shared across the group
-        accre, accim = accs
-        n8 = pl.multiple_of(g * 8, 8)
-        tis = []
-        us_ = []
-        valids = []
-        for r in range(8):
-            n = n8 + r
-            ex = pr_ref[0, n]
-            ez = pr_ref[2, n]
-            dx_ = px - ex
-            dz_ = pz - ez
-            if planar:
-                dr = jnp.sqrt(dx_ * dx_ + dz_ * dz_)
-            else:
-                dy_ = py - pr_ref[1, n]
-                dr = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
-            ti = (cinv * (dv + dr) - t0m) * fs
-            i0f = jnp.floor(ti)
-            u = ti - i0f
-            i0 = i0f.astype(jnp.int32)
-            valids.append((ti >= 0) & (ti <= T - 1))
-            tis.append(jnp.clip(i0, 0, T - 2))
-            us_.append(u)
-        qmin = jnp.min(tis[0])
-        for r in range(1, 8):
-            qmin = jnp.minimum(qmin, jnp.min(tis[r]))
-        q0 = jnp.clip(qmin // W, 0, T // W - 1)
+        # transmit path length (shared across rx); planar skips y math
+        rvx = px - pvx
+        rvz = pz - pvz
+        if planar:
+            rdotn = rvx * nvx + rvz * nvz
+            r2 = rvx * rvx + rvz * rvz
+        else:
+            rvy = py - pvy
+            rdotn = rvx * nvx + rvy * nvy + rvz * nvz
+            r2 = rvx * rvx + rvy * rvy + rvz * rvz
+        if tx_model == "plane":
+            dv = rdotn
+        else:
+            rnorm = jnp.sqrt(r2)
+            dv = rnorm if tx_model == "diverging" else jnp.where(
+                rdotn >= 0, rnorm, -rnorm)
 
-        nch = 2 if iq else 1
-        val0 = [[jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
-                for _ in range(nch)]
-        val1 = [[jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
-                for _ in range(nch)]
-        for j in range(J):
-            qj = jnp.clip(q0 + j, 0, T // W - 1)
-            ws = pl.multiple_of(qj * W, W)
-            slabs = [xr[0, pl.ds(n8, 8), pl.ds(ws, W)]
-                     for xr in ((xre_ref, xim_ref) if iq else (x_ref,))]
+        def rx_group_body(g, accs):
+            # process 8 receive elements per iteration: slab loads need 8-aligned
+            # sublane starts, and adjacent elements share (almost) the same
+            # delay window, so the aligned chunks are shared across the group
+            accre, accim = accs
+            n8 = pl.multiple_of(g * 8, 8)
+            tis = []
+            us_ = []
+            valids = []
             for r in range(8):
-                lj = tis[r] - ws
-                sel0 = (lj >= 0) & (lj < W)
-                sel1 = (lj >= -1) & (lj < W - 1)
-                l0 = jnp.clip(lj, 0, W - 1)
-                l1 = jnp.clip(lj + 1, 0, W - 1)
-                for c, slab in enumerate(slabs):
-                    wrow = jnp.broadcast_to(slab[r].reshape(1, W), (8, W))
-                    g0 = jnp.take_along_axis(wrow, l0, axis=1)
-                    g1 = jnp.take_along_axis(wrow, l1, axis=1)
-                    val0[c][r] = jnp.where(sel0, g0, val0[c][r])
-                    val1[c][r] = jnp.where(sel1, g1, val1[c][r])
-        for r in range(8):
-            vre = val0[0][r] * (1.0 - us_[r]) + val1[0][r] * us_[r]
-            vre = jnp.where(valids[r], vre, 0.0)
-            if iq:
-                vim = val0[1][r] * (1.0 - us_[r]) + val1[1][r] * us_[r]
-                vim = jnp.where(valids[r], vim, 0.0)
-                if fmod != 0.0:
-                    # tau (seconds) = ti / fs; phasor exp(2j pi fmod tau)
-                    ph = (2.0 * np.pi * fmod / fs) * (tis[r] + us_[r])
-                    cph = jnp.cos(ph)
-                    sph = jnp.sin(ph)
-                    vre, vim = vre * cph - vim * sph, vre * sph + vim * cph
-                accim = accim + vim
-            accre = accre + vre
-        return (accre, accim)
+                n = n8 + r
+                ex = pr_ref[0, n]
+                ez = pr_ref[2, n]
+                dx_ = px - ex
+                dz_ = pz - ez
+                if planar:
+                    dr = jnp.sqrt(dx_ * dx_ + dz_ * dz_)
+                else:
+                    dy_ = py - pr_ref[1, n]
+                    dr = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+                ti = (cinv * (dv + dr) - t0m) * fs
+                i0f = jnp.floor(ti)
+                u = ti - i0f
+                i0 = i0f.astype(jnp.int32)
+                valids.append((ti >= 0) & (ti <= T - 1))
+                tis.append(jnp.clip(i0, 0, T - 2))
+                us_.append(u)
+            qmin = jnp.min(tis[0])
+            for r in range(1, 8):
+                qmin = jnp.minimum(qmin, jnp.min(tis[r]))
+            q0 = jnp.clip(qmin // W, 0, T // W - 1)
 
-    z8 = jnp.zeros((8, 128), jnp.float32)
-    accre, accim = jax.lax.fori_loop(0, N // 8, rx_group_body, (z8, z8))
+            nch = 2 if iq else 1
+            val0 = [[jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
+                    for _ in range(nch)]
+            val1 = [[jnp.zeros((8, 128), jnp.float32) for _ in range(8)]
+                    for _ in range(nch)]
+            for j in range(J):
+                qj = jnp.clip(q0 + j, 0, T // W - 1)
+                ws = pl.multiple_of(qj * W, W)
+                slabs = [xr[c, pl.ds(n8, 8), pl.ds(ws, W)]
+                         for xr in ((xre_ref, xim_ref) if iq else (x_ref,))]
+                for r in range(8):
+                    lj = tis[r] - ws
+                    sel0 = (lj >= 0) & (lj < W)
+                    sel1 = (lj >= -1) & (lj < W - 1)
+                    l0 = jnp.clip(lj, 0, W - 1)
+                    l1 = jnp.clip(lj + 1, 0, W - 1)
+                    for ch, slab in enumerate(slabs):
+                        wrow = jnp.broadcast_to(slab[r].reshape(1, W), (8, W))
+                        g0 = jnp.take_along_axis(wrow, l0, axis=1)
+                        g1 = jnp.take_along_axis(wrow, l1, axis=1)
+                        val0[ch][r] = jnp.where(sel0, g0, val0[ch][r])
+                        val1[ch][r] = jnp.where(sel1, g1, val1[ch][r])
+            for r in range(8):
+                vre = val0[0][r] * (1.0 - us_[r]) + val1[0][r] * us_[r]
+                vre = jnp.where(valids[r], vre, 0.0)
+                if iq:
+                    vim = val0[1][r] * (1.0 - us_[r]) + val1[1][r] * us_[r]
+                    vim = jnp.where(valids[r], vim, 0.0)
+                    if fmod != 0.0:
+                        # tau (seconds) = ti / fs; phasor exp(2j pi fmod tau)
+                        ph = (2.0 * np.pi * fmod / fs) * (tis[r] + us_[r])
+                        cph = jnp.cos(ph)
+                        sph = jnp.sin(ph)
+                        vre, vim = vre * cph - vim * sph, vre * sph + vim * cph
+                    accim = accim + vim
+                accre = accre + vre
+            return (accre, accim)
+
+        z8 = jnp.zeros((8, 128), jnp.float32)
+        are_, aim_ = jax.lax.fori_loop(0, N // 8, rx_group_body, (z8, z8))
+        ore_o, oim_o = outer_accs
+        return (ore_o + are_, oim_o + aim_)
+
+    z8o = jnp.zeros((8, 128), jnp.float32)
+    accre, accim = jax.lax.fori_loop(0, MC, tx_body, (z8o, z8o))
     if iq:
         ore_ref[:] += accre
         oim_ref[:] += accim
@@ -213,15 +221,21 @@ def _das_tiled_real(x, pz, px, py, pr, pv, *, fs, tx_model, J,
     M = x.shape[0]
     N, T = x.shape[1], x.shape[2]
     iq = xim is not None
+    # transmit chunk size: keep the double-buffered trace blocks within a
+    # VMEM budget; chunking cuts HBM re-streaming of the traces per tile
+    per_tx = N * T * 4 * (2 if iq else 1)
+    MC = int(max(1, min(M, (6 * 2**20) // max(per_tx, 1))))
+    while M % MC:
+        MC -= 1
     kern = functools.partial(_kernel, N=N, T=T, J=J, fs=fs,
                              cinv=1.0, tx_model=tx_model, planar=planar,
-                             iq=iq, fmod=fmod)
+                             iq=iq, fmod=fmod, MC=MC)
     # cinv is folded into the positions upstream (scaled by cinv) to keep
     # the kernel argument list scalar-free
-    grid = (RB, CB, M)
+    grid = (RB, CB, M // MC)
     tile = pl.BlockSpec((8, 128), lambda rb, cb, m: (rb, cb),
                         memory_space=pltpu.VMEM)
-    trace = pl.BlockSpec((1, N, T), lambda rb, cb, m: (m, 0, 0),
+    trace = pl.BlockSpec((MC, N, T), lambda rb, cb, m: (m, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [tile, tile, tile,
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # pr (8, Npad)
