@@ -35,9 +35,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .das import tx_distance  # geometry reference (XLA path)
-
-
 def _kernel(pz_ref, px_ref, py_ref, pr_ref, pv_ref, *refs,
             N: int, T: int, J: int, fs: float, cinv: float, tx_model: str,
             planar: bool = False, iq: bool = False, fmod: float = 0.0,

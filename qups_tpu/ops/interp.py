@@ -20,7 +20,6 @@ Everything here is pure-XLA and jit/vmap/shard_map friendly; hot-path fusions
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple, Union
 
 import jax
