@@ -168,7 +168,10 @@ class Waveform:
         dur = cycles / fc
 
         def f(t):
-            return np.sin(2 * np.pi * fc * t) * (np.cos(np.pi * (t - dur / 2) / dur) ** 2 * 0 + 1.0)
+            t = np.asarray(t)
+            win = np.cos(np.pi * (t - dur / 2) / dur) ** 2  # Hann over [0, dur]
+            win = np.where((t >= 0) & (t <= dur), win, 0.0)
+            return np.sin(2 * np.pi * fc * t) * win
 
         return Waveform(fun=f, t0=0.0, tend=dur)
 

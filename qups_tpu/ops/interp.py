@@ -198,9 +198,92 @@ def wsinterpd2(x, tau1, tau2, w=None, sdim: Union[int, Sequence[int], None] = No
     ``interpd.cu:345-396``): like :func:`wsinterpd` with
     ``tau = tau1 + tau2`` where the two delay tensors broadcast against each
     other (left-aligned) — the memory-frugal path used by
-    ``focusTx``/``bfDASLUT``."""
+    ``focusTx``/``bfDASLUT``.
+
+    Memory contract (the point of the separable kernel — the reference
+    never materializes the joint ``tau1 + tau2`` tensor): when a summed dim
+    ``d`` is singleton in one of the two delay tensors, the computation is
+    streamed as a ``lax.scan`` over ``d``, so peak live memory is the
+    per-slice broadcast times the output — O(T*N*M), not O(T*N*M*M').
+    Non-separable summed dims (both tensors non-singleton) fall back to the
+    dense broadcast.
+    """
     t1 = jnp.asarray(tau1)
     t2 = jnp.asarray(tau2)
+    x = jnp.asarray(x)
+    sdims = () if sdim is None else (
+        (sdim,) if isinstance(sdim, int) else tuple(sdim))
+
     nd = max(t1.ndim, t2.ndim)
-    tau = expand_trailing(t1, nd) + expand_trailing(t2, nd)
-    return wsinterpd(x, tau, w=w, sdim=sdim, omega=omega, method=method, extrap=extrap)
+    # output rank: I dim (from tau) + broadcast of data batch dims
+    ndo = max(nd, 1 + (x.ndim - 1), np.ndim(w) if w is not None else 0)
+    t1 = expand_trailing(t1, ndo)
+    t2 = expand_trailing(t2, ndo)
+    xe = expand_trailing(x, 1 + (ndo - 1))
+    we = expand_trailing(jnp.asarray(w), ndo) if w is not None else None
+
+    # pick the scan dim: the largest summed dim where the delays separate
+    # (one of tau1/tau2 singleton). Scanning it keeps tau1+tau2 per-slice.
+    best, best_sz = None, 1
+    for d in sdims:
+        if d == 0 or d >= ndo:
+            continue
+        sz = max(t1.shape[d], t2.shape[d],
+                 xe.shape[d] if d < xe.ndim else 1,
+                 we.shape[d] if we is not None else 1)
+        if sz > best_sz and (t1.shape[d] == 1 or t2.shape[d] == 1):
+            best, best_sz = d, sz
+    if best is None or best_sz <= 4:
+        tau = t1 + t2
+        return wsinterpd(x, tau, w=w, sdim=sdim, omega=omega,
+                         method=method, extrap=extrap)
+
+    d = best
+    rest = tuple(s for s in sdims if s != d)
+
+    def pick(a, axis_offset=0):
+        """(constant, scanned) pair: move dim d to front when non-singleton."""
+        ad = d + axis_offset
+        if a is None or a.shape[ad] == 1:
+            return a, None
+        return None, jnp.moveaxis(a, ad, 0)
+
+    t1c, t1s = pick(t1)
+    t2c, t2s = pick(t2)
+    xc, xs_ = pick(xe)  # data dims align with output dims here (time<->I)
+    wc, ws_ = pick(we) if we is not None else (None, None)
+
+    # probe one slice to get the output slice shape/dtype
+    def one(t1_, t2_, x_, w_):
+        tau = t1_ + t2_
+        return wsinterpd(x_, tau, w=w_, sdim=rest if rest else None,
+                         omega=omega, method=method, extrap=extrap)
+
+    def slice_args(parts):
+        """Combine per-step slices with the constants, re-inserting dim d
+        (moveaxis put it in front of the scanned tensors) as size 1."""
+        t1i, t2i, xi, wi = parts
+        t1_ = t1c if t1s is None else jnp.expand_dims(t1i, d)
+        t2_ = t2c if t2s is None else jnp.expand_dims(t2i, d)
+        x_ = xc if xs_ is None else jnp.expand_dims(xi, d)
+        w_ = wc if ws_ is None else jnp.expand_dims(wi, d)
+        return t1_, t2_, x_, w_
+
+    zs = (t1s, t2s, xs_, ws_)
+    scanned = tuple(a for a in zs if a is not None)
+    idxs = [i for i, a in enumerate(zs) if a is not None]
+
+    def args_at(sl):
+        parts = [None, None, None, None]
+        for i, v in zip(idxs, sl):
+            parts[i] = v
+        return slice_args(tuple(parts))
+
+    y0 = jax.eval_shape(lambda: one(*args_at([a[0] for a in scanned])))
+    acc0 = jnp.zeros(y0.shape, y0.dtype)
+
+    def body(acc, sl):
+        return acc + one(*args_at(sl)), None
+
+    acc, _ = jax.lax.scan(body, acc0, scanned)
+    return acc

@@ -203,3 +203,57 @@ def test_convd_long_kernel_fft_path():
     got = np.asarray(convd(x, h, shape="same"))  # auto -> fft
     want = np.convolve(x.astype(np.float64), h.astype(np.float64), mode="same")
     assert np.allclose(got, want, atol=1e-3)
+
+
+def test_wsinterpd2_summed_scan_path():
+    # sdim reduction with a separable summed dim: exercises the lax.scan
+    # streaming path (memory contract of interpd.cu:345-396) vs the dense sum
+    T, N, M, Mp = 48, 3, 12, 7
+    x = RNG.standard_normal((T, N, M)).astype(np.float32)
+    tau1 = np.arange(T, dtype=np.float32).reshape(T, 1, 1, 1)  # time
+    tau2 = RNG.uniform(-8, 8, (1, 1, M, Mp)).astype(np.float32)
+    w = RNG.standard_normal((1, 1, M, Mp)).astype(np.float32)
+    y = np.asarray(wsinterpd2(x[..., None], tau1, tau2, w=w, sdim=2,
+                              method="linear"))
+    assert y.shape == (T, N, 1, Mp)
+    # dense oracle
+    tau = tau1 + tau2  # (T, 1, M, Mp)
+    want = np.zeros((T, N, Mp), np.float32)
+    for n in range(N):
+        for m in range(M):
+            for p in range(Mp):
+                want[:, n, p] += w[0, 0, m, p] * naive_interp1(
+                    x[:, n, m], tau[:, 0, m, p], "linear")
+    assert np.allclose(y[:, :, 0, :], want, atol=1e-3)
+
+
+def test_wsinterpd2_summed_scan_complex_phase():
+    T, M = 48, 9
+    x = (RNG.standard_normal((T, 1, M))
+         + 1j * RNG.standard_normal((T, 1, M))).astype(np.complex64)
+    tau1 = np.arange(T, dtype=np.float32).reshape(T, 1, 1, 1)
+    tau2 = RNG.uniform(-5, 5, (1, 1, M, 2)).astype(np.float32)
+    om = 0.21
+    y = np.asarray(wsinterpd2(x[..., None], tau1, tau2, sdim=2, omega=om,
+                              method="linear"))
+    tau = tau1 + tau2
+    want = np.zeros((T, 1, 1, 2), np.complex64)
+    for m in range(M):
+        for p in range(2):
+            t = tau[:, 0, m, p]
+            want[:, 0, 0, p] += np.exp(1j * om * t) * naive_interp1(
+                x[:, 0, m], t, "linear")
+    assert np.allclose(y, want, atol=1e-3)
+
+
+def test_waveform_tone_window():
+    # regression: the Hann window must actually be applied (round-1 dead code)
+    from qups_tpu import Waveform
+    wv = Waveform.Tone(5e6, cycles=4.0)
+    t = np.linspace(0, 4 / 5e6, 200)
+    s = np.asarray(wv.sample(t))
+    # endpoints windowed to ~0, center not
+    assert abs(s[1]) < 0.2 * np.abs(s).max()
+    assert abs(s[-2]) < 0.2 * np.abs(s).max()
+    win = np.cos(np.pi * (t - t[-1] / 2) / t[-1]) ** 2
+    assert np.allclose(s, np.sin(2 * np.pi * 5e6 * t) * win, atol=1e-6)
