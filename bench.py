@@ -6,8 +6,13 @@ Headline (BASELINE.json): beamformed pixel*tx*rx sums/s per chip, from the
 (``README.md:29``); ``vs_baseline`` is our sums/s over that number.
 
 Environment knobs:
-  QUPS_BENCH_SIZE  = full | medium | small  (default: medium)
+  QUPS_BENCH_SIZE  = full | medium | small  (default: full)
   QUPS_BENCH_REPS  = repetitions (default 2)
+  QUPS_BENCH_MESH  = "rx2,tx2" — run the shard_map-composed Pallas kernel
+      on an (rx, tx) device mesh instead of the single-chip kernel, and
+      report aggregate + per-chip sums/s (the BASELINE scaling-efficiency
+      metric; use with N real chips or a virtual CPU mesh via
+      XLA_FLAGS=--xla_force_host_platform_device_count=N).
 """
 import json
 import os
@@ -24,7 +29,8 @@ def das_problem(T, N, M, n):
     x = rng.standard_normal((T, N, M)).astype(np.float32)
     xs = np.linspace(-12e-3, 12e-3, n)
     zs = np.linspace(5e-3, 45e-3, n)
-    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    # rows iso-depth (z), lateral x on lanes — the das_tiled tile contract
+    Z, X = np.meshgrid(zs, xs, indexing="ij")
     pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()], -1).astype(np.float32)
     pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
                   -1).astype(np.float32)
@@ -52,6 +58,48 @@ def main():
     x, pi, pr, pv, nv, t0 = das_problem(**cfg)
     n = cfg["n"]
     sums = n * n * cfg["M"] * cfg["N"]
+
+    mesh_spec = os.environ.get("QUPS_BENCH_MESH", "")
+    if mesh_spec:
+        from qups_tpu.parallel import make_mesh, das_sharded_pallas
+        shape = {}
+        for part in mesh_spec.split(","):
+            k = part.rstrip("0123456789")
+            shape[k] = int(part[len(k):] or 1)
+        ndev = int(np.prod(list(shape.values())))
+        mesh = make_mesh(jax.devices()[:ndev], axes=tuple(shape),
+                         shape=tuple(shape.values()))
+        interp = dev.platform == "cpu"
+
+        def f(xx):
+            return jnp.sum(jnp.abs(das_sharded_pallas(
+                mesh, xx, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6,
+                tx_model="plane", im_shape=(n, n, 1), interpret=interp)))
+
+        xj = jnp.asarray(x)
+        t0c = time.time()
+        chk = float(f(xj))
+        compile_s = time.time() - t0c
+        times = []
+        for _ in range(reps):
+            t1 = time.time()
+            float(f(xj))
+            times.append(time.time() - t1)
+        dt = min(times)
+        sums_per_s = sums / dt
+        print(json.dumps({
+            "metric": "DAS sharded throughput (pixel*tx*rx sums/s aggregate)",
+            "value": sums_per_s,
+            "unit": "sums/s",
+            "vs_baseline": sums_per_s / BASELINE_SUMS_PER_S,
+            "detail": {
+                "config": cfg, "size": size, "latency_s": dt,
+                "compile_s": compile_s, "mesh": dict(mesh.shape),
+                "n_devices": ndev, "per_chip_sums_per_s": sums_per_s / ndev,
+                "device": str(dev), "check": chk,
+            },
+        }))
+        return
 
     f = jax.jit(lambda xx: jnp.sum(jnp.abs(_das_fast(
         xx, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6, tx_model="plane",

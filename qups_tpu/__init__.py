@@ -13,7 +13,9 @@ from .core import (
     ChannelData,
 )
 from .system import UltrasoundSystem
+from .ops.das_pallas import Fused
 from . import ops
 from . import utils
+from . import interop
 
 __version__ = "0.1.0"

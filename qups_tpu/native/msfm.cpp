@@ -121,8 +121,11 @@ extern "C" {
 //  src    : ns source cells as (i0, i1) int64 pairs
 //  order2 : use second-order upwind differences where available
 //  T      : output travel time [s]
-void msfm2d(const double* F, int64_t n0, int64_t n1, double h,
-            const int64_t* src, int64_t ns, int order2, double* T) {
+// t0-aware variant: per-source initial times seed WAVEFRONT sources
+// (virtual-source / boundary-seeded transmits; t0 == nullptr -> all zero)
+void msfm2d_t0(const double* F, int64_t n0, int64_t n1, double h,
+               const int64_t* src, const double* t0, int64_t ns, int order2,
+               double* T) {
     const int64_t n = n0 * n1;
     std::fill(T, T + n, KINF);
     Heap heap(n);
@@ -134,6 +137,7 @@ void msfm2d(const double* F, int64_t n0, int64_t n1, double h,
         int64_t i0 = src[2 * s], i1 = src[2 * s + 1];
         double f0 = F[i0 * n1 + i1];
         if (!(f0 > 0)) f0 = 1.0;
+        double ts = t0 ? t0[s] : 0.0;
         for (int64_t a = -R; a <= R; ++a) {
             for (int64_t b = -R; b <= R; ++b) {
                 int64_t j0 = i0 + a, j1 = i1 + b;
@@ -141,7 +145,7 @@ void msfm2d(const double* F, int64_t n0, int64_t n1, double h,
                 double r = h * std::sqrt(double(a * a + b * b));
                 if (r > R * h) continue;
                 int64_t gj = j0 * n1 + j1;
-                double t = r / f0;
+                double t = ts + r / f0;
                 if (t < T[gj]) {
                     T[gj] = t;
                     heap.push_or_update(gj, t);
@@ -224,8 +228,9 @@ void msfm2d(const double* F, int64_t n0, int64_t n1, double h,
 }
 
 // 3-D fast marching; F is (n0 x n1 x n2) row-major.
-void msfm3d(const double* F, int64_t n0, int64_t n1, int64_t n2, double h,
-            const int64_t* src, int64_t ns, int order2, double* T) {
+void msfm3d_t0(const double* F, int64_t n0, int64_t n1, int64_t n2,
+               double h, const int64_t* src, const double* t0, int64_t ns,
+               int order2, double* T) {
     const int64_t n = n0 * n1 * n2;
     const int64_t s0 = n1 * n2, s1 = n2, s2s = 1;
     std::fill(T, T + n, KINF);
@@ -235,6 +240,7 @@ void msfm3d(const double* F, int64_t n0, int64_t n1, int64_t n2, double h,
         int64_t i0 = src[3 * s], i1 = src[3 * s + 1], i2 = src[3 * s + 2];
         double f0 = F[i0 * s0 + i1 * s1 + i2];
         if (!(f0 > 0)) f0 = 1.0;
+        double ts = t0 ? t0[s] : 0.0;
         for (int64_t a = -R; a <= R; ++a)
         for (int64_t b = -R; b <= R; ++b)
         for (int64_t c = -R; c <= R; ++c) {
@@ -244,7 +250,7 @@ void msfm3d(const double* F, int64_t n0, int64_t n1, int64_t n2, double h,
             double r = h * std::sqrt(double(a * a + b * b + c * c));
             if (r > R * h) continue;
             int64_t gj = j0 * s0 + j1 * s1 + j2;
-            double t = r / f0;
+            double t = ts + r / f0;
             if (t < T[gj]) {
                 T[gj] = t;
                 heap.push_or_update(gj, t);
@@ -309,6 +315,18 @@ void msfm3d(const double* F, int64_t n0, int64_t n1, int64_t n2, double h,
             }
         }
     }
+}
+
+
+// original point-source entry points (t0 = 0 for every source)
+void msfm2d(const double* F, int64_t n0, int64_t n1, double h,
+            const int64_t* src, int64_t ns, int order2, double* T) {
+    msfm2d_t0(F, n0, n1, h, src, nullptr, ns, order2, T);
+}
+
+void msfm3d(const double* F, int64_t n0, int64_t n1, int64_t n2, double h,
+            const int64_t* src, int64_t ns, int order2, double* T) {
+    msfm3d_t0(F, n0, n1, n2, h, src, nullptr, ns, order2, T);
 }
 
 }  // extern "C"

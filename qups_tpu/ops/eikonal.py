@@ -53,13 +53,22 @@ def _load_native():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+        for name in ("msfm2d_t0", "msfm3d_t0"):
+            if not hasattr(lib, name):
+                continue  # stale .so without the wavefront-source entry
+            fn = getattr(lib, name)
+            base = getattr(lib, name[:-3]).argtypes
+            fn.argtypes = base[:-3] + [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
         _LIB = lib
     except OSError:
         _LIB = None
     return _LIB
 
 
-def _msfm_py(F: np.ndarray, h: float, src: np.ndarray, order2: bool) -> np.ndarray:
+def _msfm_py(F: np.ndarray, h: float, src: np.ndarray, order2: bool,
+             src_t0=None) -> np.ndarray:
     """Pure-Python fast marching (any dimension), heapq frontier."""
     shape = F.shape
     nd = F.ndim
@@ -67,9 +76,10 @@ def _msfm_py(F: np.ndarray, h: float, src: np.ndarray, order2: bool) -> np.ndarr
     state = np.zeros(shape, np.int8)  # 0 far, 1 band, 2 frozen
     heap = []
     R = 3  # analytic init radius (matches the native solver)
-    for s in src:
+    for si, s in enumerate(src):
         s = tuple(int(v) for v in s)
         f0 = float(F[s]) if F[s] > 0 else 1.0
+        ts = float(src_t0[si]) if src_t0 is not None else 0.0
         rng = [np.arange(max(0, s[d] - R), min(shape[d], s[d] + R + 1))
                for d in range(nd)]
         for j in np.stack(np.meshgrid(*rng, indexing="ij"), -1).reshape(-1, nd):
@@ -77,7 +87,7 @@ def _msfm_py(F: np.ndarray, h: float, src: np.ndarray, order2: bool) -> np.ndarr
             if r > R * h:
                 continue
             jt = tuple(int(v) for v in j)
-            t = r / f0
+            t = ts + r / f0
             if t < T[jt]:
                 T[jt] = t
                 heapq.heappush(heap, (t, jt))
@@ -148,7 +158,7 @@ def _msfm_py(F: np.ndarray, h: float, src: np.ndarray, order2: bool) -> np.ndarr
 
 
 def msfm(F: np.ndarray, h: float, src, order2: bool = True,
-         use_native: Optional[bool] = None) -> np.ndarray:
+         use_native: Optional[bool] = None, src_t0=None) -> np.ndarray:
     """Travel-time map from source cell(s).
 
     Args:
@@ -157,29 +167,52 @@ def msfm(F: np.ndarray, h: float, src, order2: bool = True,
         too, ``UltrasoundSystem.m:4269-4273``).
       src: (ns, ndim) integer source cell indices.
       order2: use second-order upwind differences.
+      src_t0: optional per-source initial times (ns,) — WAVEFRONT sources:
+        each source cell starts at its own time (virtual-source /
+        boundary-seeded transmits; default all zero).
 
-    Returns: T [s] with T = 0 at the sources.
+    Returns: T [s] with T = src_t0 at the sources.
     """
     F = np.ascontiguousarray(F, np.float64)
     src = np.atleast_2d(np.asarray(src, np.int64))
     assert src.shape[1] == F.ndim, (src.shape, F.shape)
+    if src_t0 is not None:
+        src_t0 = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(src_t0, np.float64), (src.shape[0],)))
     lib = _load_native() if use_native in (None, True) else None
+    if lib is not None and src_t0 is not None \
+            and not hasattr(lib, "msfm2d_t0"):
+        lib = None  # stale .so: fall back to python for wavefront sources
     if lib is None:
         if use_native is True:
             raise RuntimeError("native msfm library unavailable")
-        return _msfm_py(F, h, src, order2)
+        return _msfm_py(F, h, src, order2, src_t0)
     T = np.empty(F.shape, np.float64)
     c_d = ctypes.POINTER(ctypes.c_double)
     c_i = ctypes.POINTER(ctypes.c_int64)
     srcc = np.ascontiguousarray(src)
+    t0p = src_t0.ctypes.data_as(c_d) if src_t0 is not None else None
     if F.ndim == 2:
-        lib.msfm2d(F.ctypes.data_as(c_d), F.shape[0], F.shape[1],
-                   ctypes.c_double(h), srcc.ctypes.data_as(c_i),
-                   src.shape[0], int(order2), T.ctypes.data_as(c_d))
+        if src_t0 is not None:
+            lib.msfm2d_t0(F.ctypes.data_as(c_d), F.shape[0], F.shape[1],
+                          ctypes.c_double(h), srcc.ctypes.data_as(c_i),
+                          t0p, src.shape[0], int(order2),
+                          T.ctypes.data_as(c_d))
+        else:
+            lib.msfm2d(F.ctypes.data_as(c_d), F.shape[0], F.shape[1],
+                       ctypes.c_double(h), srcc.ctypes.data_as(c_i),
+                       src.shape[0], int(order2), T.ctypes.data_as(c_d))
     elif F.ndim == 3:
-        lib.msfm3d(F.ctypes.data_as(c_d), F.shape[0], F.shape[1], F.shape[2],
-                   ctypes.c_double(h), srcc.ctypes.data_as(c_i),
-                   src.shape[0], int(order2), T.ctypes.data_as(c_d))
+        if src_t0 is not None:
+            lib.msfm3d_t0(F.ctypes.data_as(c_d), F.shape[0], F.shape[1],
+                          F.shape[2], ctypes.c_double(h),
+                          srcc.ctypes.data_as(c_i), t0p, src.shape[0],
+                          int(order2), T.ctypes.data_as(c_d))
+        else:
+            lib.msfm3d(F.ctypes.data_as(c_d), F.shape[0], F.shape[1],
+                       F.shape[2], ctypes.c_double(h),
+                       srcc.ctypes.data_as(c_i), src.shape[0], int(order2),
+                       T.ctypes.data_as(c_d))
     else:
         raise ValueError("F must be 2-D or 3-D")
     return T

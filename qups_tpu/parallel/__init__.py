@@ -1,3 +1,5 @@
-from .mesh import make_mesh, das_sharded, greens_sharded
+from .mesh import (make_mesh, das_sharded, das_sharded_pallas,
+                   greens_sharded)
 
-__all__ = ["make_mesh", "das_sharded", "greens_sharded"]
+__all__ = ["make_mesh", "das_sharded", "das_sharded_pallas",
+           "greens_sharded"]

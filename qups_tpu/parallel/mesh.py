@@ -159,6 +159,67 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     return img
 
 
+def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
+                       fs: float, tx_model: str = "virtual",
+                       im_shape=None, interpret: bool = False):
+    """Sharded DAS riding the fused Pallas kernel per shard.
+
+    The channel data ``x (T, N, M)`` (real f32) is sharded rx->'rx',
+    tx->'tx'; each device runs :func:`qups_tpu.ops.das_pallas._das_call` on
+    its (rx, tx) trace block against the full (replicated) pixel grid, and
+    the partial images are ``psum``-reduced over both axes — the multi-chip
+    composition of the single-chip hot path (BASELINE scaling metric).
+    Host-side geometry packing + window planning happen per shard
+    (``prep_sharded``), stacked on the mesh axes.
+    """
+    from ..ops.das_pallas import _das_call, prep_sharded
+
+    shard_map = jax.shard_map
+    nrx = mesh.shape.get("rx", 1)
+    ntx = mesh.shape.get("tx", 1)
+    x = jnp.asarray(x, jnp.float32)
+    T, N, M = x.shape
+    I = np.shape(pi)[0]
+    if im_shape is None:
+        im_shape = (I, 1, 1)
+    arrays, st = prep_sharded(pi, pr, pv, nv, t0, cinv, fs=fs, T=T,
+                              tx_model=tx_model, im_shape=tuple(im_shape),
+                              nrx=nrx, ntx=ntx)
+    Tp, Nsh, Msh = st["Tp"], st["Nsh"], st["Msh"]
+    # pad + lay the traces out (M, N, T) so both shard axes lead
+    x = jnp.pad(x, ((0, Tp - T), (0, Nsh * nrx - N), (0, Msh * ntx - M)))
+    xT = jnp.transpose(x, (2, 1, 0))  # (Mp, Np, T)
+
+    pzj = jnp.asarray(arrays["pz"])
+    pxj = jnp.asarray(arrays["px"])
+    pyj = jnp.asarray(arrays["py"])
+    MC, NC = st["MC"], st["NC"]
+    planar = st["planar"]
+
+    def local(jrb, pr1, pv1, xl):
+        # xl (Msh, Nsh, T); shard-local pallas launch + cross-chip psum
+        acc = jnp.zeros((st["I1p"], st["I2p"]), jnp.float32)
+        out = _das_call(jrb[0, 0], pzj, pxj, pyj, None, pr1[0], pv1[0],
+                        (xl,), (acc,), fs=float(fs), tx_model=tx_model,
+                        planar=planar, fmod=0.0, keep_rx=False,
+                        rx_apods=(), tx_apods=(), MC=MC, NC=NC,
+                        interpret=interpret)[0]
+        if "rx" in mesh.axis_names:
+            out = jax.lax.psum(out, "rx")
+        if "tx" in mesh.axis_names:
+            out = jax.lax.psum(out, "tx")
+        return out
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P("rx", "tx", None), P("rx", None, None),
+                            P("tx", None, None), P("tx", "rx", None)),
+                  out_specs=P(None, None), check_vma=False)
+    img = f(jnp.asarray(arrays["jrb"]), jnp.asarray(arrays["prs"]),
+            jnp.asarray(arrays["pvs"]), xT)
+    I1, I2, _ = im_shape
+    return img[:I1, :I2].reshape(I, 1, 1)
+
+
 def greens_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int, s0: float,
                    t0k: float, fs: float, cinv, R0: float, fsr: float = 1.0,
                    method: str = "cubic", block: int = 32):

@@ -118,11 +118,17 @@ class UltrasoundSystem:
     # ------------------------------------------------------------- simulators
     def greens(self, scat: Scatterers, element_subdivisions: Tuple[int, int] = (1, 1),
                R0: Optional[float] = None, method: str = "cubic",
-               impl: str = "splat", fsk: Optional[float] = None,
+               impl: str = "auto", fsk: Optional[float] = None,
                block: int = 32) -> ChannelData:
         """Simulate echoes from point scatterers via a shifted Green's
         function, then apply the transmit Sequence via :meth:`focusTx`
         (``UltrasoundSystem.greens``, ``UltrasoundSystem.m:463-882``).
+
+        ``impl``: 'auto' uses the Pallas splat kernel on TPU ('pallas'
+        forces it; complex kernels split into re/im splat passes and the
+        focusTx synthesis runs inside one jit, so no complex array crosses
+        a program boundary — the TPU ri contract of ``utils/cpx.py``);
+        'splat' is the XLA scatter-add path; 'dense' the O(T S N M) oracle.
         """
         fs = float(self.fs)
         fsk = float(fsk or fs)
@@ -155,6 +161,47 @@ class UltrasoundSystem:
         ne = math.ceil(tmax * fs)
         T = ne - n0 + 1
         s0 = n0 / fs
+
+        if impl == "auto":
+            impl = "pallas" if jax.devices()[0].platform not in ("cpu",) \
+                else "splat"
+
+        if impl == "pallas":
+            from .ops.greens_pallas import greens_tiled
+            pm = method if method in ("linear", "cubic") else "cubic"
+            kw = dict(T=T, s0=s0, t0k=float(wv.t0), fs=fs, cinv=1.0 / c0,
+                      R0=R0, fsr=fsk / fs, method=pm)
+            amp = np.asarray(scat.amp)
+            if np.iscomplexobj(kern) or np.iscomplexobj(amp):
+                # complex kernel / amplitudes: splat real parts only (real
+                # device arrays), then combine + focusTx inside ONE jit with
+                # an ri boundary (utils/cpx contract)
+                cz = np.asarray(kern, np.complex64)
+                az = amp.astype(np.complex64)
+                x1 = greens_tiled(cz, ps.T, np.real(az), pn, pv, out="ri",
+                                  **kw)  # (T, N, M, 2)
+                x2 = greens_tiled(cz, ps.T, np.imag(az), pn, pv, out="ri",
+                                  **kw) if np.any(np.imag(az)) else None
+
+                seq = self.seq
+
+                @jax.jit
+                def _post(x1, x2):
+                    x = x1[..., 0] + 1j * x1[..., 1]
+                    if x2 is not None:
+                        x = x + 1j * (x2[..., 0] + 1j * x2[..., 1])
+                    chd = ChannelData(data=x, fs=fs, t0=s0)
+                    chd = self.focusTx(chd, seq, method=method)
+                    return (jnp.real(chd.data), jnp.imag(chd.data),
+                            jnp.real(jnp.asarray(chd.t0, jnp.float32)))
+
+                rr, ri_, t0v = _post(x1, x2)
+                data = np.asarray(rr) + 1j * np.asarray(ri_)
+                return ChannelData(data=data, fs=fs,
+                                   t0=np.asarray(t0v).reshape(-1))
+            x = greens_tiled(kern, ps.T, amp, pn, pv, **kw)
+            chd = ChannelData(data=x, fs=fs, t0=s0)
+            return self.focusTx(chd, self.seq, method=method)
 
         fn = greens_splat if impl == "splat" else greens_dense
         kwargs = dict(T=T, s0=s0, t0k=float(wv.t0), fs=fs, cinv=1.0 / c0,
@@ -191,12 +238,17 @@ class UltrasoundSystem:
         tau = tau - nmin / chd.fs
         chd = chd.zeropad(0, (nmax - nmin) + buffer)
 
-        # sample at time + delays, weighted, summed over the old tx dim
-        # tau2 (1, 1, M, M'), weights (1, 1, M, M')
-        t2 = -tau[None, None, :, :]
-        w = apd[None, None, :, :]
+        # sample at time + delays, weighted, summed over the old tx dim.
+        # The synthesized-transmit axis M' goes on a FREE trailing dim past
+        # the data's ndim (the reference swaps to dim D, ``focusTx :3465``)
+        # so frame dims F... broadcast through untouched, then it is moved
+        # back to the transmit axis after the sum.
+        nd = max(chd.data.ndim, 3)
+        M, Mp = tau.shape
+        t2 = -tau.reshape((1, 1, M) + (1,) * (nd - 3) + (Mp,))
+        w = apd.reshape((1, 1, M) + (1,) * (nd - 3) + (Mp,))
         z = chd.sample2sep(chd.time, t2, method=method, w=w, sdim=2)
-        z = jnp.moveaxis(z[:, :, 0], -1, 2) if z.ndim > 3 else z
+        z = jnp.moveaxis(z[:, :, 0], -1, 2)  # (T', N, M', F...)
         return chd.replace(data=z)
 
     # ------------------------------------------------------------ beamformers
@@ -222,6 +274,7 @@ class UltrasoundSystem:
         ri-format image ``(..., 2)`` on TPU Pallas paths and a complex
         image elsewhere (see ``qups_tpu/utils/cpx.py``).
         """
+        from .ops.das_pallas import Fused, das_tiled
         pv, nv, model = self._tx_geometry()
         c0v = self.seq.c0 if c0 is None else c0
         cinv = np.reciprocal(np.asarray(c0v, np.float32))
@@ -229,23 +282,50 @@ class UltrasoundSystem:
             cinv = cinv.reshape(-1)
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+        fused_ok = all(isinstance(a, Fused) for a in apod_t)
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
         eligible = (
-            not apod_t and not keep_rx and not keep_tx
-            and cinv.ndim == 0 and chd.data.ndim == 3
+            fused_ok and not keep_tx
+            and cinv.ndim == 0 and chd.data.ndim in (3, 4)
             and self.scan.shape[2] == 1
-            and jax.devices()[0].platform not in ("cpu",)
+            and method == "linear"
+            and on_tpu
         )
+        if kernel == "pallas" and method != "linear":
+            raise ValueError(
+                f"kernel='pallas' supports method='linear' only, got {method!r}")
+        if kernel == "auto" and on_tpu and not eligible:
+            import warnings
+            warnings.warn(
+                "DAS: falling back to the XLA path (Pallas kernel ineligible:"
+                f" fused_apod={fused_ok} keep_tx={keep_tx}"
+                f" cinv_ndim={cinv.ndim} data_ndim={chd.data.ndim}"
+                f" method={method!r}); this is ~100x slower on TPU",
+                stacklevel=2)
         if kernel == "pallas" or (kernel == "auto" and eligible):
-            from .ops.das_pallas import das_tiled
             if out == "auto":
-                out = "ri" if jax.devices()[0].platform != "cpu" else "complex"
+                out = "ri" if on_tpu else "complex"
+            th, _, _, _, _ = self.rx.orientations()
+            az = np.radians(np.asarray(th, np.float64))
+            ori = np.stack([np.sin(az), np.cos(az)]).astype(np.float32)
+            lat = None
+            if isinstance(self.scan, ScanPolar) and any(
+                    a.kind.startswith("tx_") for a in apod_t):
+                P = np.broadcast_to(
+                    _place(self.scan.a, self.scan.order.index("A"), 3),
+                    self.scan.shape)
+                lat = P.reshape(-1).astype(np.float32)
             img = das_tiled(chd.data, self._pixels(), self.rx.positions().T,
                             pv, nv, t0, cinv, fs=float(chd.fs),
                             tx_model=model, method="linear", fmod=float(fmod),
-                            im_shape=tuple(self.scan.shape), out=out)
+                            im_shape=tuple(self.scan.shape), out=out,
+                            apod=apod_t, keep_rx=keep_rx, lat=lat,
+                            orientations=ori)
         else:
+            apod_m = tuple(a.materialize(self) if isinstance(a, Fused) else a
+                           for a in apod_t)
             img = das(chd.data, self._pixels(), self.rx.positions().T, pv,
-                      nv, t0, cinv, fs=float(chd.fs), apod=apod,
+                      nv, t0, cinv, fs=float(chd.fs), apod=apod_m,
                       fmod=float(fmod), tx_model=model, keep_rx=keep_rx,
                       keep_tx=keep_tx, method=method,
                       im_shape=tuple(self.scan.shape))
@@ -627,39 +707,154 @@ def _cmap_zx(cgrd: ScanCartesian, cmap: np.ndarray) -> np.ndarray:
     return m2 if rem == ["Z", "X"] else m2.T
 
 
+def _grid_interp3(vals, zi, xi, yi):
+    """Trilinear interpolation of ``vals (Nz, Nx, Ny)`` at fractional
+    indices."""
+    Nz, Nx, Ny = vals.shape
+    z0 = np.clip(np.floor(zi).astype(int), 0, Nz - 1)
+    x0 = np.clip(np.floor(xi).astype(int), 0, Nx - 1)
+    y0 = np.clip(np.floor(yi).astype(int), 0, Ny - 1)
+    z1 = np.clip(z0 + 1, 0, Nz - 1)
+    x1 = np.clip(x0 + 1, 0, Nx - 1)
+    y1 = np.clip(y0 + 1, 0, Ny - 1)
+    wz = np.clip(zi - z0, 0, 1)
+    wx = np.clip(xi - x0, 0, 1)
+    wy = np.clip(yi - y0, 0, 1)
+    out = 0.0
+    for (za, wa) in ((z0, 1 - wz), (z1, wz)):
+        for (xa, wb) in ((x0, 1 - wx), (x1, wx)):
+            for (ya, wc) in ((y0, 1 - wy), (y1, wy)):
+                out = out + wa * wb * wc * vals[za, xa, ya]
+    return out
+
+
 def _eikonal_tables(us, medium, cgrd: ScanCartesian, workers=None):
-    """Per-element one-way travel-time LUTs through a heterogeneous medium
+    """One-way travel-time LUTs through a heterogeneous medium
     (``UltrasoundSystem.bfEikonal``, ``src/UltrasoundSystem.m:4052-4332``):
-    fast-marching maps per element on the (isotropic, 2-D) medium grid,
-    sampled at the scan pixels. Returns ``(tau_rx (I, N), tau_tx (I, M))``."""
+    fast-marching maps per element on the (isotropic, 2-D or 3-D) medium
+    grid, sampled at the scan pixels. Returns ``(tau_rx (I, N),
+    tau_tx (I, M))``.
+
+    For non-FSA sequences the per-transmit table is synthesized from the
+    per-element maps by the Fermat (first-arrival wavefront) construction
+    ``tau_tx(pix, m) = min_n act (del(n, m) + tau_n(pix))`` — in a
+    homogeneous medium this reduces EXACTLY to the virtual-source
+    two-sided delay ``copysign(|pix - pf|, .)/c0`` (and the plane-wave
+    projection for PW), so it agrees with :meth:`bfDAS` there while
+    honoring refraction in heterogeneous media. (The reference's eikonal
+    tables are per-element only, ``:4295-4321``.)"""
     from .ops.eikonal import msfm_multi
 
     assert isinstance(cgrd, ScanCartesian), "cgrd must be a ScanCartesian"
-    assert cgrd.ny == 1, "eikonal tables currently support 2-D grids"
+    vol = cgrd.ny > 1
+    h = float(cgrd.dz)
     assert np.isclose(cgrd.dx, cgrd.dz, rtol=1e-3), \
         "eikonal requires isotropic grid spacing (UltrasoundSystem.m:4269)"
-    h = float(cgrd.dz)
-    czx = _cmap_zx(cgrd, medium.props(cgrd, "c"))  # (Nz, Nx)
+    if vol:
+        assert np.isclose(cgrd.dy, cgrd.dz, rtol=1e-3), \
+            "eikonal requires isotropic grid spacing"
+        perm = [cgrd.order.index(c) for c in "ZXY"]
+        cgrid = np.transpose(medium.props(cgrd, "c"), perm)  # (Nz, Nx, Ny)
+    else:
+        cgrid = _cmap_zx(cgrd, medium.props(cgrd, "c"))  # (Nz, Nx)
 
-    def cells(p):  # element positions (3, E) -> nearest (iz, ix) cells
+    def cells(p):  # element positions (3, E) -> nearest grid cells
         iz = np.clip(np.round((p[2] - cgrd.z[0]) / h).astype(int), 0, cgrd.nz - 1)
         ix = np.clip(np.round((p[0] - cgrd.x[0]) / h).astype(int), 0, cgrd.nx - 1)
+        if vol:
+            iy = np.clip(np.round((p[1] - cgrd.y[0]) / h).astype(int), 0,
+                         cgrd.ny - 1)
+            return np.stack([iz, ix, iy], -1)
         return np.stack([iz, ix], -1)
 
     same = us.tx is us.rx
     prx = us.rx.positions()
-    maps_rx = msfm_multi(czx, h, cells(prx), workers=workers)  # (N, Nz, Nx)
-    if same:
-        maps_tx = maps_rx
-    else:
-        maps_tx = msfm_multi(czx, h, cells(us.tx.positions()), workers=workers)
+    maps_rx = msfm_multi(cgrid, h, cells(prx), workers=workers)
 
-    # sample the maps at the scan pixels (bilinear)
+    # sample the maps at the scan pixels
     P = us.scan.positions().reshape(3, -1)
     zi = (P[2] - cgrd.z[0]) / h
     xi = (P[0] - cgrd.x[0]) / h
-    tau_rx = np.stack([_grid_interp2(m, zi, xi) for m in maps_rx], -1)  # (I, N)
-    tau_tx = np.stack([_grid_interp2(m, zi, xi) for m in maps_tx], -1)  # (I, M)
+    if vol:
+        yi = (P[1] - cgrd.y[0]) / h
+        interp = lambda m: _grid_interp3(m, zi, xi, yi)  # noqa: E731
+    else:
+        interp = lambda m: _grid_interp2(m, zi, xi)  # noqa: E731
+    tau_rx = np.stack([interp(m) for m in maps_rx], -1)  # (I, N)
+
+    def tx_element_tables():  # (I, E) — only the FSA/PW paths need these
+        if same:
+            maps_tx = maps_rx
+        else:
+            maps_tx = msfm_multi(cgrid, h, cells(us.tx.positions()),
+                                 workers=workers)
+        return np.stack([interp(m) for m in maps_tx], -1)
+
+    if us.seq.type == "FSA":
+        tau_tx = tx_element_tables()
+    elif us.seq.type in ("FC", "DV", "VS"):
+        # virtual-source WAVEFRONT maps: one eikonal solve per transmit
+        # with the focus as the source (sign-flipped before it, the
+        # two-sided convention of the straight-ray tables); a focus
+        # outside the grid (diverging apex) seeds the grid boundary with
+        # ambient-straight-ray times instead
+        from .ops.eikonal import msfm
+        pf = us.seq.focus_array  # (3, M)
+        nvs = pf - us.tx.origin[:, None]
+        nvs = nvs / np.maximum(np.linalg.norm(nvs, axis=0, keepdims=True),
+                               1e-30)
+        c0a = float(getattr(medium, "c0", us.seq.c0))
+        M = pf.shape[1]
+        cols = []
+        bounds = [(cgrd.z[0], cgrd.z[-1]), (cgrd.x[0], cgrd.x[-1])] \
+            + ([(cgrd.y[0], cgrd.y[-1])] if vol else [])
+        for m in range(M):
+            p = pf[:, m]
+            coord = (p[2], p[0], p[1]) if vol else (p[2], p[0])
+            inside = all(lo + h <= v <= hi - h
+                         for v, (lo, hi) in zip(coord, bounds))
+            if inside:
+                srcs = cells(p.reshape(3, 1))
+                t0s = np.zeros(1)
+            else:
+                # seed every boundary cell at its straight-ray time from
+                # the (outside-grid) virtual apex through the ambient c0
+                idx = np.stack(np.meshgrid(
+                    *[np.arange(s) for s in cgrid.shape],
+                    indexing="ij"), -1).reshape(-1, cgrid.ndim)
+                on_edge = np.zeros(len(idx), bool)
+                for d, s in enumerate(cgrid.shape):
+                    on_edge |= (idx[:, d] == 0) | (idx[:, d] == s - 1)
+                srcs = idx[on_edge]
+                org = np.array([cgrd.z[0], cgrd.x[0]]
+                               + ([cgrd.y[0]] if vol else []))
+                pos = org[None, :] + srcs * h
+                apx = np.array([p[2], p[0]] + ([p[1]] if vol else []))
+                t0s = np.linalg.norm(pos - apx[None], axis=1) / c0a
+            tmap = msfm(cgrid, h, srcs, src_t0=t0s)
+            tm = interp(tmap)
+            if us.seq.type != "DV":
+                # two-sided: pixels behind the focal wavefront are negative
+                sgn = np.sign(((P - p[:, None]) * nvs[:, m:m + 1]).sum(0))
+                tm = tm * np.where(sgn == 0, 1.0, sgn)
+            cols.append(tm)
+        tau_tx = np.stack(cols, axis=-1)
+    else:
+        # PW (and custom) — Fermat first-arrival over the active aperture:
+        # element n FIRES at ``-seq.delays(n, m)`` (qups delays are the
+        # receive-alignment convention; cf. focusTx's ``tau = -delays``).
+        # For plane waves the first arrival IS the plane wavefront, so this
+        # matches the straight-ray projection inside the insonified region.
+        tau_el = tx_element_tables()
+        dels = us.seq.delays(us.tx)          # (E, M)
+        apd = us.seq.apodization(us.tx)      # (E, M)
+        M = us.seq.num_pulse
+        tau_tx = np.empty((tau_el.shape[0], M), tau_el.dtype)
+        for m in range(M):
+            act = np.abs(apd[:, m]) > 0
+            if not act.any():
+                act = np.ones(dels.shape[0], bool)
+            tau_tx[:, m] = (tau_el[:, act] - dels[act, m][None, :]).min(1)
     return tau_rx.astype(np.float32), tau_tx.astype(np.float32)
 
 
@@ -668,11 +863,10 @@ def _bf_eikonal(us, chd, medium, cgrd: Optional[ScanCartesian] = None,
                 keep_rx: bool = False, method: str = "cubic", workers=None):
     """Delay-and-sum with eikonal travel times through a heterogeneous
     Medium (``UltrasoundSystem.bfEikonal``,
-    ``src/UltrasoundSystem.m:4052-4332``). Currently supports FSA sequences
-    (per-element transmits) on 2-D grids; the travel-time maps replace the
-    straight-ray delay tables of :meth:`bfDAS`."""
-    assert us.seq.type == "FSA", \
-        "bfEikonal currently requires an FSA sequence (per-element delays)"
+    ``src/UltrasoundSystem.m:4052-4332``) on 2-D or 3-D grids; any sequence
+    type (see :func:`_eikonal_tables` for the non-FSA wavefront
+    construction). The travel-time maps replace the straight-ray delay
+    tables of :meth:`bfDAS`."""
     if cgrd is None:
         # default sim grid: the scan extended to include the transducer
         b = us.xdc.bounds()

@@ -137,3 +137,27 @@ def test_das_convex_polar():
     b = us.DAS(chd)
     p = peak_pos(us, b)
     assert np.linalg.norm(p - TARGET) < TOL, p
+
+
+def test_focus_tx_frame_dims():
+    # regression (round-1 advisor): focusTx on ChannelData with frame dims
+    # must keep F out of the synthesized-transmit broadcast
+    import qups_tpu as q
+    rng = np.random.default_rng(3)
+    numel, T, F = 8, 64, 3
+    xdc = q.TransducerArray(numel=numel, pitch=0.5e-3, fc=5e6)
+    seqf = q.Sequence(type="PW", focus=np.stack(
+        [np.sin(np.radians([-5, 0, 5.0])), np.zeros(3),
+         np.cos(np.radians([-5, 0, 5.0]))]), c0=1540.0)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seqf, fs=20e6)
+    x = rng.standard_normal((T, numel, numel, F)).astype(np.float32)
+    chd = q.ChannelData(data=x, fs=20e6, t0=0.0)
+    out = us.focusTx(chd, seqf)
+    assert out.data.shape[1] == numel and out.data.shape[2] == 3 \
+        and out.data.shape[3] == F
+    # per-frame equality against the single-frame path
+    for f in range(F):
+        chd1 = q.ChannelData(data=x[..., f], fs=20e6, t0=0.0)
+        out1 = us.focusTx(chd1, seqf)
+        assert np.allclose(np.asarray(out.data[..., f]),
+                           np.asarray(out1.data), atol=1e-4)

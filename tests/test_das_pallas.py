@@ -86,3 +86,84 @@ def test_iq_fmod():
                                im_shape=(16, 128, 1),
                                interpret=True)).squeeze()
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_keep_rx():
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         keep_rx=True))  # (I, N, 1)
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               keep_rx=True, interpret=True))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_frames():
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
+    F = 3
+    xf = np.stack([x * (f + 1) for f in range(F)], axis=-1)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear")).squeeze()
+    got = np.asarray(das_tiled(xf, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               interpret=True))  # (I, 1, 1, F)
+    assert got.shape[-1] == F
+    scale = np.abs(ref).max()
+    for f in range(F):
+        assert np.abs(got[..., f].squeeze() - (f + 1) * ref).max() \
+            / ((f + 1) * scale) < 1e-4
+
+
+def test_fused_aperture_growth():
+    from qups_tpu.ops.das_pallas import Fused
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
+    fnum = 1.5
+    # materialized oracle mask, planar array: z > f * |2 (xn - xi)|
+    P = pi.reshape(16, 128, 3)
+    d = pr[None, None, :, 0] - P[:, :, None, 0]
+    m = (P[:, :, None, 2] > fnum * np.abs(2 * d)).astype(np.float32)
+    apod = m.reshape(16, 128, 1, 16, 1)  # (I1, I2, I3, N, M)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         apod=(apod.reshape(-1, 1, 1, 16, 1),))).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               apod=(Fused("aperture_growth", f=fnum),),
+                               interpret=True)).squeeze()
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_fused_acceptance_angle():
+    from qups_tpu.ops.das_pallas import Fused
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
+    th = 30.0
+    P = pi.reshape(-1, 3)
+    r = P[:, None, :] - pr[None, :, :]
+    c = r[..., 2] / np.linalg.norm(r, axis=-1)  # planar normals (0,0,1)
+    m = (c >= np.cos(np.radians(th))).astype(np.float32)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         apod=(m.reshape(-1, 1, 1, 16, 1),))).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               apod=(Fused("acceptance_angle", theta=th),),
+                               interpret=True)).squeeze()
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_fmod_iq():
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4, cplx=True)
+    fmod = 1e6
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         fmod=fmod)).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               fmod=fmod, interpret=True)).squeeze()
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-4

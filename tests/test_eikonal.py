@@ -125,3 +125,68 @@ def test_bf_eikonal_lens_shifts_focus():
     # homogeneous beamforming misplaces the target axially; eikonal fixes it
     assert abs(z_eik - z_target) < abs(z_hom - z_target) + 1e-9
     assert abs(z_eik - z_target) < 1.1e-3
+
+
+def test_eikonal_tables_nonfsa_matches_geometric():
+    """Fermat wavefront tx tables == straight-ray virtual-source tables in
+    a homogeneous medium (PW and FC sequences)."""
+    C0 = 1540.0
+    xdc = q.TransducerArray(numel=32, pitch=0.4e-3, fc=5e6)
+    scan = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 24), y=[0.0],
+                           z=np.linspace(8e-3, 20e-3, 32))
+    h = 0.2e-3
+    cgrd = q.ScanCartesian(x=np.arange(-8e-3, 8e-3, h), y=[0.0],
+                           z=np.arange(0.0, 24e-3, h))
+    med = q.Medium(c0=C0)
+    ang = np.radians([-8.0, 0.0, 8.0])
+    # --- PW: projection convention holds wherever the stationary element
+    # is inside the aperture (true for this geometry) ---
+    seq = q.Sequence(type="PW", focus=np.stack(
+        [np.sin(ang), 0 * ang, np.cos(ang)]), c0=C0)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=20e6)
+    tau_rx, tau_tx = us.eikonal_tables(med, cgrd)
+    g_rx, g_tx = us.das_delay_tables()
+    assert np.abs(tau_rx - g_rx).max() * C0 < 3 * h  # straight-ray rx
+    assert np.abs(tau_tx - g_tx).max() * C0 < 5 * h
+
+    # --- FC: the Fermat arrival equals the two-sided virtual-source delay
+    # only inside the focal cone (rays through the focus that hit the
+    # aperture); outside it deviates — physically correct first-arrival ---
+    zf = 12e-3
+    seq = q.Sequence(type="FC", focus=np.array(
+        [[0.0], [0.0], [zf]]), c0=C0)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=20e6)
+    tau_rx, tau_tx = us.eikonal_tables(med, cgrd)
+    g_rx, g_tx = us.das_delay_tables()
+    P = us.scan.positions().reshape(3, -1)
+    half_ap = 0.4e-3 * (32 - 1) / 2
+    cone = (P[2] > zf + 1e-3) \
+        & (np.abs(P[0]) < 0.7 * half_ap * (P[2] - zf) / zf)
+    assert cone.sum() > 20
+    err = np.abs(tau_tx[:, 0] - g_tx[:, 0]) * C0
+    assert err[cone].max() < 5 * h, err[cone].max()
+    # outside-cone arrivals are EARLIER or equal (first-arrival principle)
+    assert (tau_tx[:, 0] <= g_tx[:, 0] + 3 * h / C0).all()
+
+
+def test_eikonal_tables_3d():
+    """3-D FSA eikonal maps match the analytic distance in a homogeneous
+    volume."""
+    C0 = 1500.0
+    xdc = q.TransducerMatrix(numd=(4, 2), pitch2=(0.5e-3, 0.5e-3), fc=3e6)
+    scan = q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                           y=np.linspace(-1e-3, 1e-3, 4),
+                           z=np.linspace(4e-3, 8e-3, 8))
+    h = 0.25e-3
+    cgrd = q.ScanCartesian(x=np.arange(-4e-3, 4e-3, h),
+                           y=np.arange(-2e-3, 2e-3, h),
+                           z=np.arange(0e-3, 10e-3, h))
+    med = q.Medium(c0=C0)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=q.Sequence(
+        type="FSA", numpulse=xdc.numel, c0=C0), scan=scan, fs=12e6)
+    tau_rx, tau_tx = us.eikonal_tables(med, cgrd)
+    P = us.scan.positions().reshape(3, -1)
+    pn = us.rx.positions()
+    r = np.linalg.norm(P[:, :, None] - pn[:, None, :], axis=0)
+    assert np.abs(tau_rx - r / C0).max() * C0 < 4 * h
+    assert np.allclose(tau_tx, tau_rx)

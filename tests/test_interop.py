@@ -1,0 +1,196 @@
+"""Interop round-trip tests on synthetic fixtures (the reference's
+InteropTest pattern: external files are optional, synthetic structs are
+exercised always — ``test/InteropTest.m:30-76``)."""
+import numpy as np
+import pytest
+
+import qups_tpu as q
+from qups_tpu import interop
+
+
+def _trans_struct(numel=16, fc=5.0):
+    pitch_mm = 0.3
+    x = (np.arange(numel) - (numel - 1) / 2) * pitch_mm
+    pos = np.zeros((numel, 5))
+    pos[:, 0] = x
+    return dict(name="L-test", units="mm", frequency=fc, numelements=numel,
+                elementWidth=0.27, elementLength=5.0, spacingMm=pitch_mm,
+                Bandwidth=np.array([3.0, 7.0]), type=0, ElementPos=pos,
+                ConnectorES=np.arange(1, numel + 1))
+
+
+def test_transducer_from_verasonics():
+    numel = 16
+    xdc = interop.transducer_from_verasonics(_trans_struct(numel))
+    assert isinstance(xdc, q.TransducerArray)
+    assert xdc.numel == numel
+    assert np.isclose(xdc.pitch, 0.3e-3)
+    assert np.isclose(xdc.fc, 5e6)
+    assert np.isclose(xdc.bw[0], 3e6) and np.isclose(xdc.bw[1], 7e6)
+    p = xdc.positions()
+    assert np.isclose(p[0].max() - p[0].min(), 0.3e-3 * (numel - 1))
+
+
+def test_sequence_from_verasonics_pw():
+    Trans = _trans_struct()
+    angs = np.radians([-10.0, 0.0, 10.0])
+    TX = [dict(Apod=np.ones(16), Steer=np.array([a, 0.0]), focus=0.0,
+               Origin=np.zeros(3), Delay=np.zeros(16)) for a in angs]
+    # compute Vantage-convention delays from the geometry so validation
+    # passes: Vantage delays are -qups delays + offset (in wavelengths)
+    xdc = interop.transducer_from_verasonics(Trans)
+    fc = 5e6
+    for t, a in zip(TX, angs):
+        seqa = q.Sequence(type="PW", focus=np.array(
+            [[np.sin(a)], [0.0], [np.cos(a)]]), c0=1540.0)
+        tau = seqa.delays(xdc)[:, 0]
+        t["Delay"] = (-tau + tau.max()) * fc  # nonneg, wavelength units
+    seq, t0 = interop.sequence_from_verasonics(TX, Trans)
+    assert seq.type == "PW"
+    assert seq.num_pulse == 3
+    f = seq.focus_array
+    got = np.degrees(np.arctan2(f[0], f[2]))
+    assert np.allclose(got, [-10, 0, 10], atol=1e-3)
+    assert np.all(np.isfinite(t0))  # delays verified to an offset
+
+
+def test_sequence_from_verasonics_fsa():
+    Trans = _trans_struct()
+    TX = [dict(Apod=(np.arange(16) == i).astype(float),
+               Steer=np.zeros(2), focus=0.0, Origin=np.zeros(3),
+               Delay=np.zeros(16)) for i in range(16)]
+    seq, _ = interop.sequence_from_verasonics(TX, Trans)
+    assert seq.type == "FSA"
+    assert seq.num_pulse == 16
+
+
+def test_channel_data_from_verasonics():
+    numel, A, T, F = 8, 4, 64, 2
+    rng = np.random.default_rng(0)
+    buf = rng.integers(-100, 100, (T * A, numel, F)).astype(np.int16)
+    Receive = []
+    for f in range(1, F + 1):
+        for a in range(1, A + 1):
+            Receive.append(dict(bufnum=1, framenum=f, acqNum=a,
+                                startSample=(a - 1) * T + 1,
+                                endSample=a * T,
+                                decimSampleRate=25.0, demodFrequency=0.0,
+                                sampleMode="NS200BW",
+                                Apod=np.ones(numel)))
+    chds, fmods, smodes = interop.channel_data_from_verasonics(
+        [buf], Receive, Trans=_trans_struct(numel))
+    chd = chds[0]
+    assert chd.data.shape == (T, numel, A, F)
+    assert np.isclose(chd.fs, 25e6)
+    # spot-check a sample mapping: acq a, channel n, frame f
+    assert np.allclose(np.asarray(chd.data)[:, 3, 2, 1],
+                       buf[2 * T:3 * T, 3, 1])
+
+
+def test_channel_data_sample_mode_zeros():
+    numel, A, T = 4, 1, 32
+    buf = np.ones((T, numel, 1), np.int16)
+    Receive = [dict(bufnum=1, framenum=1, acqNum=1, startSample=1,
+                    endSample=T, decimSampleRate=10.0, demodFrequency=2.0,
+                    sampleMode="BS100BW", Apod=np.ones(numel))]
+    chds, fmods, _ = interop.channel_data_from_verasonics([buf], Receive)
+    x = np.asarray(chds[0].data)
+    # [1,1,0,0] pattern: 2 zeros inserted every 2 samples
+    assert x.shape[0] == 2 * T
+    assert np.all(x[0::4] == 1) and np.all(x[1::4] == 1)
+    assert np.all(x[2::4] == 0) and np.all(x[3::4] == 0)
+    assert np.isclose(fmods[0], 2e6)
+
+
+def test_scan_from_verasonics():
+    PData = dict(Coord="rectangular", Size=np.array([64, 128, 1]),
+                 PDelta=np.array([0.5, 0.0, 0.25]),
+                 Origin=np.array([-32.0, 0.0, 0.0]))
+    scan = interop.scan_from_verasonics(PData, scale=1e-3)
+    assert isinstance(scan, q.ScanCartesian)
+    assert scan.nx == 128 and scan.nz == 64
+    assert np.isclose(scan.dx, 0.5e-3) and np.isclose(scan.dz, 0.25e-3)
+
+
+def test_waveform_from_verasonics():
+    t = np.arange(100)
+    tri = np.where((t > 20) & (t < 80), np.sign(np.sin(2 * np.pi * t / 20)),
+                   0.0)
+    TW = dict(Parameters=np.array([5.0, 0.67, 2, 1]), peak=1.0,
+              numsamples=100, TriLvlWvfm=tri, Wvfm1Wy=tri * 0.5,
+              Wvfm2Wy=tri * 0.25)
+    wv = interop.waveform_from_verasonics(TW)
+    s = np.asarray(wv.sample(wv.t0 + np.arange(100) / 250e6))
+    assert np.allclose(s, tri, atol=1e-6)
+
+
+def test_uff_round_trip(tmp_path):
+    rng = np.random.default_rng(1)
+    xdc = q.TransducerArray(numel=8, pitch=0.4e-3, fc=6e6)
+    seq = q.Sequence(type="PW", focus=np.array(
+        [[0.0, 0.1], [0, 0], [1.0, 0.99]]), c0=1500.0)
+    scan = q.ScanCartesian(x=np.linspace(-5e-3, 5e-3, 32), y=[0.0],
+                           z=np.linspace(0, 20e-3, 64))
+    chd = q.ChannelData(
+        data=(rng.standard_normal((48, 8, 2))
+              + 1j * rng.standard_normal((48, 8, 2))).astype(np.complex64),
+        fs=20e6, t0=np.array([1e-6, 2e-6]))
+    p = tmp_path / "t.uff"
+    interop.save_uff(p, chd=chd, xdc=xdc, seq=seq, scan=scan)
+    out = interop.load_uff(p)
+    assert np.allclose(np.asarray(out["chd"].data), np.asarray(chd.data))
+    assert np.isclose(out["chd"].fs, chd.fs)
+    assert np.allclose(out["chd"].t0_host, chd.t0_host)
+    assert isinstance(out["xdc"], q.TransducerArray)
+    assert np.isclose(out["xdc"].pitch, xdc.pitch)
+    assert out["xdc"].numel == xdc.numel
+    assert out["seq"].type == "PW"
+    assert np.allclose(out["seq"].focus_array, seq.focus_array)
+    assert np.allclose(out["scan"].x, scan.x)
+    assert np.allclose(out["scan"].z, scan.z)
+
+
+def test_mat_round_trip(tmp_path):
+    xdc = q.TransducerConvex(numel=12, radius=40e-3, fc=3e6)
+    scan = q.ScanPolar(origin=(0, 0, -1e-3), r=np.linspace(0, 30e-3, 64),
+                       a=np.linspace(-30, 30, 32))
+    p = tmp_path / "t.mat"
+    interop.save_mat(p, xdc=xdc, scan=scan)
+    out = interop.load_mat(p)
+    assert isinstance(out["xdc"], q.TransducerConvex)
+    assert np.isclose(out["xdc"].radius, 40e-3)
+    assert out["xdc"].numel == 12
+    assert isinstance(out["scan"], q.ScanPolar)
+    assert np.allclose(out["scan"].r, scan.r)
+
+
+def test_load_verasonics_workspace(tmp_path):
+    """End-to-end: save a synthetic Vantage workspace .mat, import it."""
+    from scipy.io import savemat
+    numel, A, T = 8, 3, 32
+    rng = np.random.default_rng(2)
+    Trans = _trans_struct(numel)
+    Receive = np.zeros((A,), dtype=[
+        ("bufnum", "O"), ("framenum", "O"), ("acqNum", "O"),
+        ("startSample", "O"), ("endSample", "O"), ("decimSampleRate", "O"),
+        ("demodFrequency", "O"), ("sampleMode", "O"), ("Apod", "O")])
+    for a in range(A):
+        Receive[a] = (1, 1, a + 1, a * T + 1, (a + 1) * T, 20.0, 0.0,
+                      "NS200BW", np.ones(numel))
+    angs = np.radians([-5.0, 0.0, 5.0])
+    TX = np.zeros((A,), dtype=[
+        ("Apod", "O"), ("Steer", "O"), ("focus", "O"), ("Origin", "O"),
+        ("Delay", "O")])
+    for i, a in enumerate(angs):
+        TX[i] = (np.ones(numel), np.array([a, 0.0]), 0.0, np.zeros(3),
+                 np.zeros(numel))
+    ws = dict(Trans=Trans, Receive=Receive, TX=TX,
+              RcvData=np.empty((1,), object),
+              Resource=dict(Parameters=dict(speedOfSound=1540.0)))
+    ws["RcvData"][0] = rng.integers(-50, 50, (T * A, numel, 1)).astype(np.int16)
+    p = tmp_path / "ws.mat"
+    savemat(p, ws, long_field_names=True)
+    out = interop.load_verasonics(p)
+    assert isinstance(out["xdc"], q.TransducerArray)
+    assert out["seq"].type in ("PW", "FSA")
+    assert out["chd"][0].data.shape == (T, numel, A, 1)
