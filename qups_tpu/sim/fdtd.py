@@ -8,16 +8,24 @@ split-field PML, simulating full-wave propagation through a heterogeneous
 ``Medium`` — built natively in JAX rather than via the external k-Wave
 toolbox (SURVEY.md §7 item 7).
 
-Equations (2-D, linear, lossless):
+Equations (2-D shown; 3-D identical per axis):
 
     du/dt   = -(1/rho0) grad(p)        (staggered spatial shifts)
     drho/dt = -rho0 div(u) + source
-    p       = c^2 rho
+    p       = c^2 (rho + B/2A rho^2/rho0 + absorption)
 
-Spectral derivatives with the k-space correction ``kappa = sinc(c_ref k dt /
-2)`` give unconditional dispersion accuracy for homogeneous media; the PML
-absorbs at the boundary. This maps cleanly to TPU: each step is FFTs +
-elementwise math under ``lax.fori_loop``, all static shapes.
+with the optional power-law absorption + dispersion of the k-Wave model
+(Treeby & Cox, fractional Laplacian; ``Medium.m:397`` passes alpha/BonA to
+k-Wave and this stepper consumes them natively):
+
+    absorption = tau (-lap)^(y/2-1)(rho0 div u) + eta (-lap)^((y+1)/2-1) rho
+    tau = -2 a_np c^(y-1),  eta = 2 a_np c^y tan(pi y / 2)
+
+evaluated in k-space (two extra FFT pairs per step). Spectral derivatives
+with the k-space correction ``kappa = sinc(c_ref k dt / 2)`` give
+unconditional dispersion accuracy for homogeneous media; the PML absorbs at
+the boundary. This maps cleanly to TPU: each step is FFTs + elementwise
+math under ``lax.fori_loop``, all static shapes.
 """
 from __future__ import annotations
 
@@ -39,10 +47,37 @@ def _pml_profile(n: int, npml: int, alpha_max: float, dt: float):
     return np.exp(-alpha_max * x * dt / 2)
 
 
-@partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref", "record_rows"))
+def db2neper(alpha_db, y: float):
+    """dB/(MHz^y cm) -> Np (rad/s)^-y / m (the k-Wave unit conversion)."""
+    return 100.0 * np.asarray(alpha_db) * (1e-6 / (2 * np.pi)) ** y \
+        / (20.0 * np.log10(np.e))
+
+
+def _absorb_terms(alpha0, alpha_power, c, Knp):
+    """Fractional-Laplacian absorption operators: (tau, eta, nabla1,
+    nabla2) maps — tau/eta in real space (traced jnp: ``c``/``alpha0`` may
+    be device arrays), nabla in k-space (host) with the k = 0 (and any
+    singular) component zeroed."""
+    y = float(alpha_power)
+    a_np = 100.0 * jnp.asarray(alpha0, jnp.float32) \
+        * np.float32((1e-6 / (2 * np.pi)) ** y / (20.0 * np.log10(np.e)))
+    tau = -2.0 * a_np * c ** (y - 1.0)
+    eta = 2.0 * a_np * c ** y * np.float32(np.tan(np.pi * y / 2.0))
+    with np.errstate(divide="ignore"):
+        nab1 = Knp ** (y - 2.0)
+        nab2 = Knp ** (y - 1.0)
+    nab1[~np.isfinite(nab1)] = 0.0
+    nab2[~np.isfinite(nab2)] = 0.0
+    return (tau, eta,
+            jnp.asarray(nab1, jnp.float32), jnp.asarray(nab2, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref",
+                                   "record_rows", "alpha_power"))
 def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
                   dt: float, dx: float, c_ref: float,
-                  record_rows: Tuple[int, ...]):
+                  record_rows: Tuple[int, ...], alpha0=None,
+                  alpha_power: float = 1.5, bona=None):
     """2-D k-space PSTD simulation.
 
     Args:
@@ -54,6 +89,11 @@ def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
         spacing [m]; c_ref: k-space correction reference speed.
       record_rows: grid rows whose full pressure line is recorded each step
         (row-slices are TPU-friendly; element projection happens on host).
+      alpha0: optional power-law absorption map [dB/(MHz^y cm)] — enables
+        the fractional-Laplacian absorption+dispersion terms.
+      alpha_power: the power-law exponent y (homogeneous; k-Wave likewise).
+      bona: optional B/A nonlinearity map — enables the quadratic pressure
+        term (cumulative harmonic generation).
 
     Returns: recorded pressure (steps, len(record_rows), Nx).
     """
@@ -80,6 +120,12 @@ def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
 
     rho0 = rho
     c2 = c * c
+    absorbing = alpha0 is not None
+    if absorbing:
+        tau, eta, nab1, nab2 = _absorb_terms(alpha0, alpha_power, c, Knp)
+    nonlin = bona is not None
+    if nonlin:
+        bq = jnp.asarray(bona, jnp.float32) / (2.0 * rho0)
 
     def ddz(f, stag):
         F = jnp.fft.fft(f, axis=0)
@@ -89,35 +135,48 @@ def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
         F = jnp.fft.fft(f, axis=1)
         return jnp.real(jnp.fft.ifft(1j * KX * kappa * stag * F, axis=1))
 
+    def pressure(rho_t, divu):
+        pr = rho_t
+        if nonlin:
+            pr = pr + bq * rho_t * rho_t
+        if absorbing:
+            Fd = jnp.fft.fft2(rho0 * divu)
+            Fr = jnp.fft.fft2(rho_t)
+            pr = pr + tau * jnp.real(jnp.fft.ifft2(nab1 * Fd)) \
+                + eta * jnp.real(jnp.fft.ifft2(nab2 * Fr))
+        return c2 * pr
+
     rows = jnp.asarray(np.asarray(record_rows, np.int32))
 
     def step_fn(i, state):
-        uz, ux, rz, rx, rec = state
-        p = c2 * (rz + rx)
+        uz, ux, rz, rx, p, rec = state
         # velocity update (staggered forward shift)
         uz = pml_z * (pml_z * uz - dt / rho0 * ddz(p, ez_f))
         ux = pml_x * (pml_x * ux - dt / rho0 * ddx(p, ex_f))
         # density update (staggered backward shift), split per axis for PML
-        rz = pml_z * (pml_z * rz - dt * rho0 * ddz(uz, ez_b))
-        rx = pml_x * (pml_x * rx - dt * rho0 * ddx(ux, ex_b))
+        dzu = ddz(uz, ez_b)
+        dxu = ddx(ux, ex_b)
+        rz = pml_z * (pml_z * rz - dt * rho0 * dzu)
+        rx = pml_x * (pml_x * rx - dt * rho0 * dxu)
         # additive pressure source: inject as density (p = c^2 rho)
         s = src_sig[i]
         rz = rz.at[src_rows, src_cols].add(s / (2 * c2[src_rows, src_cols]))
         rx = rx.at[src_rows, src_cols].add(s / (2 * c2[src_rows, src_cols]))
-        p = c2 * (rz + rx)
+        p = pressure(rz + rx, dzu + dxu)
         rec = rec.at[i].set(p[rows, :])
-        return uz, ux, rz, rx, rec
+        return uz, ux, rz, rx, p, rec
 
     z = jnp.zeros((Nz, Nx), jnp.float32)
     rec0 = jnp.zeros((steps, len(record_rows), Nx), jnp.float32)
-    _, _, _, _, rec = jax.lax.fori_loop(0, steps, step_fn,
-                                        (z, z, z, z, rec0))
-    return rec
+    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, z, z, rec0))
+    return out[-1]
 
 
-@partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref", "record_rows"))
+@partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref",
+                                   "record_rows", "alpha_power"))
 def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
-                  dx: float, c_ref: float, record_rows: Tuple[int, ...]):
+                  dx: float, c_ref: float, record_rows: Tuple[int, ...],
+                  alpha0=None, alpha_power: float = 1.5, bona=None):
     """3-D k-space PSTD simulation (volumetric ``kspaceFirstOrder3D``
     capability, ``UltrasoundSystem.m:2458``).
 
@@ -151,6 +210,23 @@ def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
 
     rho0 = rho
     c2 = c * c
+    absorbing = alpha0 is not None
+    if absorbing:
+        tau, eta, nab1, nab2 = _absorb_terms(alpha0, alpha_power, c, Knp)
+    nonlin = bona is not None
+    if nonlin:
+        bq = jnp.asarray(bona, jnp.float32) / (2.0 * rho0)
+
+    def pressure(rho_t, divu):
+        pr = rho_t
+        if nonlin:
+            pr = pr + bq * rho_t * rho_t
+        if absorbing:
+            Fd = jnp.fft.fftn(rho0 * divu)
+            Fr = jnp.fft.fftn(rho_t)
+            pr = pr + tau * jnp.real(jnp.fft.ifftn(nab1 * Fd)) \
+                + eta * jnp.real(jnp.fft.ifftn(nab2 * Fr))
+        return c2 * pr
 
     def dd(f, K, stag, axis):
         F = jnp.fft.fft(f, axis=axis)
@@ -160,23 +236,25 @@ def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
     sz, sx, sy = (jnp.asarray(src_idx[i], jnp.int32) for i in range(3))
 
     def step_fn(i, state):
-        uz, ux, uy, rz, rx_, ry, rec = state
-        p = c2 * (rz + rx_ + ry)
+        uz, ux, uy, rz, rx_, ry, p, rec = state
         uz = pml_z * (pml_z * uz - dt / rho0 * dd(p, KZ, ez_f, 0))
         ux = pml_x * (pml_x * ux - dt / rho0 * dd(p, KX, ex_f, 1))
         uy = pml_y * (pml_y * uy - dt / rho0 * dd(p, KY, ey_f, 2))
-        rz = pml_z * (pml_z * rz - dt * rho0 * dd(uz, KZ, ez_b, 0))
-        rx_ = pml_x * (pml_x * rx_ - dt * rho0 * dd(ux, KX, ex_b, 1))
-        ry = pml_y * (pml_y * ry - dt * rho0 * dd(uy, KY, ey_b, 2))
+        dzu = dd(uz, KZ, ez_b, 0)
+        dxu = dd(ux, KX, ex_b, 1)
+        dyu = dd(uy, KY, ey_b, 2)
+        rz = pml_z * (pml_z * rz - dt * rho0 * dzu)
+        rx_ = pml_x * (pml_x * rx_ - dt * rho0 * dxu)
+        ry = pml_y * (pml_y * ry - dt * rho0 * dyu)
         s = src_sig[i] / (3 * c2[sz, sx, sy])
         rz = rz.at[sz, sx, sy].add(s)
         rx_ = rx_.at[sz, sx, sy].add(s)
         ry = ry.at[sz, sx, sy].add(s)
-        p = c2 * (rz + rx_ + ry)
+        p = pressure(rz + rx_ + ry, dzu + dxu + dyu)
         rec = rec.at[i].set(p[rows])
-        return uz, ux, uy, rz, rx_, ry, rec
+        return uz, ux, uy, rz, rx_, ry, p, rec
 
     z = jnp.zeros((Nz, Nx, Ny), jnp.float32)
     rec0 = jnp.zeros((steps, len(record_rows), Nx, Ny), jnp.float32)
-    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, z, z, z, rec0))
+    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, z, z, z, z, rec0))
     return out[-1]

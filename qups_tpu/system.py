@@ -892,13 +892,23 @@ UltrasoundSystem.bfEikonal = _bf_eikonal
 # ----------------------------------------------------------------------------
 def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
                         cfl: float = 0.3, npml: int = 10,
-                        tmax: Optional[float] = None):
+                        tmax: Optional[float] = None,
+                        el_proj: str = "nearest", el_sub: int = 0):
     """Full-wave simulation through a heterogeneous Medium via the native
     k-space PSTD stepper (``UltrasoundSystem.kspaceFirstOrder``,
     ``src/UltrasoundSystem.m:2458-3170``): builds the grid + PML, a
     CFL-limited dt aligned to ``us.fs`` (``:2714-2729``), projects elements
     to grid nodes for sources and sensors, runs one sim per transmit, and
-    returns the received traces as ChannelData (T, N, M)."""
+    returns the received traces as ChannelData (T, N, M).
+
+    Medium absorption (``alpha0``/``alpha_power``) and nonlinearity
+    (``bona0``) are honored when set (``Medium.m:397`` passes the same maps
+    to k-Wave). ``el_proj``: 'nearest' snaps each element to its closest
+    node; 'linear' distributes ``el_sub`` sub-element points (default
+    ceil(width/h) + 1) bilinearly over the surrounding nodes, the analog of
+    the reference's nearest/linear projection methods
+    (``UltrasoundSystem.m:2649``, ``Transducer.elem2grid``,
+    ``src/Transducer.m:578``)."""
     from .sim.fdtd import kspace_sim_2d
 
     if cgrd is None:
@@ -921,15 +931,22 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
 
     # property maps (Z, X[, Y]) + PML padding (edge replicate)
     if vol:
-        def to_zxy(m):
+        def to_grid(m):
             order = cgrd.order
             perm = [order.index(c) for c in "ZXY"]
             return np.transpose(m, perm)
-        cmap = np.pad(to_zxy(medium.props(cgrd, "c")), npml, mode="edge")
-        rmap = np.pad(to_zxy(medium.props(cgrd, "rho")), npml, mode="edge")
     else:
-        cmap = np.pad(_cmap_zx(cgrd, medium.props(cgrd, "c")), npml, mode="edge")
-        rmap = np.pad(_cmap_zx(cgrd, medium.props(cgrd, "rho")), npml, mode="edge")
+        to_grid = lambda m: _cmap_zx(cgrd, m)  # noqa: E731
+    props = medium.props(cgrd, ("c", "rho", "alpha", "bona"))
+    cmap = np.pad(to_grid(props["c"]), npml, mode="edge")
+    rmap = np.pad(to_grid(props["rho"]), npml, mode="edge")
+    amap = np.pad(to_grid(props["alpha"]), npml, mode="edge")
+    bmap = np.pad(to_grid(props["bona"]), npml, mode="edge")
+    # NaN ambient values mean the physics is off (Medium defaults)
+    amap = None if np.isnan(amap).all() else np.nan_to_num(amap)
+    bmap = None if np.isnan(bmap).all() else np.nan_to_num(bmap)
+    phys = dict(alpha0=amap, alpha_power=float(medium.alpha_power),
+                bona=bmap)
     cmax = float(cmap.max())
 
     # CFL-limited dt aligned to us.fs (integer divisor)
@@ -938,27 +955,55 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
     k = max(1, int(np.ceil(1.0 / (fs * dt_cfl))))
     dt = 1.0 / (fs * k)
 
-    # element -> node projection (nearest node; sub-element refinement via
-    # Transducer.bary_centers is possible, Transducer.elem2grid analog)
-    def nodes(p):  # (3, E) -> (iz, ix[, iy])
-        iz = np.clip(np.round((p[2] - cgrd.z[0]) / h).astype(int) + npml,
-                     0, cmap.shape[0] - 1)
-        ix = np.clip(np.round((p[0] - cgrd.x[0]) / h).astype(int) + npml,
-                     0, cmap.shape[1] - 1)
-        if vol:
-            iy = np.clip(np.round((p[1] - cgrd.y[0]) / h).astype(int) + npml,
-                         0, cmap.shape[2] - 1)
-            return iz, ix, iy
-        return iz, ix
-    ptx = us.tx.positions()
-    prx = us.rx.positions()
-    if vol:
-        tz, txc, tyc = nodes(ptx)
-        rz, rxc, ryc = nodes(prx)
-    else:
-        tz, txc = nodes(ptx)
-        rz, rxc = nodes(prx)
-    rec_rows = tuple(sorted(set(rz.tolist())))
+    # element -> grid projection: per element a list of (nodes, weights)
+    nd = 3 if vol else 2
+    org = np.array([cgrd.z[0], cgrd.x[0]] + ([cgrd.y[0]] if vol else []))
+    shp = cmap.shape
+
+    def _cells_of(pts):
+        """(nd, K) positions -> (K, nd) fractional node coords (PML incl.)"""
+        q = np.stack([pts[2], pts[0]] + ([pts[1]] if vol else []))
+        return (q - org[:, None]).T / h + npml
+
+    def proj(xdc, p_el):
+        """Per-element node/weight lists (``Transducer.elem2grid`` analog,
+        ``src/Transducer.m:578``)."""
+        out = []
+        E = p_el.shape[1]
+        for n in range(E):
+            if el_proj == "nearest":
+                pts = p_el[:, n:n + 1]
+            elif el_proj == "linear":
+                K = el_sub or (int(np.ceil(xdc.width / h)) + 1)
+                sub = xdc.bary_centers((K, 1))  # (3, E, K)
+                pts = sub[:, n, :]
+            else:
+                raise ValueError(f"unknown el_proj {el_proj!r}")
+            fc = _cells_of(pts)  # (K, nd) fractional
+            K = fc.shape[0]
+            if el_proj == "nearest":
+                idx = np.clip(np.round(fc).astype(int), 0,
+                              np.array(shp) - 1)
+                out.append((idx, np.ones(1)))
+                continue
+            # multilinear deposit over the 2^nd surrounding nodes
+            f0 = np.floor(fc).astype(int)
+            fr = fc - f0
+            nodes_l, w_l = [], []
+            for corner in np.ndindex(*([2] * nd)):
+                cs = np.asarray(corner)
+                nn = np.clip(f0 + cs, 0, np.array(shp) - 1)
+                w = np.prod(np.where(cs == 1, fr, 1 - fr), axis=1) / K
+                nodes_l.append(nn)
+                w_l.append(w)
+            out.append((np.concatenate(nodes_l, 0),
+                        np.concatenate(w_l, 0)))
+        return out
+
+    tx_proj = proj(us.tx, us.tx.positions())
+    rx_proj = proj(us.rx, us.rx.positions())
+    rec_rows = tuple(sorted({int(r) for nodes_, _ in rx_proj
+                             for r in nodes_[:, 0]}))
     row_of = {r: i for i, r in enumerate(rec_rows)}
 
     # transmit waveform at sim rate
@@ -973,36 +1018,51 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
         tmax = 2.2 * diag / float(cmap.min()) + wv.duration
     steps = int(np.ceil(tmax / dt))
 
+    def sense(rec):
+        """Combine recorded pressure into per-element traces."""
+        cols = []
+        for nodes_, w_ in rx_proj:
+            rws = np.array([row_of[int(r)] for r in nodes_[:, 0]])
+            if vol:
+                v = rec[:, rws, nodes_[:, 1], nodes_[:, 2]]
+            else:
+                v = rec[:, rws, nodes_[:, 1]]
+            cols.append(v @ w_)
+        return np.stack(cols, axis=1)  # (steps, N)
+
     chds = []
     for v in range(M):
-        act = np.abs(apod[:, v]) > 0
-        maxdel = float(delays[act, v].max()) if act.any() else 0.0
+        act = np.where(np.abs(apod[:, v]) > 0)[0]
+        maxdel = float(delays[act, v].max()) if act.size else 0.0
         t0_sim = -maxdel + wv.t0
         s = np.arange(steps) * dt
-        # element n pulse centered at absolute -delays[n, v]
-        sig = np.stack([
-            apod[n, v] * np.real(np.asarray(
-                wv.sample(s + t0_sim + delays[n, v])))
-            for n in np.where(act)[0]], axis=1)  # (steps, Q)
+        # assemble the (deduplicated) source node set with weighted signals
+        all_nodes = []
+        all_sig = []
+        for n in act:
+            sn = apod[n, v] * np.real(np.asarray(
+                wv.sample(s + t0_sim + delays[n, v])))  # (steps,)
+            nodes_, w_ = tx_proj[n]
+            all_nodes.append(nodes_)
+            all_sig.append(sn[:, None] * w_[None, :])
+        nodes_cat = np.concatenate(all_nodes, 0)
+        sig_cat = np.concatenate(all_sig, 1)  # (steps, Qall)
+        uniq, inv = np.unique(nodes_cat, axis=0, return_inverse=True)
+        sig = np.zeros((steps, uniq.shape[0]), np.float32)
+        np.add.at(sig.T, inv, sig_cat.T.astype(np.float32))
         if vol:
             from .sim.fdtd import kspace_sim_3d
-            rec = kspace_sim_3d(cmap, rmap,
-                                np.stack([tz[act], txc[act], tyc[act]]),
+            rec = kspace_sim_3d(cmap, rmap, uniq.T,
                                 jnp.asarray(sig, jnp.float32), steps=steps,
                                 dt=dt, dx=h, c_ref=cmax,
-                                record_rows=rec_rows)
-            rec = np.asarray(rec)  # (steps, n_rows, Nx, Ny)
-            tr = np.stack([rec[:, row_of[rz[n]], rxc[n], ryc[n]]
-                           for n in range(us.rx.numel)], axis=1)
+                                record_rows=rec_rows, **phys)
         else:
-            rec = kspace_sim_2d(cmap, rmap, jnp.asarray(tz[act]),
-                                jnp.asarray(txc[act]),
+            rec = kspace_sim_2d(cmap, rmap, jnp.asarray(uniq[:, 0]),
+                                jnp.asarray(uniq[:, 1]),
                                 jnp.asarray(sig, jnp.float32), steps=steps,
                                 dt=dt, dx=h, c_ref=cmax,
-                                record_rows=rec_rows)
-            rec = np.asarray(rec)  # (steps, n_rows, Nx)
-            tr = np.stack([rec[:, row_of[rz[n]], rxc[n]]
-                           for n in range(us.rx.numel)], axis=1)  # (steps, N)
+                                record_rows=rec_rows, **phys)
+        tr = sense(np.asarray(rec))
         tr = tr[::k]  # downsample to us.fs
         chds.append((tr, t0_sim))
     T = min(c[0].shape[0] for c in chds)

@@ -161,3 +161,109 @@ def test_kspace_3d_system_matrix_probe():
     sel = (t > 0.7 * t_echo) & (t < 1.6 * t_echo)
     t_pk = t[sel][np.abs(x[sel]).argmax()]
     assert abs(t_pk - t_echo) < 10 * h / c0, (t_pk, t_echo)
+
+
+def test_kspace_absorption_power_law():
+    """Amplitude decay matches exp(-alpha(f0) r) on top of geometric
+    spreading (compare absorbing vs lossless sims at the same probe)."""
+    import numpy as np
+    from qups_tpu.sim.fdtd import kspace_sim_2d, db2neper
+
+    n, h, c0 = 160, 0.1e-3, 1500.0
+    f0 = 2e6
+    dt = 0.3 * h / c0
+    steps = 420
+    cmap = np.full((n, n), c0, np.float32)
+    rmap = np.full((n, n), 1000.0, np.float32)
+    t = np.arange(steps) * dt
+    sig = (np.sin(2 * np.pi * f0 * t)
+           * np.exp(-((t - 1.2e-6) / 0.5e-6) ** 2))[:, None].astype(np.float32)
+    src = (np.array([20]), np.array([n // 2]))
+    rows = (100, 140)
+    a0, y = 1.5, 1.5  # dB/(MHz^1.5 cm)
+    kw = dict(steps=steps, dt=dt, dx=h, c_ref=c0, record_rows=rows)
+    rec0 = np.asarray(kspace_sim_2d(cmap, rmap, *src, sig, **kw))
+    reca = np.asarray(kspace_sim_2d(cmap, rmap, *src, sig,
+                                    alpha0=np.full((n, n), a0, np.float32),
+                                    alpha_power=y, **kw))
+    # spectral amplitude AT f0 at each probe (the pulse is broadband and
+    # f^y absorption + dispersion reshape it; the power law is per-frequency)
+    f = np.fft.rfftfreq(steps, dt)
+    b = np.argmin(np.abs(f - f0))
+
+    def amp(rec, i):
+        return np.abs(np.fft.rfft(rec[:, i, n // 2]))[b]
+
+    dr = (rows[1] - rows[0]) * h
+    a_np = db2neper(a0, y) * (2 * np.pi * f0) ** y
+    want = np.exp(-a_np * dr)
+    got = (amp(reca, 1) / amp(reca, 0)) / (amp(rec0, 1) / amp(rec0, 0))
+    assert abs(got - want) / want < 0.1, (got, want)
+    assert got < 0.95  # attenuation actually happened
+
+
+def test_kspace_nonlinear_harmonics():
+    """B/A nonlinearity generates second harmonic along propagation."""
+    import numpy as np
+    from qups_tpu.sim.fdtd import kspace_sim_2d
+
+    n, h, c0 = 160, 0.1e-3, 1500.0
+    f0 = 2e6
+    dt = 0.3 * h / c0
+    steps = 480
+    cmap = np.full((n, n), c0, np.float32)
+    rmap = np.full((n, n), 1000.0, np.float32)
+    t = np.arange(steps) * dt
+    sig = (np.sin(2 * np.pi * f0 * t)
+           * np.exp(-((t - 1.5e-6) / 0.8e-6) ** 2))[:, None].astype(np.float32)
+    src = (np.array([20]), np.array([n // 2]))
+    rows = (130,)
+    kw = dict(steps=steps, dt=dt, dx=h, c_ref=c0, record_rows=rows)
+
+    # calibrate the drive so the FIELD reaches finite amplitude (~2 MPa,
+    # 0.1% of rho0 c^2): the per-step density injection integrates, so the
+    # source scalar is not the field pressure
+    cal = np.asarray(kspace_sim_2d(cmap, rmap, *src, sig, **kw))
+    pmax = np.abs(cal[:, 0, n // 2]).max()
+    sig = sig * np.float32(0.001 * 1000.0 * c0 ** 2 / pmax)
+
+    def hd2(rec):
+        x = rec[:, 0, n // 2]
+        X = np.abs(np.fft.rfft(x * np.hanning(steps)))
+        f = np.fft.rfftfreq(steps, dt)
+        b1 = X[np.argmin(np.abs(f - f0))]
+        b2 = X[np.argmin(np.abs(f - 2 * f0))]
+        return b2 / b1
+
+    r_lin = hd2(np.asarray(kspace_sim_2d(cmap, rmap, *src, sig, **kw)))
+    r_nl = hd2(np.asarray(kspace_sim_2d(
+        cmap, rmap, *src, sig, bona=np.full((n, n), 9.0, np.float32), **kw)))
+    assert r_nl > 3 * max(r_lin, 1e-6), (r_lin, r_nl)
+
+
+def test_kspace_linear_element_projection():
+    """el_proj='linear' distributes elements over nodes; TOF matches the
+    nearest-node projection within a couple samples."""
+    import numpy as np
+    import qups_tpu as q
+
+    C0 = 1500.0
+    xdc = q.TransducerArray(numel=8, pitch=0.5e-3, fc=1.5e6)
+    seq = q.Sequence(type="PW", focus=np.array([[0.0], [0.0], [1.0]]), c0=C0)
+    scan = q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8), y=[0.0],
+                           z=np.linspace(2e-3, 8e-3, 8))
+    med = q.Medium(c0=C0, rho0=1000.0)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=6e6)
+    # scatter off a small dense inclusion
+    med = q.Medium(c0=C0, rho0=1000.0).with_region(
+        lambda P: np.hypot(P[0], P[2] - 5e-3) < 0.4e-3, {"rho": 2500.0}) \
+        if hasattr(q.Medium, "with_region") else med
+    chd_n = us.kspaceFirstOrder(med, el_proj="nearest", tmax=1.2e-5)
+    chd_l = us.kspaceFirstOrder(med, el_proj="linear", tmax=1.2e-5)
+    assert chd_l.data.shape == chd_n.data.shape
+    xn = np.asarray(chd_n.data)[:, 4, 0]
+    xl = np.asarray(chd_l.data)[:, 4, 0]
+    if np.abs(xn).max() > 0 and np.abs(xl).max() > 0:
+        pn = int(np.argmax(np.abs(xn)))
+        plm = int(np.argmax(np.abs(xl)))
+        assert abs(pn - plm) <= 2, (pn, plm)
