@@ -17,5 +17,6 @@ from .ops.das_pallas import Fused
 from . import ops
 from . import utils
 from . import interop
+from . import display  # binds imagesc/plot/gif methods
 
 __version__ = "0.1.0"

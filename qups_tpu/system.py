@@ -1072,3 +1072,84 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
 
 
 UltrasoundSystem.kspaceFirstOrder = _kspace_first_order
+
+
+# ----------------------------------------------------------------------------
+# Transmit pressure-field maps (calc_hp)
+# ----------------------------------------------------------------------------
+def _calc_hp(us, scan: Optional[Scan] = None, seq: Optional[Sequence] = None,
+             out: str = "max", R0: Optional[float] = None):
+    """Transmit pressure-field sensitivity maps — the native analog of the
+    FieldII-backed ``UltrasoundSystem.calc_hp``
+    (``src/UltrasoundSystem.m:2083-2456``): the one-way monochromatic-free
+    (impulse-based) pressure at every scan pixel from each transmit,
+
+        p(t, pix; m) = sum_e apd(e, m) wv(t - fire_e(m) - r_e(pix)/c) / r_e
+
+    with ``wv = tx.impulse (x) seq.pulse`` and 1/r spreading clamped at
+    ``R0`` — a one-way Green's superposition (splat + convolve, like
+    :func:`qups_tpu.ops.greens.greens_splat`).
+
+    Returns ``out='max'``: the max-pressure map ``(I1, I2, I3, M)``;
+    ``out='field'``: ``(p (T, I, M), t0)`` full time series.
+    """
+    scan = scan or us.scan
+    seq = seq or us.seq
+    fs = float(us.fs)
+    c0 = float(seq.c0)
+    R0 = float(us.lmbda if R0 is None else R0)
+
+    wv = us.tx.impulse.conv(seq.pulse, fs)
+    wv = dataclasses.replace(wv, fs=fs)
+    kern = np.asarray(wv.samples)
+    if np.iscomplexobj(kern):
+        kern = np.real(kern)
+    K = kern.shape[0]
+
+    P = scan.positions().reshape(3, -1)  # (3, I)
+    pe = us.tx.positions()               # (3, E)
+    r = np.linalg.norm(P.T[:, None, :] - pe.T[None, :, :], axis=-1)  # (I, E)
+    fire = -seq.delays(us.tx)            # (E, M)
+    apd = seq.apodization(us.tx)         # (E, M)
+    M = seq.num_pulse
+
+    tmin = r.min() / c0 + fire.min() + wv.t0
+    tmax = r.max() / c0 + fire.max() + wv.tend
+    n0 = math.floor(tmin * fs)
+    T = math.ceil(tmax * fs) - n0 + 1
+    s0 = n0 / fs
+    G = T + 2 * K
+    I = r.shape[0]
+
+    rj = jnp.asarray(r, jnp.float32)
+    w_r = jnp.asarray(1.0 / np.maximum(r, R0), jnp.float32)  # (I, E)
+    col = jnp.arange(I)[:, None]
+
+    from .ops.conv import convd
+
+    @jax.jit
+    def one_tx(fire_m, apd_m):
+        ti = (rj / c0 + fire_m[None, :] + (wv.t0 - s0)) * fs  # (I, E)
+        i0 = jnp.floor(ti)
+        u = ti - i0
+        idx = jnp.clip(i0.astype(jnp.int32) + K, 0, G - 1)
+        wgt = apd_m[None, :] * w_r
+        grid = jnp.zeros((G, I), jnp.float32)
+        grid = grid.at[idx.T, col.T].add((wgt * (1 - u)).T)
+        grid = grid.at[(idx + 1).T, col.T].add((wgt * u).T)
+        full = convd(grid, jnp.asarray(kern, jnp.float32).reshape(-1, 1),
+                     axis=0, shape="full", method="fft" if K > 64 else "direct")
+        return full[K:K + T]  # (T, I)
+
+    ps = []
+    for m in range(M):
+        ps.append(one_tx(jnp.asarray(fire[:, m], jnp.float32),
+                         jnp.asarray(apd[:, m], jnp.float32)))
+    p = jnp.stack(ps, axis=-1)  # (T, I, M)
+    if out == "field":
+        return p, s0
+    pm = jnp.max(jnp.abs(p), axis=0)  # (I, M)
+    return np.asarray(pm).reshape(tuple(scan.shape) + (M,))
+
+
+UltrasoundSystem.calc_hp = _calc_hp

@@ -1,0 +1,61 @@
+"""Display helpers (Agg backend) — the docs-as-tests pattern for the
+visualization surface (``src/ChannelData.m:1497-1640``, ``Scan.m:288-593``)."""
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import qups_tpu as q  # noqa: E402
+import qups_tpu.display  # noqa: E402,F401  (binds the methods)
+
+
+@pytest.fixture(autouse=True)
+def _close():
+    yield
+    plt.close("all")
+
+
+def test_chd_imagesc_and_gif(tmp_path):
+    rng = np.random.default_rng(0)
+    chd = q.ChannelData(data=rng.standard_normal((64, 16, 3)).astype(np.float32),
+                        fs=20e6, t0=0.0)
+    h = chd.imagesc(m=1)
+    assert h.get_array().shape == (64, 16)
+    anim = chd.gif()
+    anim.save(tmp_path / "chd.gif", writer="pillow", dpi=40)
+    assert (tmp_path / "chd.gif").stat().st_size > 0
+
+
+def test_scan_imagesc_cartesian_and_polar():
+    scan = q.ScanCartesian(x=np.linspace(-5e-3, 5e-3, 32), y=[0.0],
+                           z=np.linspace(0, 20e-3, 64))
+    b = np.random.rand(*scan.shape)
+    h = scan.imagesc(b)
+    assert h.get_array().size == 32 * 64
+    pol = q.ScanPolar(r=np.linspace(0, 20e-3, 48),
+                      a=np.linspace(-30, 30, 33))
+    bp = np.random.rand(*pol.shape) + 0.1
+    h2 = pol.imagesc(bp)
+    assert h2.get_array().size > 0
+
+
+def test_medium_xdc_scat_plots():
+    scan = q.ScanCartesian(x=np.linspace(-5e-3, 5e-3, 16), y=[0.0],
+                           z=np.linspace(0, 10e-3, 16))
+    med = q.Medium(c0=1540.0, pertreg=((lambda P: P[2] > 5e-3, {"c": 1600.0}),))
+    h = med.imagesc(scan, "c")
+    assert float(np.nanmax(h.get_array())) >= 1600.0 - 1
+    xdc = q.TransducerConvex(numel=16, radius=40e-3, fc=3e6)
+    assert xdc.plot() is not None
+    sc = q.Scatterers(pos=np.array([[0, 1e-3], [0, 0], [5e-3, 8e-3]]))
+    assert sc.plot() is not None
+
+
+def test_image_gif(tmp_path):
+    scan = q.ScanCartesian(x=np.linspace(-5e-3, 5e-3, 16), y=[0.0],
+                           z=np.linspace(0, 10e-3, 16))
+    frames = np.random.rand(*(tuple(scan.shape) + (1, 1, 4)))
+    anim = scan.gif(frames.reshape(16, 16, 1, 4))
+    anim.save(tmp_path / "img.gif", writer="pillow", dpi=40)
+    assert (tmp_path / "img.gif").stat().st_size > 0

@@ -106,3 +106,41 @@ def test_greens_subelements_smoke():
     chd = us.greens(scat, element_subdivisions=(2, 2))
     assert np.isfinite(np.abs(np.asarray(chd.data))).all()
     assert np.abs(np.asarray(chd.data)).max() > 0
+
+
+def test_calc_hp_focal_gain():
+    """Transmit pressure map: an FC transmit concentrates pressure at the
+    focus (calc_hp analog of UltrasoundSystem.m:2083-2456)."""
+    C0 = 1540.0
+    xdc = q.TransducerArray(numel=32, pitch=0.3e-3, fc=5e6)
+    focus = np.array([[0.0], [0.0], [15e-3]])
+    seq = q.Sequence(type="FC", focus=focus, c0=C0)
+    scan = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 33), y=[0.0],
+                           z=np.linspace(5e-3, 25e-3, 41))
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=40e6)
+    pm = us.calc_hp()  # (I1, I2, I3, 1)
+    assert pm.shape == tuple(scan.shape) + (1,)
+    pm2 = pm[..., 0].squeeze()
+    ij = np.unravel_index(np.argmax(pm2), pm2.shape)
+    # scan order ZXY: axis0 = z, axis1 = x
+    zpk = scan.z[ij[0]]
+    xpk = scan.x[ij[1]]
+    err = np.hypot(xpk - 0.0, zpk - 15e-3)
+    assert err < 1.1e-3, (xpk, zpk)
+    # focal gain: peak well above the lateral edge at the focal depth
+    iz = np.argmin(np.abs(scan.z - 15e-3))
+    assert pm2[iz, len(scan.x) // 2] > 3 * pm2[iz, 0]
+
+
+def test_calc_hp_pw_uniformity():
+    """A plane-wave transmit is laterally uniform away from the aperture
+    edges."""
+    C0 = 1540.0
+    xdc = q.TransducerArray(numel=48, pitch=0.3e-3, fc=5e6)
+    seq = q.Sequence(type="PW", focus=np.array([[0.0], [0.0], [1.0]]), c0=C0)
+    scan = q.ScanCartesian(x=np.linspace(-3e-3, 3e-3, 25), y=[0.0],
+                           z=np.linspace(8e-3, 12e-3, 9))
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=40e6)
+    pm = us.calc_hp()[..., 0].squeeze()  # (nz, nx)
+    mid = pm[4]  # central depth row
+    assert mid.std() / mid.mean() < 0.2
