@@ -166,11 +166,12 @@ def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
 
 @partial(jax.jit, static_argnames=("fs", "fmod", "keep_tx", "method",
                                    "jacobian", "pitch", "c0", "angles_deg",
-                                   "nfft"))
+                                   "nfft", "out"))
 def stolt_migration(x, t0, del_tx, angles_deg, *, fs: float, c0: float,
                     pitch: float, fmod: float = 0.0, keep_tx: bool = False,
                     method: str = "cubic", jacobian: bool = True,
-                    nfft: Optional[Tuple[int, int]] = None):
+                    nfft: Optional[Tuple[int, int]] = None,
+                    out: str = "complex"):
     """Stolt f-k migration for plane-wave data on a linear array
     (``UltrasoundSystem.bfMigration``, ``UltrasoundSystem.m:4740-4860``):
 
@@ -219,6 +220,10 @@ def stolt_migration(x, t0, del_tx, angles_deg, *, fs: float, c0: float,
     b = b * jnp.exp(2j * np.pi * kxj * jnp.asarray(gamma)[None, None, :] * zax)
     b = jnp.fft.ifft(jnp.fft.ifftshift(b, axes=1), n=K, axis=1)
     b = b[:T, :N]
-    if keep_tx:
-        return b
-    return jnp.sum(b, axis=2, keepdims=True)
+    if not keep_tx:
+        b = jnp.sum(b, axis=2, keepdims=True)
+    if out == "ri":
+        # boundary-safe ri pair: complex never leaves the jit on TPU
+        # backends that cannot transfer complex (utils/cpx contract)
+        return jnp.stack([jnp.real(b), jnp.imag(b)], axis=-1)
+    return b

@@ -139,7 +139,10 @@ def interpf(x, tau, extrap=None):
     Implements the missing-from-snapshot ``interpf`` referenced by
     ``ChannelData.sample(..., 'freq')`` (``src/ChannelData.m:1334``) as an
     FFT-phase-shift evaluation: ``y = sum_k X[k] exp(2i pi f_k tau) / T``.
-    This is a dense (C x T) x (T, *B) contraction — MXU-friendly.
+    This is a dense (C x T) x (T, *B) contraction — MXU-friendly — but it
+    MATERIALIZES an (I, *D, T) phasor: O(I * D * T) memory. Use it for
+    oracles and small resamples; at scale prefer :func:`interp1` (or chunk
+    the queries).
     """
     x = jnp.asarray(x)
     tau = jnp.asarray(tau)

@@ -551,11 +551,15 @@ UltrasoundSystem.ap_cosine_angle = _ap_cosine_angle
 # ----------------------------------------------------------------------------
 def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
                 fthresh_db: float = -40.0, max_bins: Optional[int] = None,
-                keep_rx: bool = False, keep_tx: bool = False):
+                keep_rx: bool = False, keep_tx: bool = False, bins=None):
     """Frequency-domain adjoint beamformer (``UltrasoundSystem.bfAdjoint``,
     ``src/UltrasoundSystem.m:3770-4050``): per-frequency steering-vector
     matrix products (batched complex GEMMs on the MXU). Returns the image
-    shaped ``(*scan.shape, N', M')``."""
+    shaped ``(*scan.shape, N', M')``.
+
+    Frequency-bin selection is shape-affecting and therefore host-side
+    (one small (T,) spectrum download per call); pass ``bins`` (int32
+    indices) to skip it and keep repeated calls jit-clean."""
     from .ops.fdbf import bf_adjoint
 
     c0v = float(c0 if c0 is not None else self_c0(us))
@@ -569,15 +573,18 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
 
     # frequency selection: spectral level per bin computed on device (real)
     T = chd.T
-    lev_fn = jax.jit(lambda x: 20.0 * jnp.log10(
-        jnp.abs(jnp.fft.fft(x, axis=0)).reshape(T, -1).max(axis=1) + 1e-30))
-    lev = np.asarray(lev_fn(chd.data))
-    lev = lev - lev.max()
-    f = np.fft.fftfreq(T) * chd.fs
-    sel = np.where((lev >= fthresh_db) & (f >= 0) & (f < chd.fs / 2))[0]
-    if max_bins is not None and sel.size > max_bins:
-        keep = np.argsort(lev[sel])[::-1][:max_bins]
-        sel = np.sort(sel[keep])
+    if bins is not None:
+        sel = np.asarray(bins, np.int32).reshape(-1)
+    else:
+        lev_fn = jax.jit(lambda x: 20.0 * jnp.log10(
+            jnp.abs(jnp.fft.fft(x, axis=0)).reshape(T, -1).max(axis=1) + 1e-30))
+        lev = np.asarray(lev_fn(chd.data))
+        lev = lev - lev.max()
+        f = np.fft.fftfreq(T) * chd.fs
+        sel = np.where((lev >= fthresh_db) & (f >= 0) & (f < chd.fs / 2))[0]
+        if max_bins is not None and sel.size > max_bins:
+            keep = np.argsort(lev[sel])[::-1][:max_bins]
+            sel = np.sort(sel[keep])
 
     b = bf_adjoint(chd.data, tau_rx, tau_tx, del_tx, apod_tx,
                    chd.t0_host, t0_off, sel.astype(np.int32),
@@ -613,7 +620,7 @@ def _refocus(us, chd, seq: Optional[Sequence] = None, gamma: Optional[float] = N
 def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
                   keep_tx: bool = False, method: str = "cubic",
                   jacobian: bool = True, resample: bool = True,
-                  nfft: Optional[Tuple[int, int]] = None):
+                  nfft: Optional[Tuple[int, int]] = None, out: str = "auto"):
     """Stolt f-k plane-wave migration (``UltrasoundSystem.bfMigration``,
     ``src/UltrasoundSystem.m:4675-4887``). Requires a PW sequence on a
     TransducerArray. Returns ``(b, bscan)`` where ``bscan`` is the image's
@@ -642,16 +649,27 @@ def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
     if nfft is None:
         from .utils import next_pow2
         nfft = (next_pow2(2 * chd.T), next_pow2(2 * chd.N))
+    # On TPU backends that cannot transfer complex across a program
+    # boundary (utils/cpx contract), every device result rides an ri pair
+    # and the complex image is assembled HOST-side (numpy).
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    use_ri = out == "ri" or (out == "auto" and on_tpu)
     b = stolt_migration(chd.data, t0, del_tx, tuple(angles),
                         fs=float(chd.fs), c0=c0v, pitch=float(us.xdc.pitch),
                         fmod=float(fmod), keep_tx=keep_tx, method=method,
-                        jacobian=jacobian, nfft=tuple(nfft))
+                        jacobian=jacobian, nfft=tuple(nfft),
+                        out="ri" if use_ri else "complex")
     # native image grid: z from the two-way time axis, x at the elements
     pn = us.xdc.positions()
     zax = us.xdc.offset[2] + c0v / 2 * (float(t0[0]) + np.arange(chd.T) / chd.fs)
     bscan = ScanCartesian(x=pn[0], y=[us.xdc.offset[1]], z=zax)
+
+    def host_cplx(bri):
+        h = np.asarray(bri)
+        return h[..., 0] + 1j * h[..., 1]
+
     if not resample:
-        return b, bscan
+        return (host_cplx(b) if use_ri else b), bscan
     # bilinear resample onto us.scan
     P = us.scan.positions()  # (3, I1, I2, I3)
     zi = (P[2] - zax[0]) / (zax[1] - zax[0])
@@ -661,6 +679,8 @@ def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
 
     @jax.jit
     def _resamp(b):
+        if use_ri:  # (T, N, M', 2) -> complex inside the jit
+            b = b[..., 0] + 1j * b[..., 1]
         Tn, Nn = b.shape[:2]
         z0 = jnp.clip(jnp.floor(zi).astype(jnp.int32), 0, Tn - 1)
         x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, Nn - 1)
@@ -671,9 +691,15 @@ def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
         v = ((1 - wz) * (1 - wx) * b[z0, x0] + (1 - wz) * wx * b[z0, x1]
              + wz * (1 - wx) * b[z1, x0] + wz * wx * b[z1, x1])
         oob = ((zi < 0) | (zi > Tn - 1) | (xi < 0) | (xi > Nn - 1))[:, None]
-        return jnp.where(oob, 0.0, v)
+        v = jnp.where(oob, 0.0, v)
+        if use_ri:
+            return jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
+        return v
 
-    v = _resamp(b)  # (I, M')
+    v = _resamp(b)  # (I, M') or (I, M', 2)
+    if use_ri:
+        v = host_cplx(v)
+        return v.reshape(us.scan.shape + (1,) + v.shape[1:]), bscan
     return v.reshape(us.scan.shape + (1,) + v.shape[1:]), bscan
 
 
