@@ -1,0 +1,169 @@
+"""Benchmark sweeps — the ParTest benchmark suite equivalents
+(``/root/reference/test/ParTest.m:244-318``), each emitting one JSON line
+per configuration:
+
+  python benches.py das     # s/frame vs image size (DAS_dev_benchmark)
+  python benches.py greens  # us/scatterer vs scatterer count
+  python benches.py fdtd    # ms/time-step on a 225x225 grid
+  python benches.py all
+
+Knobs: QUPS_BENCH_BUDGET (seconds per sweep, default 60 — sweeps stop when
+exceeded, like the reference), QUPS_BENCH_TINY=1 (CI smoke sizes).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _budget():
+    return float(os.environ.get("QUPS_BENCH_BUDGET", "60"))
+
+
+def _tiny():
+    return os.environ.get("QUPS_BENCH_TINY", "") == "1"
+
+
+def _emit(rec):
+    print(json.dumps(rec), flush=True)
+
+
+def bench_das():
+    """DAS s/frame vs image size: 2^6..2^12 px/side, T=1024, 128x128 tx/rx
+    (``ParTest.m:244-271``)."""
+    import jax
+    import jax.numpy as jnp
+    from qups_tpu.ops.das_pallas import das_tiled
+
+    T, N, M = (256, 16, 4) if _tiny() else (1024, 128, 128)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, N, M)).astype(np.float32))
+    pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    th = np.radians(np.linspace(-9, 9, M))
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.stack([np.sin(th), np.zeros(M), np.cos(th)], -1).astype(np.float32)
+    t0 = np.zeros(M, np.float32)
+    start = time.time()
+    sizes = [64, 128] if _tiny() else [64, 128, 256, 512, 1024, 2048, 4096]
+    for n in sizes:
+        if time.time() - start > _budget():
+            break
+        zs = np.linspace(5e-3, 45e-3, n)
+        xs = np.linspace(-12e-3, 12e-3, n)
+        Z, X = np.meshgrid(zs, xs, indexing="ij")
+        pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()],
+                      -1).astype(np.float32)
+        use_pallas = jax.devices()[0].platform != "cpu"
+        try:
+            def run():
+                if use_pallas:
+                    return float(jnp.sum(jnp.abs(das_tiled(
+                        x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=31.25e6,
+                        tx_model="plane", im_shape=(n, n, 1)))))
+                from qups_tpu.ops.das import das
+                return float(jnp.sum(jnp.abs(das(
+                    np.asarray(x), pi, pr, pv, nv, t0, 1 / 1540.0,
+                    fs=31.25e6, tx_model="plane", method="linear"))))
+            run()  # compile
+            t1 = time.time()
+            run()
+            dt = time.time() - t1
+        except Exception as e:  # pragma: no cover
+            _emit({"bench": "das", "n": n, "error": str(e)})
+            continue
+        _emit({"bench": "das", "metric": "s/frame", "n_px_side": n,
+               "value": dt, "sums_per_s": n * n * N * M / dt,
+               "T": T, "N": N, "M": M})
+
+
+def bench_greens():
+    """greens us/scatterer: 2^4..2^20 diffuse scatterers, 128x128 elements
+    (``ParTest.m:272-284``); stops at the time budget."""
+    import jax
+    import jax.numpy as jnp
+    from qups_tpu.ops.greens import greens_splat
+    from qups_tpu.ops.greens_pallas import greens_tiled
+
+    N = M = 16 if _tiny() else 128
+    K, fs, c0 = 41, 31.25e6, 1540.0
+    kern = (np.hanning(K) * np.sin(2 * np.pi * 5e6 * np.arange(K) / fs)
+            ).astype(np.float32)
+    pn = np.stack([np.linspace(-19e-3, 19e-3, N), np.zeros(N), np.zeros(N)],
+                  -1)[:, None, :].astype(np.float32)
+    pv = pn.copy()
+    rng = np.random.default_rng(0)
+    start = time.time()
+    smax = 8 if _tiny() else 20
+    for p in range(4, smax + 1, 2):
+        S = 2 ** p
+        if time.time() - start > _budget():
+            break
+        ps = np.stack([rng.uniform(-15e-3, 15e-3, S), np.zeros(S),
+                       rng.uniform(15e-3, 45e-3, S)], -1).astype(np.float32)
+        amp = np.ones(S, np.float32)
+        s0 = 2 * 14e-3 / c0
+        T = int(np.ceil((2 * 50e-3 / c0 - s0) * fs))
+        kw = dict(T=T, s0=s0, t0k=-K / 2 / fs, fs=fs, cinv=1 / c0, R0=1e-3)
+        use_pallas = jax.devices()[0].platform != "cpu"
+        try:
+            def run():
+                if use_pallas:
+                    return float(jnp.sum(jnp.abs(greens_tiled(
+                        kern, ps, amp, pn, pv, method="linear", **kw))))
+                return float(jnp.sum(jnp.abs(greens_splat(
+                    jnp.asarray(kern), ps, amp, pn, pv, method="linear",
+                    block=256, **kw))))
+            run()
+            t1 = time.time()
+            run()
+            dt = time.time() - t1
+        except Exception as e:  # pragma: no cover
+            _emit({"bench": "greens", "S": S, "error": str(e)})
+            continue
+        _emit({"bench": "greens", "metric": "us/scatterer", "S": S,
+               "value": dt / S * 1e6, "s_total": dt, "N": N, "M": M, "T": T})
+
+
+def bench_fdtd():
+    """FDTD ms/time-step, 225x225 grid (``ParTest.m:298-318``)."""
+    import jax.numpy as jnp
+    from qups_tpu.sim.fdtd import kspace_sim_2d
+
+    n = 64 if _tiny() else 225
+    c0, h = 1500.0, 0.2e-3
+    dt = 0.3 * h / c0
+    steps = 50 if _tiny() else 400
+    cmap = np.full((n, n), c0, np.float32)
+    rmap = np.full((n, n), 1000.0, np.float32)
+    t = np.arange(steps) * dt
+    sig = (np.sin(2 * np.pi * 2e6 * t)
+           * np.exp(-((t - 1e-6) / 0.5e-6) ** 2))[:, None].astype(np.float32)
+    src = (np.array([20]), np.array([n // 2]))
+    kw = dict(steps=steps, dt=dt, dx=h, c_ref=c0, record_rows=(n - 20,))
+
+    def run():
+        return float(jnp.sum(jnp.abs(kspace_sim_2d(cmap, rmap, *src, sig,
+                                                   **kw))))
+    run()
+    t1 = time.time()
+    run()
+    dtw = time.time() - t1
+    _emit({"bench": "fdtd", "metric": "ms/step", "grid": [n, n],
+           "steps": steps, "value": dtw / steps * 1e3, "s_total": dtw})
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("das", "all"):
+        bench_das()
+    if which in ("greens", "all"):
+        bench_greens()
+    if which in ("fdtd", "all"):
+        bench_fdtd()
+
+
+if __name__ == "__main__":
+    main()
