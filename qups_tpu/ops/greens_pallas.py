@@ -72,8 +72,7 @@ def _splat_kernel(lo_ref, nc_ref, scat_ref, pn_ref, ofs_ref, pv_ref, o_ref,
         pvz = pv_ref[2, m]
         row0 = (t * 8).astype(jnp.float32)
 
-        def group(g, acc):
-            blk = scat_ref[pl.ds(g * 8, 8), :]  # (8, 8) [x y z a ...]
+        def _group_body(blk, acc):  # blk (8, 8): [x y z a ...] per scatterer
             sx = blk[:, 0:1]  # (8, 1)
             sy = blk[:, 1:2]
             sz = blk[:, 2:3]
@@ -106,8 +105,12 @@ def _splat_kernel(lo_ref, nc_ref, scat_ref, pn_ref, ofs_ref, pv_ref, o_ref,
                 rows.append(jnp.sum(w * b, axis=0, keepdims=True))  # (1,128)
             return acc + jnp.concatenate(rows, axis=0)  # (8, 128)
 
-        acc = jax.lax.fori_loop(0, CS // 8, group,
-                                jnp.zeros((8, 128), jnp.float32))
+        # static unroll over the chunk's groups: the slice offsets become
+        # compile-time constants (a dynamic-ds fori here measured ~30x
+        # slower per step)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for g in range(CS // 8):
+            acc = _group_body(scat_ref[g * 8:(g + 1) * 8, :], acc)
         o_ref[0] += acc
 
 
@@ -148,11 +151,18 @@ def _splat_tiled(lo, nc, scat, pn, ofs, pv, *, Gtime: int, CS: int,
     return out
 
 
-def _plan_scat_windows(sort_u, sort_U, a2, ntiles, CS):
+def _plan_scat_windows(sort_u, sort_U, a2, ntiles, CS, Q: int = 4):
     """Chunk windows per (m, tile) from sorted per-scatterer deposit-row
     intervals. ``sort_u/sort_U`` (S,) are the rx-wise min/max of the
     ofs-shifted one-way deposit rows (sorted order); ``a2`` (S, M) the
-    per-tx additive term. Returns (lo_chunk, n_chunk) each (M, ntiles)."""
+    per-tx additive term. Returns (lo_chunk, n_chunk) each (M, ntiles).
+
+    ``Q``: window starts are quantized DOWN to multiples of Q chunks (ends
+    rounded up) so consecutive tiles share the same scatterer block index
+    sequence — the Pallas pipeline then skips the (lane-padded, ~128 KB)
+    chunk re-fetch between most grid steps, which otherwise dominates the
+    runtime (out-of-window scatterers deposit exactly zero, so widening is
+    always safe)."""
     S, M = a2.shape
     lo_chunk = np.zeros((M, ntiles), np.int32)
     n_chunk = np.zeros((M, ntiles), np.int32)
@@ -166,8 +176,13 @@ def _plan_scat_windows(sort_u, sort_U, a2, ntiles, CS):
         # last scatterer that can reach tile t: running min (from the right)
         E = np.minimum.accumulate(t0s[::-1])[::-1]
         hisc = np.searchsorted(E, tq, side="right")
-        lo_c = np.minimum(losc // CS, max(0, (S - 1) // CS))
+        SB = -(-S // CS)  # total chunks
+        lo_c = np.minimum(losc // CS, max(0, SB - 1))
         hi_c = -(-np.maximum(hisc, losc) // CS)
+        lo_c = (lo_c // Q) * Q
+        # widen to the quantum but NEVER past the last chunk: the kernel's
+        # clamped chunk index map would re-process (= re-deposit) it
+        hi_c = np.minimum(-(-hi_c // Q) * Q, SB)
         lo_chunk[m] = lo_c
         n_chunk[m] = np.maximum(0, hi_c - lo_c)
     return lo_chunk, n_chunk
@@ -200,6 +215,22 @@ def greens_tiled(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
         "greens_tiled needs real amplitudes; split re/im passes for complex"
     ps = np.asarray(ps, np.float32)
     amp = np.asarray(amp, np.float32)
+
+    # very large scatterer clouds: process in slabs host-side (traces add
+    # linearly) — bounds the per-(m, tile) chunk-window length and the
+    # grid size, which otherwise grow with S (the reference's tall-array /
+    # bsize blocking, ``UltrasoundSystem.m:756-762``)
+    SLAB = 131072
+    if ps.shape[0] > SLAB:
+        acc = None
+        for s0_ in range(0, ps.shape[0], SLAB):
+            part = greens_tiled(kern, ps[s0_:s0_ + SLAB],
+                                amp[s0_:s0_ + SLAB], pn, pv, T=T, s0=s0,
+                                t0k=t0k, fs=fs, cinv=cinv, R0=R0, fsr=fsr,
+                                method=method, interpret=interpret, CS=CS,
+                                out=out)
+            acc = part if acc is None else jax.jit(jnp.add)(acc, part)
+        return acc
     pn = np.asarray(pn, np.float32)
     pv = np.asarray(pv, np.float32)
     if pn.ndim == 2:
