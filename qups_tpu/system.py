@@ -215,6 +215,58 @@ class UltrasoundSystem:
         chd = ChannelData(data=x, fs=fs, t0=s0)
         return self.focusTx(chd, self.seq, method=method)
 
+    def simus(self, scat: Scatterers, baffle: str = "soft",
+              fthresh_db: float = -60.0,
+              element_subdivisions: Tuple[int, int] = (1, 1)) -> ChannelData:
+        """Frequency-domain point-scatterer simulation with far-field
+        element directivity — the native analog of the MUST/SIMUS interop
+        (``UltrasoundSystem.simus``, ``UltrasoundSystem.m:1464-1667``):
+        FSA synthesis via per-frequency (N, S) x (S, E) complex GEMMs (see
+        :mod:`qups_tpu.ops.simus`), then :meth:`focusTx`. Unlike the
+        reference's tone-burst-only external toolbox, any pulse works (it
+        enters through its spectrum)."""
+        from .ops.simus import simus_fsa
+
+        fs = float(self.fs)
+        c0 = float(scat.c0)
+        wv = self.rx.impulse.conv(self.tx.impulse.conv(self.seq.pulse, fs), fs)
+        wv = dataclasses.replace(wv, fs=fs)
+        kern = np.asarray(wv.samples)
+        if np.iscomplexobj(kern):
+            kern = np.real(kern)
+
+        pn = self.rx.positions().T
+        pv = self.tx.positions().T
+        ps = scat.pos
+        r_rx = np.linalg.norm(ps.T[:, None, :] - pn[None], axis=-1)
+        r_tx = np.linalg.norm(ps.T[:, None, :] - pv[None], axis=-1)
+        tmin = (r_rx.min() + r_tx.min()) / c0 + wv.t0 - wv.duration
+        tmax = (r_rx.max() + r_tx.max()) / c0 + wv.tend
+        n0 = math.floor(tmin * fs)
+        T = int(math.ceil(tmax * fs)) - n0 + 1
+        s0 = n0 / fs
+
+        # select bins where the pulse spectrum is above threshold
+        KERN = np.fft.rfft(kern, n=T)
+        lev = 20 * np.log10(np.abs(KERN) + 1e-30)
+        sel = np.where(lev >= lev.max() + fthresh_db)[0]
+        sel = sel[sel > 0]
+        f = sel * fs / T
+        spec = KERN[sel] * np.exp(-2j * np.pi * f * (wv.t0 - s0))
+
+        az_rx, _, _, _, _ = self.rx.orientations()
+        az_tx, _, _, _, _ = self.tx.orientations()
+        x = simus_fsa(ps.T, np.asarray(scat.amp, np.float32), pn,
+                      np.radians(np.broadcast_to(az_rx, (self.rx.numel,))),
+                      pv,
+                      np.radians(np.broadcast_to(az_tx, (self.tx.numel,))),
+                      jnp.asarray([self.tx.width, self.rx.width],
+                                  jnp.float32),
+                      spec.astype(np.complex64), sel.astype(np.int32),
+                      T=T, fs=fs, c0=c0, baffle=baffle)
+        chd = ChannelData(data=x, fs=fs, t0=s0)
+        return self.focusTx(chd, self.seq)
+
     # ---------------------------------------------------- transmit synthesis
     def focusTx(self, chd: ChannelData, seq: Optional[Sequence] = None,
                 method: str = "cubic", buffer: int = 0) -> ChannelData:

@@ -144,3 +144,63 @@ def test_calc_hp_pw_uniformity():
     pm = us.calc_hp()[..., 0].squeeze()  # (nz, nx)
     mid = pm[4]  # central depth row
     assert mid.std() / mid.mean() < 0.2
+
+
+def test_simus_tof_oracle():
+    """Native frequency-domain simulator: echo peak at the analytic
+    time-of-flight within 1 wavelength (the SimTest SIMUS tolerance,
+    ``test/SimTest.m:313``)."""
+    C0 = 1540.0
+    z_t = 15.4e-3  # TOF = 2*z/c = 20 us for FSA center element
+    xdc = q.TransducerArray(numel=16, pitch=0.3e-3, fc=5e6)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc,
+                            seq=q.Sequence(type="FSA", numpulse=16, c0=C0),
+                            scan=q.ScanCartesian(), fs=25e6)
+    scat = q.Scatterers(pos=np.array([[0.0], [0.0], [z_t]]), c0=C0)
+    chd = us.simus(scat)
+    n = 8  # center element
+    x = np.asarray(chd.data)[:, n, n]
+    env = np.abs(x) + np.abs(np.imag(np.fft.ifft(
+        np.fft.fft(x) * (np.fft.fftfreq(x.size) > 0) * 2)))
+    t = np.asarray(chd.time).reshape(-1)
+    # envelope peak via analytic signal
+    xa = np.abs(x)
+    t_pk = t[np.argmax(xa)]
+    t_exp = 2 * z_t / C0
+    lam = C0 / xdc.fc
+    assert abs(t_pk - t_exp) < lam / C0 * 1.5, (t_pk, t_exp)
+
+
+def test_simus_matches_greens_peak():
+    """simus and greens agree on echo timing and rough relative level."""
+    C0 = 1540.0
+    xdc = q.TransducerArray(numel=8, pitch=0.4e-3, fc=4e6)
+    seq = q.Sequence(type="FSA", numpulse=8, c0=C0)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq,
+                            scan=q.ScanCartesian(), fs=20e6)
+    scat = q.Scatterers(pos=np.array([[1e-3], [0.0], [12e-3]]), c0=C0)
+    c1 = us.simus(scat)
+    c2 = us.greens(scat)
+    x1 = np.asarray(c1.data)[:, 4, 4]
+    x2 = np.real(np.asarray(c2.data))[:, 4, 4]
+    t1 = np.asarray(c1.time).reshape(-1)[np.argmax(np.abs(x1))]
+    t2 = np.asarray(c2.time).reshape(-1)[np.argmax(np.abs(x2))]
+    assert abs(t1 - t2) < 3 / us.fs, (t1, t2)
+
+
+def test_simus_directivity():
+    """Off-axis scatterers are attenuated by the element directivity
+    (soft baffle) relative to on-axis at equal range."""
+    C0 = 1540.0
+    xdc = q.TransducerArray(numel=1, pitch=1e-3, fc=5e6, width=0.95e-3)
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc,
+                            seq=q.Sequence(type="FSA", numpulse=1, c0=C0),
+                            scan=q.ScanCartesian(), fs=25e6)
+    r = 10e-3
+    th = np.radians(50.0)
+    on = q.Scatterers(pos=np.array([[0.0], [0.0], [r]]), c0=C0)
+    off = q.Scatterers(pos=np.array([[r * np.sin(th)], [0.0],
+                                     [r * np.cos(th)]]), c0=C0)
+    a_on = np.abs(np.asarray(us.simus(on).data)).max()
+    a_off = np.abs(np.asarray(us.simus(off).data)).max()
+    assert a_off < 0.6 * a_on, (a_on, a_off)
