@@ -59,7 +59,12 @@ def dict2obj(d: Dict):
     from . import core
 
     d = dict(d)
-    cls = getattr(core, d.pop("class"))
+    name = d.pop("class")
+    if hasattr(core, name):
+        cls = getattr(core, name)
+    else:  # orchestration-layer classes (e.g. UltrasoundSystem)
+        from . import system as _system
+        cls = getattr(_system, name)
     kw = {}
     for k, v in d.items():
         if isinstance(v, dict) and "class" in v:
