@@ -510,10 +510,10 @@ def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
     return out if nch > 1 else (out,)
 
 
-def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20):
+def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):
     """Pick (MC, NC) trace-chunk sizes: maximize resident transmits within
     the VMEM budget (double-buffered), NC a multiple of 8 dividing Npad."""
-    per_t = T * 4 * 2 * nch  # bytes per (tx, rx) trace row incl. 2 buffers
+    per_t = T * itemsize * 2 * nch  # bytes/(tx,rx) trace row w/ 2 buffers
     cap = max(1, vmem_budget // per_t)  # max MC*NC
     # cap NC at 64: several transmits resident (MC > 1) amortizes the
     # per-group receive geometry across the chunk
@@ -615,7 +615,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
               fmod: float = 0.0, im_shape: Optional[Tuple[int, ...]] = None,
               out: str = "complex", apod=(), keep_rx: bool = False,
               lat: Optional[np.ndarray] = None, interpret: bool = False,
-              orientations: Optional[np.ndarray] = None):
+              orientations: Optional[np.ndarray] = None,
+              precision: str = "f32"):
     """Fast Pallas DAS (linear interp; summed or keep_rx output).
 
     Same contract as :func:`qups_tpu.ops.das.das` for the common path:
@@ -623,6 +624,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     consecutive groups of 128 lie on an iso-depth scan row (true for
     cartesian 'ZXY' and polar 'RAY' grids flattened in C order; the wrapper
     pads otherwise). Returns (I, 1, 1[, F]) or (I, N, 1[, F]) with keep_rx.
+
+    ``precision``: 'f32' (default) or 'bf16' — bf16 stores the trace
+    slabs (and runs the two tap gathers) at half the width; weights and
+    accumulation stay f32. ~8-bit mantissa on the raw samples: fine for
+    display-dynamic-range imaging, not for strict numeric parity.
 
     ``apod``: tuple of :class:`Fused` geometry-apodization descriptors,
     evaluated in-register (see module docstring). ``lat``: per-pixel
@@ -755,13 +761,16 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                         t0, fs, 1.0, Tp, tx_model).astype(np.int32)  # (RB,)
 
     nch = 2 if (cplx or fmod != 0.0) else 1
-    MC, NC = _choose_chunks(M, Np8, Tp, nch)
+    itemsize = 2 if precision == "bf16" else 4
+    MC, NC = _choose_chunks(M, Np8, Tp, nch, itemsize=itemsize)
 
     def prep_real(xr):
         """(T, N, M[, F]) -> (F?, M, Np8, Tp) padded."""
         if Tp != T or Np8 != N:
             padc = [(0, Tp - T), (0, Np8 - N)] + [(0, 0)] * (xr.ndim - 2)
             xr = jnp.pad(xr, padc)
+        if precision == "bf16":
+            xr = xr.astype(jnp.bfloat16)
         if Fn is not None:
             return jnp.transpose(xr, (3, 2, 1, 0))  # (F, M, N, T)
         return jnp.transpose(xr, (2, 1, 0))  # (M, N, T)

