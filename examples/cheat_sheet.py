@@ -1,0 +1,84 @@
+"""qups_tpu cheat sheet — an executable tour of the API surface (the
+reference's ``cheat_sheet.m`` / ``example_.m``, run end-to-end by
+``tests/test_examples.py``). Sizes are kept small so it runs in seconds on
+CPU; scale them up freely on TPU.
+"""
+import numpy as np
+
+import qups_tpu as q
+
+# --------------------------------------------------------------- definitions
+# Transducers: linear / convex / matrix / generic (+ named presets)
+xdc = q.TransducerArray(numel=16, pitch=0.3e-3, fc=5e6)
+_ = q.TransducerArray.L11_5v()          # named probe presets
+_ = q.TransducerConvex(numel=16, radius=40e-3, fc=3e6)
+_ = q.TransducerMatrix(numd=(4, 4), pitch2=(0.3e-3, 0.3e-3), fc=3e6)
+
+# Sequences: FSA / PW / FC / DV / VS (+ custom delays & apodization)
+c0 = 1540.0
+seq_fsa = q.Sequence(type="FSA", numpulse=xdc.numel, c0=c0)
+ang = np.radians([-10.0, 0.0, 10.0])
+seq_pw = q.Sequence(type="PW", focus=np.stack(
+    [np.sin(ang), 0 * ang, np.cos(ang)]), c0=c0)
+seq_fc = q.Sequence(type="FC", focus=np.array(
+    [[-2e-3, 0.0, 2e-3], [0, 0, 0], [20e-3, 20e-3, 20e-3]]), c0=c0)
+
+# Scans: cartesian / polar / spherical / generic
+scan = q.ScanCartesian(x=np.linspace(-3e-3, 3e-3, 64), y=[0.0],
+                       z=np.linspace(12e-3, 24e-3, 64))
+
+# Media and scatterers
+target = np.array([[0.0], [0.0], [18e-3]])
+scat = q.Scatterers(pos=target, c0=c0)
+med = q.Medium(c0=c0, rho0=1000.0,
+               pertreg=((lambda P: P[2] > 20e-3, {"c": 1600.0}),))
+
+# The system object ties them together
+us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq_pw, scan=scan, fs=25e6)
+
+# ---------------------------------------------------------------- simulation
+chd = us.greens(scat)                   # Green's-function sim + focusTx
+print("ChannelData:", chd.data.shape, "fs =", chd.fs)
+
+# transmit pressure-field map (calc_hp analog)
+pmax = us.replace(seq=seq_fc).calc_hp()
+print("pressure map:", pmax.shape)
+
+# ----------------------------------------------------------------------- DSP
+chd2 = chd.hilbert()                    # analytic signal
+chd2 = chd2.downmix(us.fc)              # baseband IQ
+chd2 = chd2.resample(12.5e6)            # half rate
+
+# --------------------------------------------------------------- beamforming
+b = us.DAS(chd, method="linear")        # compute-optimized DAS
+b2 = us.bfDAS(chd)                      # delay-table DAS
+b3 = us.bfAdjoint(chd, max_bins=24)     # frequency-domain adjoint
+b4, bscan = us.bfMigration(chd)         # Stolt f-k migration (PW only)
+tau_rx, tau_tx = us.das_delay_tables()
+b5 = us.bfDASLUT(chd, tau_rx, tau_tx)   # bring-your-own-delays
+
+# apodization (dense generators, or fused in-kernel descriptors on TPU)
+apod = us.ap_aperture_growth(f=1.5)
+b6 = us.DAS(chd, apod=(q.Fused("aperture_growth", f=1.5),), method="linear")
+
+# coherence imaging on a receive-kept image
+brx = us.DAS(chd, keep_rx=True, method="linear")
+cf = q.ops.cohfac(np.asarray(brx), axis=-2)
+print("images:", b.shape, "coherence:", cf.shape)
+
+# ----------------------------------------------------- heterogeneous medium
+cgrd = q.ScanCartesian(x=np.arange(-4e-3, 4e-3, 0.2e-3), y=[0.0],
+                       z=np.arange(0.0, 26e-3, 0.2e-3))
+b7 = us.bfEikonal(chd, med, cgrd)       # eikonal travel-time beamforming
+print("eikonal image:", b7.shape)
+
+# ------------------------------------------------------------ serialization
+from qups_tpu import interop  # noqa: E402
+import tempfile, os  # noqa: E402
+with tempfile.TemporaryDirectory() as d:
+    interop.save_uff(os.path.join(d, "demo.uff"), chd=chd, xdc=xdc,
+                     seq=seq_pw, scan=scan)
+    back = interop.load_uff(os.path.join(d, "demo.uff"))
+    assert back["xdc"].numel == xdc.numel
+
+print("cheat sheet OK")

@@ -89,3 +89,14 @@ def test_io_roundtrip(tmp_path):
     xdc2 = dict2obj(d)
     assert np.allclose(xdc2.positions(), xdc.positions())
     assert xdc2.fc == xdc.fc
+
+
+def test_cheat_sheet_runs():
+    """The cheat-sheet example executes end-to-end (``ExampleTest`` runs
+    ``cheat_sheet.m``, ``test/ExampleTest.m:332-341``)."""
+    path = ROOT / "examples" / "cheat_sheet.py"
+    src = path.read_text()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        exec(compile(src, str(path), "exec"), {"__name__": "__cheat__"})
+    assert "cheat sheet OK" in buf.getvalue()
