@@ -104,7 +104,12 @@ def main():
     f = jax.jit(lambda xx: jnp.sum(jnp.abs(_das_fast(
         xx, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6, tx_model="plane",
         method="linear", im_shape=(n, n, 1)))))
+    t0u = time.time()
     xj = jnp.asarray(x)
+    # force the (possibly ~1 GB) host->device transfer to complete so it
+    # is not charged to the compile measurement
+    float(jnp.sum(xj[:1, :1, :1]))
+    upload_s = time.time() - t0u
 
     def run():
         return float(f(xj))  # forces execution + download
@@ -127,7 +132,8 @@ def main():
         "vs_baseline": sums_per_s / BASELINE_SUMS_PER_S,
         "detail": {
             "config": cfg, "size": size, "latency_s": dt,
-            "compile_s": compile_s, "device": str(dev), "check": chk,
+            "compile_s": compile_s, "upload_s": upload_s,
+            "device": str(dev), "check": chk,
         },
     }))
 
