@@ -147,7 +147,7 @@ def _tx_apod_weight(kind, prm, lat, pz, px, pv_ref, m):
 
 def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
             tx_model: str, planar: bool, iq: bool, fmod: float,
-            MC: int, NC: int, F: int, keep_rx: bool,
+            MC: int, NC: int, F: int, keep_rx: bool, keep_tx: bool,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
@@ -213,14 +213,17 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
     geoms = [tx_geom(mtc * MC + c) for c in range(MC)]
 
     def select_c(c, items):
+        if isinstance(c, int):  # static transmit lane (keep_tx path)
+            return items[c]
         v = items[0]
         for cc in range(1, MC):
             v = jnp.where(c == cc, items[cc], v)
         return v
 
-    def rx_group(g, accs64):
+    def rx_group(g, accs64, c_only=None):
         """Accumulate the 8 receive elements of group g of chunk ncc, over
-        all MC transmits of the chunk, into accs64 — per-channel (64, 128)
+        all MC transmits of the chunk (or the single static transmit lane
+        ``c_only`` for keep_tx), into accs64 — per-channel (64, 128)
         stacks holding one 8-row image-tile band per rx element.
 
         Everything past the per-element geometry runs on (64, 128)
@@ -315,6 +318,8 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                         accs64[1] + tre * sph + tim * cph)
             return jax.lax.fori_loop(0, Jeff, jbody, accs64)
 
+        if c_only is not None:
+            return cbody(c_only, accs64)
         return jax.lax.fori_loop(0, MC, cbody, accs64)
 
     # --- accumulate ---
@@ -341,6 +346,16 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                     row = g * 8 + r
                     oset(out_refs[ch], oref(acc_refs[ch], row) + band[r],
                          row)
+    elif keep_tx:
+        for c in range(MC):
+            def gbody(g, accs64, c=c):
+                return rx_group(g, accs64, c_only=c)
+
+            accs64 = jax.lax.fori_loop(0, G, gbody,
+                                       tuple(z64 for _ in range(nch)))
+            for ch in range(nch):
+                tile = jnp.sum(accs64[ch].reshape(8, 8, 128), axis=0)
+                oset(out_refs[ch], oref(acc_refs[ch], c) + tile, c)
     else:
         def gbody(g, accs64):
             return rx_group(g, accs64)
@@ -417,11 +432,11 @@ def _plan_windows(pz, px, py, pr, pv, nv, t0, fs, cinv, T, tx_model,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fs", "tx_model", "planar", "fmod", "keep_rx", "rx_apods", "tx_apods",
-    "MC", "NC", "interpret"))
+    "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
+    "tx_apods", "MC", "NC", "interpret"))
 def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
-              planar, fmod, keep_rx, rx_apods, tx_apods, MC, NC,
-              interpret=False):
+              planar, fmod, keep_rx, keep_tx=False, rx_apods, tx_apods,
+              MC, NC, interpret=False):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once)."""
     RB = pz.shape[0] // 8
@@ -439,7 +454,8 @@ def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
-        rx_apods=rx_apods, tx_apods=tx_apods, has_lat=has_lat)
+        keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
+        has_lat=has_lat)
 
     grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
 
@@ -471,6 +487,21 @@ def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
                 lambda ncc, mtc, rb, cb, *_: (ncc, rb, cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct((N, pz.shape[0], pz.shape[1]),
+                                          jnp.float32)
+    elif keep_tx:
+        if F > 1:
+            ospec = pl.BlockSpec(
+                (1, MC, 8, 128),
+                lambda f, ncc, mtc, rb, cb, *_: (f, mtc, rb, cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct((F, M, pz.shape[0], pz.shape[1]),
+                                          jnp.float32)
+        else:
+            ospec = pl.BlockSpec(
+                (MC, 8, 128),
+                lambda ncc, mtc, rb, cb, *_: (mtc, rb, cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct((M, pz.shape[0], pz.shape[1]),
                                           jnp.float32)
     else:
         if F > 1:
@@ -614,7 +645,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
               tx_model: str = "virtual", method: str = "linear",
               fmod: float = 0.0, im_shape: Optional[Tuple[int, ...]] = None,
               out: str = "complex", apod=(), keep_rx: bool = False,
-              lat: Optional[np.ndarray] = None, interpret: bool = False,
+              keep_tx: bool = False, lat: Optional[np.ndarray] = None,
+              interpret: bool = False,
               orientations: Optional[np.ndarray] = None,
               precision: str = "f32"):
     """Fast Pallas DAS (linear interp; summed or keep_rx output).
@@ -641,6 +673,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         raise ValueError(
             f"das_tiled implements linear interpolation only, got {method!r};"
             " use qups_tpu.ops.das.das for other methods")
+    if keep_rx and keep_tx:
+        raise ValueError("das_tiled keeps at most one of rx/tx; use"
+                         " qups_tpu.ops.das.das for the BF (keep both) mode")
     apod = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
     for a in apod:
         if not isinstance(a, Fused):
@@ -777,8 +812,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
     def run(xr, xi=None):
         xs = (xr,) if xi is None else (xr, xi)
-        oshape = ((Fn,) if Fn else ()) + (
-            ((Np8,) if keep_rx else ()) + (I1p, I2p))
+        keep_n = (Np8,) if keep_rx else ((M,) if keep_tx else ())
+        oshape = ((Fn,) if Fn else ()) + keep_n + (I1p, I2p)
         accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
         outs = _das_call(
             jnp.asarray(Jrb), jnp.asarray(pzs), jnp.asarray(pxs),
@@ -786,9 +821,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             jnp.asarray(lat_tile) if lat_tile is not None else None,
             jnp.asarray(prs), jnp.asarray(pvs), xs, accs, fs=float(fs),
             tx_model=tx_model, planar=planar, fmod=float(fmod),
-            keep_rx=keep_rx, rx_apods=tuple(rx_apods),
+            keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret)
-        # crop to (I, N', 1[, F])
+        # crop to (I, N', M'[, F])
         res = []
         for o in outs:
             if Fn:
@@ -797,6 +832,10 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                 # (N, I1p, I2p[, F]) -> (I, N, 1[, F])
                 o = jnp.moveaxis(o[:N, :I1, :I2], 0, 2)
                 o = o.reshape((I, N, 1) + o.shape[3:])
+            elif keep_tx:
+                # (M, I1p, I2p[, F]) -> (I, 1, M[, F])
+                o = jnp.moveaxis(o[:M, :I1, :I2], 0, 2)
+                o = o.reshape((I, 1, M) + o.shape[3:])
             else:
                 o = o[:I1, :I2].reshape((I, 1, 1) + o.shape[2:])
             res.append(o)

@@ -337,7 +337,7 @@ class UltrasoundSystem:
         fused_ok = all(isinstance(a, Fused) for a in apod_t)
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         eligible = (
-            fused_ok and not keep_tx
+            fused_ok and not (keep_rx and keep_tx)
             and cinv.ndim == 0 and chd.data.ndim in (3, 4)
             and self.scan.shape[2] == 1
             and method == "linear"
@@ -350,7 +350,7 @@ class UltrasoundSystem:
             import warnings
             warnings.warn(
                 "DAS: falling back to the XLA path (Pallas kernel ineligible:"
-                f" fused_apod={fused_ok} keep_tx={keep_tx}"
+                f" fused_apod={fused_ok} keep_rx&tx={keep_rx and keep_tx}"
                 f" cinv_ndim={cinv.ndim} data_ndim={chd.data.ndim}"
                 f" method={method!r}); this is ~100x slower on TPU",
                 stacklevel=2)
@@ -371,8 +371,8 @@ class UltrasoundSystem:
                             pv, nv, t0, cinv, fs=float(chd.fs),
                             tx_model=model, method="linear", fmod=float(fmod),
                             im_shape=tuple(self.scan.shape), out=out,
-                            apod=apod_t, keep_rx=keep_rx, lat=lat,
-                            orientations=ori)
+                            apod=apod_t, keep_rx=keep_rx, keep_tx=keep_tx,
+                            lat=lat, orientations=ori)
         else:
             apod_m = tuple(a.materialize(self) if isinstance(a, Fused) else a
                            for a in apod_t)

@@ -179,3 +179,16 @@ def test_bf16_precision_mode():
     scale = np.abs(ref).max()
     # bf16 slabs: ~8-bit mantissa on the raw samples
     assert np.abs(got - ref).max() / scale < 2e-2
+
+
+def test_keep_tx():
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         keep_tx=True))  # (I, 1, M)
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               keep_tx=True, interpret=True))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
