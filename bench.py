@@ -16,7 +16,6 @@ Environment knobs:
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np

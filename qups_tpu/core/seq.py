@@ -22,7 +22,6 @@ forms (``Sequence.m:126-188``), enabling Hadamard/random encodings.
 from __future__ import annotations
 
 import dataclasses
-import math
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple, Union
 

@@ -33,7 +33,7 @@ skip gracefully when external files are absent (``test/InteropTest.m:30-76``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence as Seq, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import heapq
 import os
 import subprocess
 from concurrent.futures import ThreadPoolExecutor
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -30,14 +30,13 @@ are ``psum``-reduced (see ``qups_tpu.parallel``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .conv import convd
-from .interp import _taps, expand_trailing, interp1
+from .interp import _taps, interp1
 
 
 def _norm3(v, axis=-1):

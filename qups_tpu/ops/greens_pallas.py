@@ -34,7 +34,6 @@ Real (f32) kernels/amplitudes only; complex falls back to the XLA path.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

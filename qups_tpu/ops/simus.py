@@ -14,11 +14,9 @@ external MATLAB toolbox. The inverse FFT returns time-domain FSA traces.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @partial(jax.jit, static_argnames=("T", "fs", "c0", "baffle"))

@@ -21,7 +21,6 @@ slices — the spec code is identical.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

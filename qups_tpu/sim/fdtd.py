@@ -30,7 +30,7 @@ math under ``lax.fori_loop``, all static shapes.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass
-from typing import Optional, Sequence as Seq, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ from .core.channel_data import ChannelData
 from .core.scan import Scan, ScanCartesian, ScanPolar
 from .core.scat import Scatterers
 from .core.seq import Sequence
-from .core.waveform import Waveform
 from .core.xdc import Transducer, TransducerArray, TransducerConvex, TransducerMatrix
 from .ops.das import das, das_lut, delay_tables
 from .ops.greens import greens_dense, greens_splat
