@@ -658,9 +658,13 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     pads otherwise). Returns (I, 1, 1[, F]) or (I, N, 1[, F]) with keep_rx.
 
     ``precision``: 'f32' (default) or 'bf16' — bf16 stores the trace
-    slabs (and runs the two tap gathers) at half the width; weights and
-    accumulation stay f32. ~8-bit mantissa on the raw samples: fine for
-    display-dynamic-range imaging, not for strict numeric parity.
+    slabs at half the width; weights and accumulation stay f32. ~8-bit
+    mantissa on the raw samples: fine for display-dynamic-range imaging,
+    not strict numeric parity. NOTE: the current Mosaic toolchain rejects
+    bf16 ``dynamic_gather`` ("indices and result have different
+    bitwidths"), so bf16 only runs in interpret mode today; it raises
+    otherwise so the failure is explicit rather than a remote-compile
+    error.
 
     ``apod``: tuple of :class:`Fused` geometry-apodization descriptors,
     evaluated in-register (see module docstring). ``lat``: per-pixel
@@ -676,6 +680,10 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     if keep_rx and keep_tx:
         raise ValueError("das_tiled keeps at most one of rx/tx; use"
                          " qups_tpu.ops.das.das for the BF (keep both) mode")
+    if precision == "bf16" and not interpret:
+        raise NotImplementedError(
+            "precision='bf16' requires bf16 dynamic_gather, which the"
+            " current Mosaic TPU toolchain does not implement")
     apod = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
     for a in apod:
         if not isinstance(a, Fused):
