@@ -47,6 +47,13 @@ def slsc(x, axis: int = -1, lags: Union[int, Sequence[int], None] = None,
     """Short-lag spatial coherence across the aperture ``axis``
     (``kern/slsc.m``).
 
+    TPU note: on backends where complex cannot cross a program boundary,
+    wrap the call in one jit with an ri-pair input — e.g.
+    ``jax.jit(lambda r: slsc(ri_join(r), axis=3))(brx_ri)`` with ``brx_ri``
+    the ``(..., 2)`` image from ``system.DAS(..., keep_rx=True, out='ri')``
+    (see ``qups_tpu.utils.cpx``); the coherence outputs are real and cross
+    the boundary freely.
+
     ``lags``: max lag (int -> ``1..L``) or an explicit lag list; default
     ``floor(A/4)``. ``kaxis``: optional time-kernel axis reduced along with
     the aperture.
