@@ -285,7 +285,9 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                              for xr in x_refs]
                 LJ = TIS - ws
                 LJ1 = LJ + 1
-                # unsigned compare: 0 <= lj < W in one cmp per tap
+                # 0 <= lj < W via one unsigned compare per tap (measured
+                # identical to two signed compares on this Mosaic - kept
+                # for the smaller expression)
                 m0 = LJ.astype(jnp.uint32) < W
                 m1 = LJ1.astype(jnp.uint32) < W
                 l0 = LJ & (W - 1)
