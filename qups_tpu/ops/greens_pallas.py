@@ -45,10 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 def _splat_kernel(lo_ref, nc_ref, scat_ref, pn_ref, ofs_ref, pv_ref, o_ref,
                   *, CS: int, cinv_fs: float, pconst: float, R0: float,
                   basis: str):
-    """Grid (NB, M, T_tiles, CHUNKS). Blocks: scat (CS, 8) packed sorted
-    scatterers, cols [x, y, z, amp]; pn (8, 128) rx rows [x, y, z]; ofs
-    (1, 128) f32 per-rx row offset; pv (8, Mpad) SMEM tx rows [x, y, z];
-    o (1, 8, 128) deposit tile, accumulated over the chunk grid dim."""
+    """Grid (NB, M, T_tiles, CHUNKS). Blocks: scat (8, CS) packed sorted
+    scatterers — FIELDS on sublanes [x, y, z, amp, 0...], scatterers on
+    lanes, so the HBM chunk blocks are dense (a (CS, 8) layout pads lanes
+    16x in HBM and in the per-step chunk DMA; measured perf-neutral at
+    CS=256 — the kernel is compute/grid-overhead bound — but the dense
+    form is what an in-kernel chunk DMA loop needs). Groups of 8
+    scatterers are transposed in-register. pn (8, 128) rx rows [x, y, z];
+    ofs (1, 128) f32 per-rx row offset; pv (8, Mpad) SMEM tx rows
+    [x, y, z]; o (1, 8, 128) deposit tile, accumulated over the chunk
+    grid dim."""
     m = pl.program_id(1)
     t = pl.program_id(2)
     c = pl.program_id(3)
@@ -104,12 +110,12 @@ def _splat_kernel(lo_ref, nc_ref, scat_ref, pn_ref, ofs_ref, pv_ref, o_ref,
                 rows.append(jnp.sum(w * b, axis=0, keepdims=True))  # (1,128)
             return acc + jnp.concatenate(rows, axis=0)  # (8, 128)
 
-        # static unroll over the chunk's groups: the slice offsets become
-        # compile-time constants (a dynamic-ds fori here measured ~30x
-        # slower per step)
+        # static unroll over the chunk's 8-scatterer groups; each group is
+        # an (8 fields, 8 scatterers) static slice transposed in-register
+        # to (scatterers, fields) so the grouped vector math applies
         acc = jnp.zeros((8, 128), jnp.float32)
         for g in range(CS // 8):
-            acc = _group_body(scat_ref[g * 8:(g + 1) * 8, :], acc)
+            acc = _group_body(scat_ref[:, g * 8:(g + 1) * 8].T, acc)
         o_ref[0] += acc
 
 
@@ -119,19 +125,19 @@ def _splat_tiled(lo, nc, scat, pn, ofs, pv, *, Gtime: int, CS: int,
                  CHUNKS: int, cinv_fs: float, pconst: float, R0: float,
                  basis: str, interpret: bool = False):
     NB, M, TT = lo.shape
-    SB = scat.shape[0] // CS
+    SB = scat.shape[1] // CS
     kern = functools.partial(_splat_kernel, CS=CS, cinv_fs=cinv_fs,
                              pconst=pconst, R0=R0, basis=basis)
     grid = (NB, M, TT, CHUNKS)
 
     def scat_idx(nb, m, t, c, lo_ref, nc_ref):
-        return (jnp.minimum(lo_ref[nb, m, t] + c, SB - 1), 0)
+        return (0, jnp.minimum(lo_ref[nb, m, t] + c, SB - 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((CS, 8), scat_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CS), scat_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda nb, m, t, c, *_: (0, nb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda nb, m, t, c, *_: (0, nb),
@@ -298,13 +304,14 @@ def greens_tiled(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     U_s = (U + tshift_rows + P0)[order]
     a2_s = a2r[order]
 
-    # pack scatterers (Spad, 8): [x, y, z, amp, 0...]
+    # pack scatterers (8, Spad): rows [x, y, z, amp, 0...] — scatterers on
+    # LANES so the HBM chunk blocks are dense (see _splat_kernel)
     Spad = -(-S // CS) * CS
-    scat = np.zeros((Spad, 8), np.float32)
-    scat[:S, 0:3] = ps_s
-    scat[:S, 3] = amp_s
+    scat = np.zeros((8, Spad), np.float32)
+    scat[0:3, :S] = ps_s.T
+    scat[3, :S] = amp_s
     if Spad > S:  # replicate last position with zero amplitude
-        scat[S:, 0:3] = ps_s[-1]
+        scat[0:3, S:] = ps_s[-1][:, None]
 
     # rx lanes (pad to 128 multiples); pads replicate the last element so
     # radii stay finite; their columns are cropped after the kernel
