@@ -42,110 +42,124 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _splat_kernel(lo_ref, nc_ref, scat_ref, pn_ref, ofs_ref, pv_ref, o_ref,
-                  *, CS: int, cinv_fs: float, pconst: float, R0: float,
-                  basis: str):
-    """Grid (NB, M, T_tiles, CHUNKS). Blocks: scat (8, CS) packed sorted
-    scatterers — FIELDS on sublanes [x, y, z, amp, 0...], scatterers on
-    lanes, so the HBM chunk blocks are dense (a (CS, 8) layout pads lanes
-    16x in HBM and in the per-step chunk DMA; measured perf-neutral at
-    CS=256 — the kernel is compute/grid-overhead bound — but the dense
-    form is what an in-kernel chunk DMA loop needs). Groups of 8
-    scatterers are transposed in-register. pn (8, 128) rx rows [x, y, z];
-    ofs (1, 128) f32 per-rx row offset; pv (8, Mpad) SMEM tx rows
-    [x, y, z]; o (1, 8, 128) deposit tile, accumulated over the chunk
-    grid dim."""
+def _splat_kernel(lo_ref, nc_ref, scat_hbm, pn_ref, ofs_ref, pv_ref, o_ref,
+                  scratch, sem, *, CS: int, cinv_fs: float, pconst: float,
+                  R0: float, basis: str):
+    """Grid (NB, M, T_tiles). The per-(m, t) chunk window is streamed
+    INSIDE the kernel with double-buffered DMA from the HBM-resident
+    scat array (8, Spad) — FIELDS on sublanes [x, y, z, amp, 0...],
+    scatterers on lanes, so chunks are dense in HBM (a (CS, 8) layout
+    lane-pads 16x). The in-kernel fori has the exact per-tile trip count,
+    so no grid steps are wasted on pl.when-skipped chunk slots (the
+    previous CHUNKS grid dim padded every tile to the global max and
+    spent ~half the grid steps skipping). Groups of 8 scatterers are
+    transposed in-register. pn (8, 128) rx rows [x, y, z]; ofs (1, 128)
+    f32 per-rx row offset; pv (8, Mpad) SMEM tx rows [x, y, z];
+    o (1, 8, 128) deposit tile, written once per grid step."""
     m = pl.program_id(1)
     t = pl.program_id(2)
-    c = pl.program_id(3)
-
-    @pl.when(c == 0)
-    def _init():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
     nb = pl.program_id(0)
+    lo = lo_ref[nb, m, t]
     nchunks = nc_ref[nb, m, t]
 
-    @pl.when(c < nchunks)
-    def _work():
-        pnx = pn_ref[0:1, :]  # (1, 128)
-        pny = pn_ref[1:2, :]
-        pnz = pn_ref[2:3, :]
-        ofs = ofs_ref[0:1, :]
-        pvx = pv_ref[0, m]
-        pvy = pv_ref[1, m]
-        pvz = pv_ref[2, m]
-        row0 = (t * 8).astype(jnp.float32)
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            scat_hbm.at[:, pl.ds((lo + c) * CS, CS)],
+            scratch.at[slot], sem.at[slot])
 
-        def _group_body(blk, acc):  # blk (8, 8): [x y z a ...] per scatterer
-            sx = blk[:, 0:1]  # (8, 1)
-            sy = blk[:, 1:2]
-            sz = blk[:, 2:3]
-            a = blk[:, 3:4]
-            dx = sx - pnx  # (8, 128)
-            dy = sy - pny
-            dz = sz - pnz
-            r1 = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (8, 128)
-            ex = sx - pvx
-            ey = sy - pvy
-            ez = sz - pvz
-            r2 = jnp.sqrt(ex * ex + ey * ey + ez * ez)  # (8, 1)
-            # fractional deposit row within this tile
-            p = (cinv_fs * (r1 + r2) + pconst) - ofs - row0  # (8, 128)
-            if R0 > 0:
-                w = a / (jnp.maximum(r1, R0) * jnp.maximum(r2, R0))
-            else:
-                w = a * jnp.ones_like(r1)
-            rows = []
-            for r in range(8):
-                d = p - float(r)
-                if basis == "linear":
-                    b = jnp.maximum(0.0, 1.0 - jnp.abs(d))
-                else:  # cubic Catmull-Rom splat basis (interpd.cu:89-113)
-                    ad = jnp.abs(d)
-                    inner = ((1.5 * ad - 2.5) * ad) * ad + 1.0
-                    outer = ((-0.5 * ad + 2.5) * ad - 4.0) * ad + 2.0
-                    b = jnp.where(ad <= 1.0, inner,
-                                  jnp.where(ad < 2.0, outer, 0.0))
-                rows.append(jnp.sum(w * b, axis=0, keepdims=True))  # (1,128)
-            return acc + jnp.concatenate(rows, axis=0)  # (8, 128)
+    @pl.when(nchunks > 0)
+    def _warm():
+        get_dma(0, 0).start()
 
+    pnx = pn_ref[0:1, :]  # (1, 128)
+    pny = pn_ref[1:2, :]
+    pnz = pn_ref[2:3, :]
+    ofs = ofs_ref[0:1, :]
+    pvx = pv_ref[0, m]
+    pvy = pv_ref[1, m]
+    pvz = pv_ref[2, m]
+    row0 = (t * 8).astype(jnp.float32)
+
+    def _group_body(blk, acc):  # blk (8, 8): [x y z a ...] per scatterer
+        sx = blk[:, 0:1]  # (8, 1)
+        sy = blk[:, 1:2]
+        sz = blk[:, 2:3]
+        a = blk[:, 3:4]
+        dx = sx - pnx  # (8, 128)
+        dy = sy - pny
+        dz = sz - pnz
+        r1 = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (8, 128)
+        ex = sx - pvx
+        ey = sy - pvy
+        ez = sz - pvz
+        r2 = jnp.sqrt(ex * ex + ey * ey + ez * ez)  # (8, 1)
+        # fractional deposit row within this tile
+        p = (cinv_fs * (r1 + r2) + pconst) - ofs - row0  # (8, 128)
+        if R0 > 0:
+            w = a / (jnp.maximum(r1, R0) * jnp.maximum(r2, R0))
+        else:
+            w = a * jnp.ones_like(r1)
+        rows = []
+        for r in range(8):
+            d = p - float(r)
+            if basis == "linear":
+                b = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+            else:  # cubic Catmull-Rom splat basis (interpd.cu:89-113)
+                ad = jnp.abs(d)
+                inner = ((1.5 * ad - 2.5) * ad) * ad + 1.0
+                outer = ((-0.5 * ad + 2.5) * ad - 4.0) * ad + 2.0
+                b = jnp.where(ad <= 1.0, inner,
+                              jnp.where(ad < 2.0, outer, 0.0))
+            rows.append(jnp.sum(w * b, axis=0, keepdims=True))  # (1,128)
+        return acc + jnp.concatenate(rows, axis=0)  # (8, 128)
+
+    def _chunk_body(c, acc):
+        slot = c % 2
+        @pl.when(c + 1 < nchunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+        get_dma(slot, c).wait()
+        blk = scratch[slot]  # (8, CS)
         # static unroll over the chunk's 8-scatterer groups; each group is
         # an (8 fields, 8 scatterers) static slice transposed in-register
         # to (scatterers, fields) so the grouped vector math applies
-        acc = jnp.zeros((8, 128), jnp.float32)
         for g in range(CS // 8):
-            acc = _group_body(scat_ref[:, g * 8:(g + 1) * 8].T, acc)
-        o_ref[0] += acc
+            acc = _group_body(blk[:, g * 8:(g + 1) * 8].T, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(0, nchunks, _chunk_body,
+                            jnp.zeros((8, 128), jnp.float32))
+    o_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "Gtime", "CS", "CHUNKS", "cinv_fs", "pconst", "R0", "basis", "interpret"))
+    "Gtime", "CS", "cinv_fs", "pconst", "R0", "basis", "interpret"))
 def _splat_tiled(lo, nc, scat, pn, ofs, pv, *, Gtime: int, CS: int,
-                 CHUNKS: int, cinv_fs: float, pconst: float, R0: float,
+                 cinv_fs: float, pconst: float, R0: float,
                  basis: str, interpret: bool = False):
     NB, M, TT = lo.shape
-    SB = scat.shape[1] // CS
     kern = functools.partial(_splat_kernel, CS=CS, cinv_fs=cinv_fs,
                              pconst=pconst, R0=R0, basis=basis)
-    grid = (NB, M, TT, CHUNKS)
-
-    def scat_idx(nb, m, t, c, lo_ref, nc_ref):
-        return (0, jnp.minimum(lo_ref[nb, m, t] + c, SB - 1))
+    grid = (NB, M, TT)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, CS), scat_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda nb, m, t, c, *_: (0, nb),
+            # scat stays HBM-resident: the kernel streams chunk windows
+            # itself with double-buffered DMA (dynamic per-(m,t) trip
+            # count — no padded CHUNKS grid dim, no pl.when-skipped steps)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, 128), lambda nb, m, t, *_: (0, nb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda nb, m, t, c, *_: (0, nb),
+            pl.BlockSpec((1, 128), lambda nb, m, t, *_: (0, nb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pv (8, Mpad)
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda nb, m, t, c, *_: (m, t, nb),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda nb, m, t, *_: (m, t, nb),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, 8, CS), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     out = pl.pallas_call(
         kern,
@@ -323,11 +337,12 @@ def greens_tiled(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
 
     lo_all = np.zeros((NB, M, ntiles), np.int32)
     nc_all = np.zeros((NB, M, ntiles), np.int32)
-    lo_c, nc_c = _plan_scat_windows(u_s, U_s, a2_s, ntiles, CS)
+    # Q=1: with the chunk stream inside the kernel there is no inter-step
+    # block reuse to preserve, so windows can be exact (fewest chunks)
+    lo_c, nc_c = _plan_scat_windows(u_s, U_s, a2_s, ntiles, CS, Q=1)
     for nb in range(NB):  # windows are rx-global (u/U span all rx)
         lo_all[nb] = lo_c
         nc_all[nb] = nc_c
-    CHUNKS = int(max(1, nc_all.max()))
 
     Mpad = -(-M // 128) * 128
     cinv_fs = cinv * fs
@@ -352,7 +367,7 @@ def greens_tiled(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
                              jnp.asarray(scat), jnp.asarray(pnk),
                              jnp.asarray(ofs_pad[None, :].astype(np.float32)),
                              jnp.asarray(pvk), Gtime=Gtime, CS=CS,
-                             CHUNKS=CHUNKS, cinv_fs=cinv_fs, pconst=pconst,
+                             cinv_fs=cinv_fs, pconst=pconst,
                              R0=float(R0), basis=method, interpret=interpret)
             grid_sum = g if grid_sum is None else grid_sum + g
 
