@@ -148,7 +148,8 @@ def _tx_apod_weight(kind, prm, lat, pz, px, pv_ref, m):
 def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
             tx_model: str, planar: bool, iq: bool, fmod: float,
             MC: int, NC: int, F: int, keep_rx: bool, keep_tx: bool,
-            rx_apods: tuple, tx_apods: tuple, has_lat: bool):
+            rx_apods: tuple, tx_apods: tuple, has_lat: bool,
+            pair: bool = False):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
     """
@@ -274,6 +275,15 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
             W0 = WT - U * WT
             W1 = U * WT
             q0 = jnp.clip(jnp.min(TIS) // W, 0, T // W - 1)
+            # exact window count for THIS (group, transmit) from the tile's
+            # true index range — the host J is a stripe-level conservative
+            # bound (maxed over all groups/transmits/column-tiles and worst
+            # window alignment) and overshoots by ~1 window at typical
+            # geometries; a wasted window costs ~1/3 of the inner loop
+            # (measured). +1 inside: the second tap reads TIS + 1 (pair
+            # mode fetches both taps at TIS, so no +1 there).
+            tap_hi = jnp.max(TIS) if pair else jnp.max(TIS) + 1
+            Jact = tap_hi // W - q0 + 1
 
             def jbody(j, part):
                 ws = pl.multiple_of((q0 + j) * W, W)
@@ -284,28 +294,45 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                     slabs = [xr[c, pl.ds(g * 8, 8), pl.ds(ws, W)]
                              for xr in x_refs]
                 LJ = TIS - ws
-                LJ1 = LJ + 1
                 # 0 <= lj < W via one unsigned compare per tap (measured
                 # identical to two signed compares on this Mosaic - kept
                 # for the smaller expression)
                 m0 = LJ.astype(jnp.uint32) < W
-                m1 = LJ1.astype(jnp.uint32) < W
                 l0 = LJ & (W - 1)
-                l1 = LJ1 & (W - 1)
                 a0 = jnp.where(m0, W0, 0.0)
-                a1 = jnp.where(m1, W1, 0.0)
+                if pair:
+                    # both taps ride ONE 32-bit gather: the packed trace
+                    # holds bf16(x[t]) in the low and bf16(x[t+1]) in the
+                    # high half of lane t (the TPU analog of the
+                    # reference's half2 trace path, ``bf.cu:170``); a
+                    # bf16's bits are the top half of an f32, so unpacking
+                    # is a shift/mask + bitcast, and the pair never
+                    # straddles a window boundary
+                    a1 = jnp.where(m0, W1, 0.0)
+                else:
+                    LJ1 = LJ + 1
+                    m1 = LJ1.astype(jnp.uint32) < W
+                    l1 = LJ1 & (W - 1)
+                    a1 = jnp.where(m1, W1, 0.0)
                 new = list(part)
                 for ch in range(nch):
                     # rx r's trace row, repeated across its 8 image rows
                     srep = jnp.broadcast_to(slabs[ch][:, None, :],
                                             (8, 8, W)).reshape(64, W)
-                    g0 = jnp.take_along_axis(srep, l0, axis=1)
-                    g1 = jnp.take_along_axis(srep, l1, axis=1)
+                    if pair:
+                        gi = jnp.take_along_axis(srep, l0, axis=1)  # i32
+                        g0 = jax.lax.bitcast_convert_type(
+                            gi << 16, jnp.float32)
+                        g1 = jax.lax.bitcast_convert_type(
+                            gi & jnp.int32(-65536), jnp.float32)
+                    else:
+                        g0 = jnp.take_along_axis(srep, l0, axis=1)
+                        g1 = jnp.take_along_axis(srep, l1, axis=1)
                     new[ch] = new[ch] + (g0 * a0 + g1 * a1)
                 return tuple(new)
 
             # windows q0 .. q0+Jeff-1 stay in-range: no per-window clamping
-            Jeff = jnp.minimum(J, T // W - q0)
+            Jeff = jnp.minimum(Jact, T // W - q0)
             if iq and fmod != 0.0:
                 z64 = jnp.zeros((64, 128), jnp.float32)
                 part = jax.lax.fori_loop(0, Jeff, jbody,
@@ -433,12 +460,24 @@ def _plan_windows(pz, px, py, pr, pv, nv, t0, fs, cinv, T, tx_model,
     return np.maximum(1, Jt.reshape(RB, CB).max(axis=1))  # (RB,)
 
 
+@jax.jit
+def _pack_pairs(xr):
+    """f32 ``(..., T)`` -> int32 bf16-pair lanes: lane ``t`` holds
+    ``bf16(x[t])`` in its low 16 bits and ``bf16(x[t+1])`` in its high 16
+    (last lane pairs with 0). A bf16's bits are an f32's top half, so the
+    round-to-nearest conversion is ``(bits + 0x8000) >> 16``."""
+    u = jax.lax.bitcast_convert_type(xr, jnp.uint32)
+    b = (u + jnp.uint32(0x8000)) >> 16
+    hi = jnp.concatenate([b[..., 1:], jnp.zeros_like(b[..., :1])], axis=-1)
+    return jax.lax.bitcast_convert_type(b | (hi << 16), jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
-    "tx_apods", "MC", "NC", "interpret"))
+    "tx_apods", "MC", "NC", "interpret", "pair"))
 def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
               planar, fmod, keep_rx, keep_tx=False, rx_apods, tx_apods,
-              MC, NC, interpret=False):
+              MC, NC, interpret=False, pair=False):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once)."""
     RB = pz.shape[0] // 8
@@ -457,7 +496,7 @@ def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
-        has_lat=has_lat)
+        has_lat=has_lat, pair=pair)
 
     grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
 
@@ -682,10 +721,13 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     if keep_rx and keep_tx:
         raise ValueError("das_tiled keeps at most one of rx/tx; use"
                          " qups_tpu.ops.das.das for the BF (keep both) mode")
+    if precision not in ("f32", "bf16", "bf16pair"):
+        raise ValueError(f"unknown precision {precision!r}")
     if precision == "bf16" and not interpret:
         raise NotImplementedError(
             "precision='bf16' requires bf16 dynamic_gather, which the"
-            " current Mosaic TPU toolchain does not implement")
+            " current Mosaic TPU toolchain does not implement; use"
+            " precision='bf16pair' (packed-pair taps, one i32 gather)")
     apod = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
     for a in apod:
         if not isinstance(a, Fused):
@@ -817,8 +859,12 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         if precision == "bf16":
             xr = xr.astype(jnp.bfloat16)
         if Fn is not None:
-            return jnp.transpose(xr, (3, 2, 1, 0))  # (F, M, N, T)
-        return jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
+            xr = jnp.transpose(xr, (3, 2, 1, 0))  # (F, M, N, T)
+        else:
+            xr = jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
+        if precision == "bf16pair":
+            xr = _pack_pairs(xr)
+        return xr
 
     def run(xr, xi=None):
         xs = (xr,) if xi is None else (xr, xi)
@@ -832,7 +878,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             jnp.asarray(prs), jnp.asarray(pvs), xs, accs, fs=float(fs),
             tx_model=tx_model, planar=planar, fmod=float(fmod),
             keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
-            tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret)
+            tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
+            pair=(precision == "bf16pair"))
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:

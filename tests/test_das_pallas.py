@@ -181,6 +181,34 @@ def test_bf16_precision_mode():
     assert np.abs(got - ref).max() / scale < 2e-2
 
 
+def test_bf16pair_precision_mode():
+    # packed-pair taps: both interp taps ride one i32 gather of
+    # (bf16(x[t]) | bf16(x[t+1]) << 16) lanes
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear")).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               precision="bf16pair",
+                               interpret=True)).squeeze()
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-2
+
+
+def test_bf16pair_iq():
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4, cplx=True)
+    fmod = 1e6
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         fmod=fmod)).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               fmod=fmod, precision="bf16pair",
+                               interpret=True)).squeeze()
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-2
+
+
 def test_keep_tx():
     x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
     ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
