@@ -8,6 +8,10 @@ Headline (BASELINE.json): beamformed pixel*tx*rx sums/s per chip, from the
 Environment knobs:
   QUPS_BENCH_SIZE  = full | medium | small  (default: full)
   QUPS_BENCH_REPS  = repetitions (default 2)
+  QUPS_BENCH_PRECISION = bf16pair | f32 (default: bf16pair on TPU — packed
+      bf16 tap pairs, one 32-bit gather per two interp taps, the TPU
+      analog of the reference's half2 trace mode (``bf.cu:170``); ~0.2%
+      max rel err. f32 elsewhere.)
   QUPS_BENCH_MESH  = "rx2,tx2" — run the shard_map-composed Pallas kernel
       on an (rx, tx) device mesh instead of the single-chip kernel, and
       report aggregate + per-chip sums/s (the BASELINE scaling-efficiency
@@ -100,9 +104,12 @@ def main():
         }))
         return
 
+    prec = os.environ.get(
+        "QUPS_BENCH_PRECISION",
+        "bf16pair" if dev.platform != "cpu" else "f32")
     f = jax.jit(lambda xx: jnp.sum(jnp.abs(_das_fast(
         xx, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6, tx_model="plane",
-        method="linear", im_shape=(n, n, 1)))))
+        method="linear", im_shape=(n, n, 1), precision=prec))))
     t0u = time.time()
     xj = jnp.asarray(x)
     # force the (possibly ~1 GB) host->device transfer to complete so it
@@ -132,7 +139,7 @@ def main():
         "detail": {
             "config": cfg, "size": size, "latency_s": dt,
             "compile_s": compile_s, "upload_s": upload_s,
-            "device": str(dev), "check": chk,
+            "device": str(dev), "check": chk, "precision": prec,
         },
     }))
 

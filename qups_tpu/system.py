@@ -306,7 +306,8 @@ class UltrasoundSystem:
     def DAS(self, chd: ChannelData, apod=(), fmod: float = 0.0,
             c0: Optional[Union[float, np.ndarray]] = None,
             keep_tx: bool = False, keep_rx: bool = False,
-            method: str = "cubic", kernel: str = "auto", out: str = "auto"):
+            method: str = "cubic", kernel: str = "auto", out: str = "auto",
+            precision: str = "f32"):
         """Compute-optimized delay-and-sum beamformer
         (``UltrasoundSystem.DAS``, ``UltrasoundSystem.m:3172-3372``).
 
@@ -324,6 +325,11 @@ class UltrasoundSystem:
         complex arrays across jit boundaries, so 'auto' returns the
         ri-format image ``(..., 2)`` on TPU Pallas paths and a complex
         image elsewhere (see ``qups_tpu/utils/cpx.py``).
+
+        ``precision``: 'f32' | 'bf16pair' (Pallas path only). 'bf16pair'
+        stores traces as packed bf16 tap pairs so both linear-interp taps
+        ride one 32-bit gather — the TPU analog of the reference's half2
+        trace mode (``bf.cu:170``); ~0.2% max rel error, ~10% faster.
         """
         from .ops.das_pallas import Fused, das_tiled
         pv, nv, model = self._tx_geometry()
@@ -371,7 +377,7 @@ class UltrasoundSystem:
                             tx_model=model, method="linear", fmod=float(fmod),
                             im_shape=tuple(self.scan.shape), out=out,
                             apod=apod_t, keep_rx=keep_rx, keep_tx=keep_tx,
-                            lat=lat, orientations=ori)
+                            lat=lat, orientations=ori, precision=precision)
         else:
             apod_m = tuple(a.materialize(self) if isinstance(a, Fused) else a
                            for a in apod_t)
