@@ -48,6 +48,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# op-split profiling knob (perf forensics only — not API): a set of
+# {"nomask", "nogather", "noweights", "noloop", "fastonly", "cond"} that
+# deletes or swaps one piece of the inner loop so its cost can be measured
+# by difference. Read at trace time; call jax.clear_caches() after
+# changing it.
+_ABLATE: frozenset = frozenset()
+
+
 @dataclasses.dataclass(frozen=True)
 class Fused:
     """A fused-geometry apodization descriptor for the Pallas DAS kernel.
@@ -145,14 +153,23 @@ def _tx_apod_weight(kind, prm, lat, pz, px, pv_ref, m):
     raise ValueError(kind)
 
 
-def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
+def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             tx_model: str, planar: bool, iq: bool, fmod: float,
             MC: int, NC: int, F: int, keep_rx: bool, keep_tx: bool,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool,
             pair: bool = False):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
-    """
+
+    ``boxes_ref`` (RB, CB, 6 = [zlo, zhi, xlo, xhi, ylo, yhi]) and
+    ``gbox_ref`` (G, 6 = [exlo, exhi, eylo, eyhi, ezlo, ezhi]) are
+    scalar-prefetch (SMEM) bounding boxes of each image tile's pixels and
+    each 8-receive group's elements, in cinv-scaled coordinates. The
+    per-(tile, group, transmit) trace-window range is planned ENTIRELY on
+    the scalar core from these boxes (conservative interval arithmetic,
+    exact pixel boxes): replacing the in-kernel vector min/max reductions
+    removed the vector->scalar round-trip that serialized the inner loop
+    (measured -37% kernel time at the full trace size)."""
     k = 0
     pz_ref = refs[k]; k += 1
     px_ref = refs[k]; k += 1
@@ -171,7 +188,22 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
     ncc = pl.program_id(goff + 0)
     mtc = pl.program_id(goff + 1)
     rb = pl.program_id(goff + 2)
-    J = jref[rb]
+    cb = pl.program_id(goff + 3)
+    zlo = boxes_ref[rb, cb, 0]
+    zhi = boxes_ref[rb, cb, 1]
+    xbl = boxes_ref[rb, cb, 2]
+    xbh = boxes_ref[rb, cb, 3]
+    ybl = boxes_ref[rb, cb, 4]
+    ybh = boxes_ref[rb, cb, 5]
+
+    def igap(alo, ahi, blo, bhi):
+        """Scalar distance between intervals [alo,ahi], [blo,bhi] (0 if
+        they overlap)."""
+        return jnp.maximum(0.0, jnp.maximum(blo - ahi, alo - bhi))
+
+    def ispan(alo, ahi, blo, bhi):
+        """Scalar max |a - b| over the two intervals."""
+        return jnp.maximum(ahi - blo, bhi - alo)
 
     pz = pz_ref[:]
     px = px_ref[:]
@@ -253,54 +285,188 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                                     dx_, dy_, dz_, dr, pr_ref, n, planar)
                 wr = w if wr is None else wr * w
             wrs.append(wr)
-        DR = jnp.concatenate(drs, axis=0)  # (64, 128)
+        # pre-scale by the sample rate once per GROUP (amortized over the
+        # MC transmits of the chunk): TI = DRF + dvF is then 2 vector ops
+        DRF = jnp.concatenate(drs, axis=0) * fs  # (64, 128) rx path, in samples
         WR = jnp.concatenate(wrs, axis=0) if rx_apods else None
+
+        # scalar-core receive-distance bounds for this (tile, group):
+        # box-to-box interval arithmetic, amortized over the MC transmits
+        gg = ncc * (NC // 8) + g
+        exlo = gbox_ref[gg, 0]
+        exhi = gbox_ref[gg, 1]
+        ezlo = gbox_ref[gg, 4]
+        ezhi = gbox_ref[gg, 5]
+        gx = igap(xbl, xbh, exlo, exhi)
+        sx = ispan(xbl, xbh, exlo, exhi)
+        gz = igap(zlo, zhi, ezlo, ezhi)
+        sz = ispan(zlo, zhi, ezlo, ezhi)
+        if planar:
+            drlo = jnp.sqrt(gx * gx + gz * gz) * fs
+            drhi = jnp.sqrt(sx * sx + sz * sz) * fs
+        else:
+            eylo = gbox_ref[gg, 2]
+            eyhi = gbox_ref[gg, 3]
+            gy = igap(ybl, ybh, eylo, eyhi)
+            sy = ispan(ybl, ybh, eylo, eyhi)
+            drlo = jnp.sqrt(gx * gx + gy * gy + gz * gz) * fs
+            drhi = jnp.sqrt(sx * sx + sy * sy + sz * sz) * fs
 
         def cbody(c, accs64):
             dv = select_c(c, [d for d, _, _ in geoms])
-            dv64 = jnp.broadcast_to(dv[None], (8, 8, 128)).reshape(64, 128)
-            t0m = select_c(c, [t for _, t, _ in geoms])
-            TI = (dv64 + DR - t0m) * fs  # pre-scaled by cinv upstream
+            t0m = pv_ref[6, mtc * MC + c]  # scalar, cheaper than a chain
+            dvF = (dv - t0m) * fs  # (8, 128): 1/8-cost per-transmit part
+            dvF64 = jnp.broadcast_to(dvF[None], (8, 8, 128)).reshape(64, 128)
+            TI = dvF64 + DRF
             I0F = jnp.floor(TI)
             U = TI - I0F
-            TIS = jnp.clip(I0F.astype(jnp.int32), 0, T - 2)
-            VAL = (TI >= 0) & (TI <= T - 1)
-            WT = jnp.where(VAL, 1.0, 0.0)
-            if WR is not None:
-                WT = WT * WR
-            if tx_apods:
-                tw = select_c(c, [w for _, _, w in geoms])
-                WT = WT * jnp.broadcast_to(tw[None],
-                                           (8, 8, 128)).reshape(64, 128)
-            W0 = WT - U * WT
-            W1 = U * WT
-            q0 = jnp.clip(jnp.min(TIS) // W, 0, T // W - 1)
-            # exact window count for THIS (group, transmit) from the tile's
-            # true index range — the host J is a stripe-level conservative
-            # bound (maxed over all groups/transmits/column-tiles and worst
-            # window alignment) and overshoots by ~1 window at typical
-            # geometries; a wasted window costs ~1/3 of the inner loop
-            # (measured). +1 inside: the second tap reads TIS + 1 (pair
-            # mode fetches both taps at TIS, so no +1 there).
-            tap_hi = jnp.max(TIS) if pair else jnp.max(TIS) + 1
-            Jact = tap_hi // W - q0 + 1
+            Ki = I0F.astype(jnp.int32)
+            # valid <=> both taps in [0, T-1] <=> 0 <= Ki <= T-2, as ONE
+            # unsigned compare (negative Ki wraps huge). Matches the
+            # reference's whole-sample bounds check (``interpd.cu:84``).
+            VAL = Ki.astype(jnp.uint32) <= jnp.uint32(T - 2)
+            TIS = jnp.clip(Ki, 0, T - 2)
+            if WR is not None or tx_apods:
+                WT = jnp.where(VAL, 1.0, 0.0)
+                if WR is not None:
+                    WT = WT * WR
+                if tx_apods:
+                    tw = select_c(c, [w for _, _, w in geoms])
+                    WT = WT * jnp.broadcast_to(tw[None],
+                                               (8, 8, 128)).reshape(64, 128)
+                W1 = U * WT
+                W0 = WT - W1
+            else:
+                # fold the mask directly into the two tap weights
+                W1 = jnp.where(VAL, U, 0.0)
+                W0 = jnp.where(VAL, 1.0 - U, 0.0)
+            # scalar-core window range for THIS (group, transmit):
+            # conservative transmit-path bounds over the tile's pixel box
+            # (per-axis linear bounds are exact for the plane model; the
+            # interval arithmetic is conservative otherwise), + the group's
+            # receive bounds. ±2-sample margin absorbs f32 rounding skew
+            # between this scalar chain and the vector TI computation.
+            m_ = mtc * MC + c
+            pvxs = pv_ref[0, m_]
+            pvzs = pv_ref[2, m_]
+            if tx_model == "plane":
+                nvxs = pv_ref[3, m_]
+                nvzs = pv_ref[5, m_]
+                ax0 = nvxs * (xbl - pvxs)
+                ax1 = nvxs * (xbh - pvxs)
+                az0 = nvzs * (zlo - pvzs)
+                az1 = nvzs * (zhi - pvzs)
+                dvlo = jnp.minimum(ax0, ax1) + jnp.minimum(az0, az1)
+                dvhi = jnp.maximum(ax0, ax1) + jnp.maximum(az0, az1)
+                if not planar:
+                    nvys = pv_ref[4, m_]
+                    pvys = pv_ref[1, m_]
+                    ay0 = nvys * (ybl - pvys)
+                    ay1 = nvys * (ybh - pvys)
+                    dvlo = dvlo + jnp.minimum(ay0, ay1)
+                    dvhi = dvhi + jnp.maximum(ay0, ay1)
+            else:
+                gtx = igap(xbl, xbh, pvxs, pvxs)
+                stx = ispan(xbl, xbh, pvxs, pvxs)
+                gtz = igap(zlo, zhi, pvzs, pvzs)
+                stz = ispan(zlo, zhi, pvzs, pvzs)
+                if planar:
+                    rlo = jnp.sqrt(gtx * gtx + gtz * gtz)
+                    rhi = jnp.sqrt(stx * stx + stz * stz)
+                else:
+                    pvys = pv_ref[1, m_]
+                    gty = igap(ybl, ybh, pvys, pvys)
+                    sty = ispan(ybl, ybh, pvys, pvys)
+                    rlo = jnp.sqrt(gtx * gtx + gty * gty + gtz * gtz)
+                    rhi = jnp.sqrt(stx * stx + sty * sty + stz * stz)
+                if tx_model == "diverging":
+                    dvlo, dvhi = rlo, rhi
+                else:  # virtual: sign((p - pv) . nv) * |p - pv|
+                    nvxs = pv_ref[3, m_]
+                    nvzs = pv_ref[5, m_]
+                    bx0 = nvxs * (xbl - pvxs)
+                    bx1 = nvxs * (xbh - pvxs)
+                    bz0 = nvzs * (zlo - pvzs)
+                    bz1 = nvzs * (zhi - pvzs)
+                    rdlo = jnp.minimum(bx0, bx1) + jnp.minimum(bz0, bz1)
+                    rdhi = jnp.maximum(bx0, bx1) + jnp.maximum(bz0, bz1)
+                    if not planar:
+                        nvys = pv_ref[4, m_]
+                        by0 = nvys * (ybl - pvys)
+                        by1 = nvys * (ybh - pvys)
+                        rdlo = rdlo + jnp.minimum(by0, by1)
+                        rdhi = rdhi + jnp.maximum(by0, by1)
+                    dvlo = jnp.where(rdlo >= 0, rlo, -rhi)
+                    dvhi = jnp.where(rdhi <= 0, -rlo, rhi)
+            lo_t = drlo + (dvlo - t0m) * fs - 2.0
+            hi_t = drhi + (dvhi - t0m) * fs + 2.0
+            lo_i = jnp.clip(lo_t.astype(jnp.int32), 0, T - 2)
+            hi_i = jnp.clip(hi_t.astype(jnp.int32) + 1, 0, T - 2)
+            ws0 = lo_i
+            q0 = lo_i >> 7
+            tap_hi = hi_i if pair else hi_i + 1
+            Jact = (tap_hi >> 7) - q0 + 1
+            # loop-invariant gather state, hoisted out of jbody: the lane
+            # index within ANY aligned window is TIS % W, and tap0's
+            # window id is TIS // W — per window only ONE compare
+            # (window-id == q0 + j) remains
+            l0 = TIS & (W - 1)
+            w0id = TIS >> 7
+            assert W == 128
+            if not pair:
+                TIS1 = TIS + 1
+                l1 = TIS1 & (W - 1)
+                w1id = TIS1 >> 7
+
+            def slab_at(q):
+                ws = pl.multiple_of(q * W, W)
+                if F > 1:
+                    return [xr[0, c, pl.ds(g * 8, 8), pl.ds(ws, W)]
+                            for xr in x_refs]
+                return [xr[c, pl.ds(g * 8, 8), pl.ds(ws, W)]
+                        for xr in x_refs]
+
+            def fast(part):
+                """Single UNALIGNED window: when the tile's whole tap range
+                [ws0, tap_hi] spans < W samples (the common case — tile
+                delay spread is bounded by geometry), build the window
+                starting exactly at ws0 from the two aligned slabs it
+                straddles with a dynamic lane roll + iota select. No
+                per-window masks (every tap is in range by construction)
+                and exactly ONE gather per channel."""
+                mm = ws0 - q0 * W  # 0 <= mm < W
+                q0b = jnp.minimum(q0 + 1, T // W - 1)
+                s0s = slab_at(q0)
+                s1s = slab_at(q0b)
+                LJ = TIS - ws0
+                lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
+                sel = lane < (W - mm)
+                new = list(part)
+                for ch in range(nch):
+                    v0 = pltpu.roll(s0s[ch], W - mm, axis=1)
+                    v1 = pltpu.roll(s1s[ch], W - mm, axis=1)
+                    v = jnp.where(sel, v0, v1)
+                    srep = jnp.broadcast_to(v[:, None, :],
+                                            (8, 8, W)).reshape(64, W)
+                    if pair:
+                        gi = jnp.take_along_axis(srep, LJ, axis=1)
+                        g0 = jax.lax.bitcast_convert_type(
+                            gi << 16, jnp.float32)
+                        g1 = jax.lax.bitcast_convert_type(
+                            gi & jnp.int32(-65536), jnp.float32)
+                    else:
+                        g0 = jnp.take_along_axis(srep, LJ, axis=1)
+                        g1 = jnp.take_along_axis(srep, LJ + 1, axis=1)
+                    new[ch] = new[ch] + (g0 * W0 + g1 * W1)
+                return tuple(new)
 
             def jbody(j, part):
-                ws = pl.multiple_of((q0 + j) * W, W)
-                if F > 1:
-                    slabs = [xr[0, c, pl.ds(g * 8, 8), pl.ds(ws, W)]
-                             for xr in x_refs]
-                else:
-                    slabs = [xr[c, pl.ds(g * 8, 8), pl.ds(ws, W)]
-                             for xr in x_refs]
-                LJ = TIS - ws
-                # 0 <= lj < W via one unsigned compare per tap (measured
-                # identical to two signed compares on this Mosaic - kept
-                # for the smaller expression)
-                m0 = LJ.astype(jnp.uint32) < W
-                l0 = LJ & (W - 1)
-                a0 = jnp.where(m0, W0, 0.0)
-                if pair:
+                slabs = slab_at(q0 + j)
+                m0 = w0id == q0 + j
+                if "nomask" in _ABLATE:
+                    a0, a1 = W0, W1
+                elif pair:
+                    a0 = jnp.where(m0, W0, 0.0)
                     # both taps ride ONE 32-bit gather: the packed trace
                     # holds bf16(x[t]) in the low and bf16(x[t+1]) in the
                     # high half of lane t (the TPU analog of the
@@ -310,16 +476,22 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                     # straddles a window boundary
                     a1 = jnp.where(m0, W1, 0.0)
                 else:
-                    LJ1 = LJ + 1
-                    m1 = LJ1.astype(jnp.uint32) < W
-                    l1 = LJ1 & (W - 1)
+                    m1 = w1id == q0 + j
+                    a0 = jnp.where(m0, W0, 0.0)
                     a1 = jnp.where(m1, W1, 0.0)
+                if "noweights" in _ABLATE:
+                    a0 = 1.0
+                    a1 = 0.0
+                if "noloop" in _ABLATE:
+                    return part
                 new = list(part)
                 for ch in range(nch):
                     # rx r's trace row, repeated across its 8 image rows
                     srep = jnp.broadcast_to(slabs[ch][:, None, :],
                                             (8, 8, W)).reshape(64, W)
-                    if pair:
+                    if "nogather" in _ABLATE:
+                        g0 = g1 = srep[:, :128].astype(jnp.float32) * 0 + 1
+                    elif pair:
                         gi = jnp.take_along_axis(srep, l0, axis=1)  # i32
                         g0 = jax.lax.bitcast_convert_type(
                             gi << 16, jnp.float32)
@@ -331,12 +503,33 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                     new[ch] = new[ch] + (g0 * a0 + g1 * a1)
                 return tuple(new)
 
-            # windows q0 .. q0+Jeff-1 stay in-range: no per-window clamping
-            Jeff = jnp.minimum(Jact, T // W - q0)
+            # windows q0 .. q0+Jact-1 stay in-range by construction
+            # (hi_i <= T-2 so the last tap window index is <= T//W - 1)
+            span_fits = (tap_hi - ws0) < W
+
+            def slow(part):
+                # peel window 0 (always executes; with scalar-core planning
+                # most tiles need exactly one window) so its gather sits in
+                # the straight-line block where Mosaic can schedule it
+                # against neighboring transmits' arithmetic; the loop then
+                # usually runs 0 iterations
+                part = jbody(0, part)
+                return jax.lax.fori_loop(1, Jact, jbody, part)
+
+            def sweep(part):
+                # default: the aligned-window loop. The unaligned
+                # single-window 'fast' arm measures the same speed and a
+                # lax.cond dispatch costs ~7% (measured) — kept for perf
+                # experiments via _ABLATE.
+                if "fastonly" in _ABLATE:
+                    return fast(part)
+                if "cond" in _ABLATE:
+                    return jax.lax.cond(span_fits, fast, slow, part)
+                return slow(part)
+
             if iq and fmod != 0.0:
                 z64 = jnp.zeros((64, 128), jnp.float32)
-                part = jax.lax.fori_loop(0, Jeff, jbody,
-                                         tuple(z64 for _ in range(nch)))
+                part = sweep(tuple(z64 for _ in range(nch)))
                 # rotate by the remodulation phasor exp(2j pi fmod tau)
                 # (``bf.cu:117``; constant over j -> applies to partials)
                 ph = (2.0 * np.pi * fmod / fs) * TI
@@ -345,10 +538,17 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                 tre, tim = part
                 return (accs64[0] + tre * cph - tim * sph,
                         accs64[1] + tre * sph + tim * cph)
-            return jax.lax.fori_loop(0, Jeff, jbody, accs64)
+            return sweep(accs64)
 
         if c_only is not None:
             return cbody(c_only, accs64)
+        if MC <= 8:
+            # unroll the transmit chunk: static c kills the select_c
+            # where-chains and gives the compiler one straight-line block
+            # to overlap gathers and FMAs across transmits
+            for c in range(MC):
+                accs64 = cbody(c, accs64)
+            return accs64
         return jax.lax.fori_loop(0, MC, cbody, accs64)
 
     # --- accumulate ---
@@ -386,78 +586,52 @@ def _kernel(jref, *refs, N: int, T: int, W: int, fs: float,
                 tile = jnp.sum(accs64[ch].reshape(8, 8, 128), axis=0)
                 oset(out_refs[ch], oref(acc_refs[ch], c) + tile, c)
     else:
-        def gbody(g, accs64):
-            return rx_group(g, accs64)
+        accs64 = tuple(z64 for _ in range(nch))
+        if G <= 8 and "nounrollg" not in _ABLATE:
+            # unroll the rx-group loop too: one straight-line block per
+            # (tile, tx-chunk) lets the VLIW scheduler overlap gathers
+            # and arithmetic across groups
+            for g in range(G):
+                accs64 = rx_group(g, accs64)
+        else:
+            def gbody(g, accs64):
+                return rx_group(g, accs64)
 
-        accs64 = jax.lax.fori_loop(0, G, gbody,
-                                   tuple(z64 for _ in range(nch)))
+            accs64 = jax.lax.fori_loop(0, G, gbody, accs64)
         for ch in range(nch):
             tile = jnp.sum(accs64[ch].reshape(8, 8, 128), axis=0)
             oset(out_refs[ch], oref(acc_refs[ch]) + tile)
 
 
-def _plan_windows(pz, px, py, pr, pv, nv, t0, fs, cinv, T, tx_model,
-                  W=128):
-    """Host-side: per-row-stripe (8 image rows) max delay-index spread over
-    (true 8x128 tile x 8-rx-group x tx) -> window count J per stripe (the
-    range-block trick of ``greens.cu:628-715``, geometry only).
+def _tile_boxes(pz, px, py):
+    """Host-side: exact per-tile (8 x 128) pixel bounding boxes
+    ``(RB, CB, 6) = [zlo, zhi, xlo, xhi, ylo, yhi]`` for the kernel's
+    scalar-core window planner (inputs already cinv-scaled). The TPU-native
+    replacement for the reference's range-block trick
+    (``greens.cu:628-715``): the GPU sorts work into range blocks, the TPU
+    plans trace windows on the scalar core from these boxes."""
+    RB, CB = pz.shape[0] // 8, pz.shape[1] // 128
 
-    The bound is CONSERVATIVE and covers ALL transmits and rx groups (not a
-    sample): per tile it uses the axis-aligned bounding box of the tile's
-    pixels — distance-to-box for the min path length (a lower bound) and the
-    max over the 8 box corners for the max (exact: the norm is convex).
-    spread(tile) <= max_tx range(dv) + max_group range(dr)."""
-    I1, I2 = pz.shape
-    RB, CB = I1 // 8, I2 // 128
-    K = RB * CB
-    g = np.stack([px, py, pz], -1).reshape(RB, 8, CB, 128, 3)
-    tiles = np.moveaxis(g, 2, 1).reshape(K, 8 * 128, 3)
-    lo = tiles.min(1)  # (K, 3)
-    hi = tiles.max(1)
-    # the 8 box corners (K, 8, 3)
-    corners = np.stack([np.where(np.array(b)[None, :], hi, lo)
-                        for b in np.ndindex(2, 2, 2)], axis=1)
+    def mm(a):
+        t = a.reshape(RB, 8, CB, 128)
+        return t.min(axis=(1, 3)), t.max(axis=(1, 3))
 
-    def dist_minmax(e):  # element positions (E, 3) -> dmin, dmax (K, E)
-        c = np.clip(e[None, :, :], lo[:, None, :], hi[:, None, :])
-        dmin = np.linalg.norm(c - e[None], axis=-1)  # point-to-box (lower bd)
-        dmax = np.linalg.norm(corners[:, :, None, :] - e[None, None, :, :],
-                              axis=-1).max(axis=1)   # max over corners (exact)
-        return dmin, dmax
+    zlo, zhi = mm(pz)
+    xlo, xhi = mm(px)
+    ylo, yhi = mm(py)
+    return np.stack([zlo, zhi, xlo, xhi, ylo, yhi], -1).astype(np.float32)
 
-    # receive term: per-8-group range, max over groups
-    N = pr.shape[0]
-    drmin, drmax = dist_minmax(pr)
-    Gn = -(-N // 8)
-    pad = Gn * 8 - N
-    if pad:  # pad replicates the last element (matches the kernel's padding)
-        drmin = np.pad(drmin, ((0, 0), (0, pad)), mode="edge")
-        drmax = np.pad(drmax, ((0, 0), (0, pad)), mode="edge")
-    rng_rx = (drmax.reshape(K, Gn, 8).max(-1)
-              - drmin.reshape(K, Gn, 8).min(-1)).max(-1)  # (K,)
 
-    # transmit term
-    if tx_model == "plane":
-        # dv = (p - pv) . nv is linear in p: corner min/max are exact
-        dvc = np.einsum("kcd,md->kcm", corners, nv) \
-            - np.einsum("md,md->m", pv, nv)[None, None, :]  # (K, 8, M)
-        rng_tx = (dvc.max(1) - dvc.min(1)).max(-1)
-    else:
-        rmin, rmax = dist_minmax(pv)  # (K, M)
-        if tx_model == "diverging":
-            rng_tx = (rmax - rmin).max(-1)
-        else:  # virtual: dv = copysign(|r|, (p-pv).nv); sign may flip in-tile
-            rdc = np.einsum("kcd,md->kcm", corners, nv) \
-                - np.einsum("md,md->m", pv, nv)[None, None, :]
-            pos = rdc.min(1) >= 0   # (K, M) whole tile in front
-            neg = rdc.max(1) <= 0
-            rng = np.where(pos | neg, rmax - rmin, 2 * rmax)
-            rng_tx = rng.max(-1)
-
-    spread = (rng_tx + rng_rx) * cinv * fs
-    Jt = np.ceil((spread + 8) / W).astype(int) + 1
-    # one J per row stripe: max over its column tiles
-    return np.maximum(1, Jt.reshape(RB, CB).max(axis=1))  # (RB,)
+def _group_boxes(prs, Np8):
+    """Host-side: per-8-receive-group element bounding boxes
+    ``(G, 6) = [exlo, exhi, eylo, eyhi, ezlo, ezhi]`` from the packed
+    (scaled) receive table ``prs (8, Npad)``."""
+    G = Np8 // 8
+    ex = prs[0, :Np8].reshape(G, 8)
+    ey = prs[1, :Np8].reshape(G, 8)
+    ez = prs[2, :Np8].reshape(G, 8)
+    return np.stack([ex.min(1), ex.max(1), ey.min(1), ey.max(1),
+                     ez.min(1), ez.max(1)], -1).astype(np.float32)
 
 
 @jax.jit
@@ -475,9 +649,9 @@ def _pack_pairs(xr):
 @functools.partial(jax.jit, static_argnames=(
     "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
     "tx_apods", "MC", "NC", "interpret", "pair"))
-def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
-              planar, fmod, keep_rx, keep_tx=False, rx_apods, tx_apods,
-              MC, NC, interpret=False, pair=False):
+def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
+              tx_model, planar, fmod, keep_rx, keep_tx=False, rx_apods,
+              tx_apods, MC, NC, interpret=False, pair=False):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once)."""
     RB = pz.shape[0] // 8
@@ -501,7 +675,7 @@ def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
     grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
 
     def tidx(*a):
-        # (..., ncc, mtc, rb, cb, jref) -> tile block (rb, cb)
+        # (..., ncc, mtc, rb, cb, boxes, gbox) -> tile block (rb, cb)
         return (a[goff + 2], a[goff + 3])
 
     tile = pl.BlockSpec((8, 128), tidx, memory_space=pltpu.VMEM)
@@ -563,11 +737,11 @@ def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
     in_specs += [ospec] * nch  # aliased accumulator inputs
 
     # input_output_aliases: indices count ALL operands incl. scalar-prefetch
-    n_lead = 1 + len(in_specs) - nch
+    n_lead = 2 + len(in_specs) - nch
     aliases = {n_lead + ch: ch for ch in range(nch)}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
@@ -578,7 +752,8 @@ def _das_call(jrb, pz, px, py, lat, pr, pv, xs, accs, *, fs, tx_model,
         out_shape=tuple([oshape] * nch) if nch > 1 else oshape,
         input_output_aliases=aliases,
         interpret=interpret,
-    )(jrb, pz, px, py, *((lat,) if has_lat else ()), pr, pv, *xs, *accs)
+    )(boxes, gbox, pz, px, py, *((lat,) if has_lat else ()), pr, pv,
+      *xs, *accs)
     return out if nch > 1 else (out,)
 
 
@@ -609,9 +784,10 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
     leading mesh axes so they shard with ``P('rx', ...)`` / ``P('tx', ...)``.
 
     Returns ``(arrays, statics)`` where arrays = dict(pz, px, py, prs
-    (nrx, 8, 128k), pvs (ntx, 8, 128k), jrb (nrx, ntx, RB), pads) and
-    statics = dict(planar, MC, NC, Tp, Nsh, Msh). The trace tensor must be
-    padded to (Tp, Nsh*nrx, Msh*ntx) by the caller (zero rows are inert).
+    (nrx, 8, 128k), pvs (ntx, 8, 128k), boxes (RB, CB, 6), gboxes
+    (nrx, G, 6)) and statics = dict(planar, MC, NC, Tp, Nsh, Msh). The
+    trace tensor must be padded to (Tp, Nsh*nrx, Msh*ntx) by the caller
+    (zero rows are inert).
     """
     pi = np.asarray(pi, np.float32)
     pr_np = np.asarray(pr, np.float32)
@@ -641,8 +817,6 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
 
     prs = np.zeros((nrx, 8, Npad), np.float32)
     pvs = np.zeros((ntx, 8, Mpad), np.float32)
-    RB = I1p // 8
-    jrb = np.ones((nrx, ntx, RB), np.int32)
     pr_pad = np.concatenate([pr_np, np.repeat(pr_np[-1:], Nsh * nrx - N, 0)])
     pv_pad = np.concatenate([pv_np, np.repeat(pv_np[-1:], Msh * ntx - M, 0)])
     nv_pad = np.concatenate([nv_np, np.repeat(nv_np[-1:], Msh * ntx - M, 0)])
@@ -668,15 +842,13 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
         pvs[j, 6, :Msh] = t0_pad[j * Msh:(j + 1) * Msh]
     planar = bool(np.all(py == 0) and np.all(prs[:, 1] == 0)
                   and np.all(pvs[:, 1] == 0))
-    for i in range(nrx):
-        for j in range(ntx):
-            jrb[i, j] = _plan_windows(
-                pz, px, py, prs[i, :3].T[:Nsh] / 1.0, pvs[j, :3].T[:Msh],
-                nv_pad[j * Msh:(j + 1) * Msh], t0_pad[j * Msh:(j + 1) * Msh],
-                fs, 1.0, Tp, tx_model).astype(np.int32)
+    boxes = _tile_boxes(pz.astype(np.float32), px.astype(np.float32),
+                        py.astype(np.float32))
+    gboxes = np.stack([_group_boxes(prs[i], Nsh) for i in range(nrx)])
     MC, NC = _choose_chunks(Msh, Nsh, Tp, 1)
     arrays = dict(pz=pz.astype(np.float32), px=px.astype(np.float32),
-                  py=py.astype(np.float32), prs=prs, pvs=pvs, jrb=jrb)
+                  py=py.astype(np.float32), prs=prs, pvs=pvs, boxes=boxes,
+                  gboxes=gboxes)
     statics = dict(planar=planar, MC=MC, NC=NC, Tp=Tp, Nsh=Nsh, Msh=Msh,
                    I1p=I1p, I2p=I2p)
     return arrays, statics
@@ -844,8 +1016,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     Np8 = -(-N // 8) * 8
     planar = bool(np.all(pys == 0) and np.all(prs[1] == 0)
                   and np.all(pvs[1] == 0))
-    Jrb = _plan_windows(pzs, pxs, pys, prs[:3].T[:N], pvs[:3].T[:M], nv_np,
-                        t0, fs, 1.0, Tp, tx_model).astype(np.int32)  # (RB,)
+    boxes = _tile_boxes(pzs, pxs, pys)
+    gbox = _group_boxes(prs, Np8)
 
     nch = 2 if (cplx or fmod != 0.0) else 1
     itemsize = 2 if precision == "bf16" else 4
@@ -872,8 +1044,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         oshape = ((Fn,) if Fn else ()) + keep_n + (I1p, I2p)
         accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
         outs = _das_call(
-            jnp.asarray(Jrb), jnp.asarray(pzs), jnp.asarray(pxs),
-            jnp.asarray(pys),
+            jnp.asarray(boxes), jnp.asarray(gbox), jnp.asarray(pzs),
+            jnp.asarray(pxs), jnp.asarray(pys),
             jnp.asarray(lat_tile) if lat_tile is not None else None,
             jnp.asarray(prs), jnp.asarray(pvs), xs, accs, fs=float(fs),
             tx_model=tx_model, planar=planar, fmod=float(fmod),

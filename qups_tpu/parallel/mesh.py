@@ -195,14 +195,16 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
     MC, NC = st["MC"], st["NC"]
     planar = st["planar"]
 
-    def local(jrb, pr1, pv1, xl):
+    boxesj = jnp.asarray(arrays["boxes"])
+
+    def local(gbox1, pr1, pv1, xl):
         # xl (Msh, Nsh, T); shard-local pallas launch + cross-chip psum
         acc = jnp.zeros((st["I1p"], st["I2p"]), jnp.float32)
-        out = _das_call(jrb[0, 0], pzj, pxj, pyj, None, pr1[0], pv1[0],
-                        (xl,), (acc,), fs=float(fs), tx_model=tx_model,
-                        planar=planar, fmod=0.0, keep_rx=False,
-                        rx_apods=(), tx_apods=(), MC=MC, NC=NC,
-                        interpret=interpret)[0]
+        out = _das_call(boxesj, gbox1[0], pzj, pxj, pyj, None, pr1[0],
+                        pv1[0], (xl,), (acc,), fs=float(fs),
+                        tx_model=tx_model, planar=planar, fmod=0.0,
+                        keep_rx=False, rx_apods=(), tx_apods=(), MC=MC,
+                        NC=NC, interpret=interpret)[0]
         if "rx" in mesh.axis_names:
             out = jax.lax.psum(out, "rx")
         if "tx" in mesh.axis_names:
@@ -210,10 +212,10 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
         return out
 
     f = shard_map(local, mesh=mesh,
-                  in_specs=(P("rx", "tx", None), P("rx", None, None),
+                  in_specs=(P("rx", None, None), P("rx", None, None),
                             P("tx", None, None), P("tx", "rx", None)),
                   out_specs=P(None, None), check_vma=False)
-    img = f(jnp.asarray(arrays["jrb"]), jnp.asarray(arrays["prs"]),
+    img = f(jnp.asarray(arrays["gboxes"]), jnp.asarray(arrays["prs"]),
             jnp.asarray(arrays["pvs"]), xT)
     I1, I2, _ = im_shape
     return img[:I1, :I2].reshape(I, 1, 1)
