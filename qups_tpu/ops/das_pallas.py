@@ -758,22 +758,21 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
 
 
 def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):
-    """Pick (MC, NC) trace-chunk sizes: maximize resident transmits within
-    the VMEM budget (double-buffered), NC a multiple of 8 dividing Npad."""
+    """Pick (MC, NC) trace-chunk sizes within the VMEM budget
+    (double-buffered). MC is capped at 8 — the kernel fully unrolls the
+    transmit chunk, and the sweep measured (8, 32) fastest at the full
+    trace size (35.7 vs 34.8 Gsums/s for (4, 64); MC=16 regresses to 32.3
+    because it falls back to a fori loop). NC is a multiple of 8 dividing
+    Npad, at most 64."""
     per_t = T * itemsize * 2 * nch  # bytes/(tx,rx) trace row w/ 2 buffers
     cap = max(1, vmem_budget // per_t)  # max MC*NC
-    # cap NC at 64: several transmits resident (MC > 1) amortizes the
-    # per-group receive geometry across the chunk
-    nc = min(N, 64)
-    while nc > 8 and (cap // nc) < 1:
-        nc //= 2
-    nc = max(8, nc)
-    while N % nc:
-        nc -= 8
-    mc = max(1, min(M, cap // nc))
+    mc = max(1, min(8, M, cap))
     while M % mc:
         mc -= 1
-    return mc, nc
+    nc = min(N, 64, max(8, (cap // mc) // 8 * 8))
+    while nc > 8 and N % nc:
+        nc -= 8
+    return mc, max(8, nc)
 
 
 def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
