@@ -73,11 +73,13 @@ def _absorb_terms(alpha0, alpha_power, c, Knp):
 
 
 @partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref",
-                                   "record_rows", "alpha_power"))
+                                   "record_rows", "alpha_power",
+                                   "field_stride"))
 def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
                   dt: float, dx: float, c_ref: float,
                   record_rows: Tuple[int, ...], alpha0=None,
-                  alpha_power: float = 1.5, bona=None):
+                  alpha_power: float = 1.5, bona=None,
+                  field_stride: int = 0):
     """2-D k-space PSTD simulation.
 
     Args:
@@ -94,8 +96,14 @@ def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
       alpha_power: the power-law exponent y (homogeneous; k-Wave likewise).
       bona: optional B/A nonlinearity map — enables the quadratic pressure
         term (cumulative harmonic generation).
+      field_stride: if > 0, additionally snapshot the FULL pressure field
+        every ``field_stride`` steps — the reference's ``'field'`` sensor
+        mode (``UltrasoundSystem.m:2542`` records the whole grid when
+        requested).
 
-    Returns: recorded pressure (steps, len(record_rows), Nx).
+    Returns: recorded pressure (steps, len(record_rows), Nx); with
+    ``field_stride`` > 0, a tuple ``(recorded, field)`` where field is
+    (ceil(steps/stride), Nz, Nx).
     """
     c = jnp.asarray(c, jnp.float32)
     rho = jnp.asarray(rho, jnp.float32)
@@ -147,9 +155,10 @@ def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
         return c2 * pr
 
     rows = jnp.asarray(np.asarray(record_rows, np.int32))
+    nsnap = -(-steps // field_stride) if field_stride else 0
 
     def step_fn(i, state):
-        uz, ux, rz, rx, p, rec = state
+        uz, ux, rz, rx, p, rec, fld = state
         # velocity update (staggered forward shift)
         uz = pml_z * (pml_z * uz - dt / rho0 * ddz(p, ez_f))
         ux = pml_x * (pml_x * ux - dt / rho0 * ddx(p, ex_f))
@@ -164,27 +173,39 @@ def kspace_sim_2d(c, rho, src_rows, src_cols, src_sig, *, steps: int,
         rx = rx.at[src_rows, src_cols].add(s / (2 * c2[src_rows, src_cols]))
         p = pressure(rz + rx, dzu + dxu)
         rec = rec.at[i].set(p[rows, :])
-        return uz, ux, rz, rx, p, rec
+        if field_stride:
+            fld = jax.lax.cond(
+                i % field_stride == 0,
+                lambda f: f.at[i // field_stride].set(p),
+                lambda f: f, fld)
+        return uz, ux, rz, rx, p, rec, fld
 
     z = jnp.zeros((Nz, Nx), jnp.float32)
     rec0 = jnp.zeros((steps, len(record_rows), Nx), jnp.float32)
-    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, z, z, rec0))
-    return out[-1]
+    fld0 = jnp.zeros((nsnap, Nz, Nx), jnp.float32)
+    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, z, z, rec0, fld0))
+    return (out[-2], out[-1]) if field_stride else out[-2]
 
 
 @partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref",
-                                   "record_rows", "alpha_power"))
+                                   "record_rows", "alpha_power",
+                                   "field_stride"))
 def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
                   dx: float, c_ref: float, record_rows: Tuple[int, ...],
-                  alpha0=None, alpha_power: float = 1.5, bona=None):
+                  alpha0=None, alpha_power: float = 1.5, bona=None,
+                  field_stride: int = 0):
     """3-D k-space PSTD simulation (volumetric ``kspaceFirstOrder3D``
     capability, ``UltrasoundSystem.m:2458``).
 
     Args:
       c, rho: (Nz, Nx, Ny) maps; src_idx: (3, Q) int32 node indices
       (z, x, y); src_sig: (steps, Q); record_rows: z-planes recorded fully.
+      field_stride: if > 0, also snapshot the full volume every
+        ``field_stride`` steps (the ``'field'`` sensor mode).
 
-    Returns: (steps, len(record_rows), Nx, Ny) pressure.
+    Returns: (steps, len(record_rows), Nx, Ny) pressure; with
+    ``field_stride`` > 0, ``(recorded, field)`` with field
+    (ceil(steps/stride), Nz, Nx, Ny).
     """
     c = jnp.asarray(c, jnp.float32)
     rho = jnp.asarray(rho, jnp.float32)
@@ -235,8 +256,10 @@ def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
     rows = jnp.asarray(np.asarray(record_rows, np.int32))
     sz, sx, sy = (jnp.asarray(src_idx[i], jnp.int32) for i in range(3))
 
+    nsnap = -(-steps // field_stride) if field_stride else 0
+
     def step_fn(i, state):
-        uz, ux, uy, rz, rx_, ry, p, rec = state
+        uz, ux, uy, rz, rx_, ry, p, rec, fld = state
         uz = pml_z * (pml_z * uz - dt / rho0 * dd(p, KZ, ez_f, 0))
         ux = pml_x * (pml_x * ux - dt / rho0 * dd(p, KX, ex_f, 1))
         uy = pml_y * (pml_y * uy - dt / rho0 * dd(p, KY, ey_f, 2))
@@ -252,9 +275,16 @@ def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
         ry = ry.at[sz, sx, sy].add(s)
         p = pressure(rz + rx_ + ry, dzu + dxu + dyu)
         rec = rec.at[i].set(p[rows])
-        return uz, ux, uy, rz, rx_, ry, p, rec
+        if field_stride:
+            fld = jax.lax.cond(
+                i % field_stride == 0,
+                lambda f: f.at[i // field_stride].set(p),
+                lambda f: f, fld)
+        return uz, ux, uy, rz, rx_, ry, p, rec, fld
 
     z = jnp.zeros((Nz, Nx, Ny), jnp.float32)
     rec0 = jnp.zeros((steps, len(record_rows), Nx, Ny), jnp.float32)
-    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, z, z, z, z, rec0))
-    return out[-1]
+    fld0 = jnp.zeros((nsnap, Nz, Nx, Ny), jnp.float32)
+    out = jax.lax.fori_loop(0, steps, step_fn,
+                            (z, z, z, z, z, z, z, rec0, fld0))
+    return (out[-2], out[-1]) if field_stride else out[-2]

@@ -976,7 +976,9 @@ UltrasoundSystem.bfEikonal = _bf_eikonal
 def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
                         cfl: float = 0.3, npml: int = 10,
                         tmax: Optional[float] = None,
-                        el_proj: str = "nearest", el_sub: int = 0):
+                        el_proj: str = "nearest", el_sub: int = 0,
+                        record: str = "elements", field_stride: int = 8,
+                        bg_subtract: bool = False):
     """Full-wave simulation through a heterogeneous Medium via the native
     k-space PSTD stepper (``UltrasoundSystem.kspaceFirstOrder``,
     ``src/UltrasoundSystem.m:2458-3170``): builds the grid + PML, a
@@ -991,7 +993,16 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
     ceil(width/h) + 1) bilinearly over the surrounding nodes, the analog of
     the reference's nearest/linear projection methods
     (``UltrasoundSystem.m:2649``, ``Transducer.elem2grid``,
-    ``src/Transducer.m:578``)."""
+    ``src/Transducer.m:578``).
+
+    ``record='field'`` additionally snapshots the FULL pressure field every
+    ``field_stride`` sim steps (the reference's ``'field'`` sensor mode,
+    ``UltrasoundSystem.m:2542``) and returns ``(chd, fields)`` with fields
+    (M, nsnap, *grid-shape) cropped of the PML. ``bg_subtract=True`` runs a
+    second simulation per transmit through the iso-impedance ambient medium
+    (``c0``/``rho0`` everywhere) and subtracts it, isolating the scattered
+    field — the reference's background-subtraction option
+    (``UltrasoundSystem.m:2555``)."""
     from .sim.fdtd import kspace_sim_2d
 
     if cgrd is None:
@@ -1031,6 +1042,13 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
     phys = dict(alpha0=amap, alpha_power=float(medium.alpha_power),
                 bona=bmap)
     cmax = float(cmap.max())
+    if record not in ("elements", "field"):
+        raise ValueError(f"unknown record mode {record!r}")
+    want_field = record == "field"
+    fstride = int(field_stride) if want_field else 0
+    if bg_subtract:
+        cmap_bg = np.full_like(cmap, float(medium.c0))
+        rmap_bg = np.full_like(rmap, float(medium.rho0))
 
     # CFL-limited dt aligned to us.fs (integer divisor)
     fs = float(us.fs)
@@ -1114,6 +1132,7 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
         return np.stack(cols, axis=1)  # (steps, N)
 
     chds = []
+    fields = []
     for v in range(M):
         act = np.where(np.abs(apod[:, v]) > 0)[0]
         maxdel = float(delays[act, v].max()) if act.size else 0.0
@@ -1133,25 +1152,50 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
         uniq, inv = np.unique(nodes_cat, axis=0, return_inverse=True)
         sig = np.zeros((steps, uniq.shape[0]), np.float32)
         np.add.at(sig.T, inv, sig_cat.T.astype(np.float32))
-        if vol:
-            from .sim.fdtd import kspace_sim_3d
-            rec = kspace_sim_3d(cmap, rmap, uniq.T,
-                                jnp.asarray(sig, jnp.float32), steps=steps,
-                                dt=dt, dx=h, c_ref=cmax,
-                                record_rows=rec_rows, **phys)
-        else:
-            rec = kspace_sim_2d(cmap, rmap, jnp.asarray(uniq[:, 0]),
-                                jnp.asarray(uniq[:, 1]),
-                                jnp.asarray(sig, jnp.float32), steps=steps,
-                                dt=dt, dx=h, c_ref=cmax,
-                                record_rows=rec_rows, **phys)
+        def run_sim(cm, rm, ph):
+            kw = dict(steps=steps, dt=dt, dx=h, c_ref=cmax,
+                      record_rows=rec_rows, field_stride=fstride, **ph)
+            if vol:
+                from .sim.fdtd import kspace_sim_3d
+                out = kspace_sim_3d(cm, rm, uniq.T,
+                                    jnp.asarray(sig, jnp.float32), **kw)
+            else:
+                out = kspace_sim_2d(cm, rm, jnp.asarray(uniq[:, 0]),
+                                    jnp.asarray(uniq[:, 1]),
+                                    jnp.asarray(sig, jnp.float32), **kw)
+            return out if want_field else (out, None)
+
+        rec, fld = run_sim(cmap, rmap, phys)
+        if bg_subtract:
+            # iso-impedance ambient background: same sources/dt/steps, the
+            # ambient c0/rho0 (+ ambient absorption) everywhere — the
+            # difference is the scattered field
+            phys_bg = dict(phys)
+            if phys["alpha0"] is not None:
+                phys_bg["alpha0"] = np.full_like(
+                    cmap, float(np.nan_to_num(medium.alpha0)))
+            if phys["bona"] is not None:
+                phys_bg["bona"] = np.full_like(
+                    cmap, float(np.nan_to_num(medium.bona0)))
+            rec_bg, fld_bg = run_sim(cmap_bg, rmap_bg, phys_bg)
+            rec = rec - rec_bg
+            if want_field:
+                fld = fld - fld_bg
+        if want_field:
+            # crop the PML frame before returning (grid coordinates)
+            sl = (slice(None), slice(npml, -npml), slice(npml, -npml)) \
+                + ((slice(npml, -npml),) if vol else ())
+            fields.append(np.asarray(fld)[sl])
         tr = sense(np.asarray(rec))
         tr = tr[::k]  # downsample to us.fs
         chds.append((tr, t0_sim))
     T = min(c[0].shape[0] for c in chds)
     data = np.stack([c[0][:T] for c in chds], axis=2)  # (T, N, M)
     t0 = np.array([c[1] for c in chds])
-    return ChannelData(data=jnp.asarray(data), fs=fs, t0=t0)
+    chd = ChannelData(data=jnp.asarray(data), fs=fs, t0=t0)
+    if want_field:
+        return chd, np.stack(fields)
+    return chd
 
 
 UltrasoundSystem.kspaceFirstOrder = _kspace_first_order

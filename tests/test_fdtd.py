@@ -241,6 +241,60 @@ def test_kspace_nonlinear_harmonics():
     assert r_nl > 3 * max(r_lin, 1e-6), (r_lin, r_nl)
 
 
+def test_kspace_field_recording_and_bg_subtract():
+    """record='field' returns full-grid pressure snapshots; bg_subtract
+    through a homogeneous medium cancels (scattered field == 0), and with a
+    scatterer it suppresses the direct transmit while keeping the echo
+    (``UltrasoundSystem.m:2542`` field sensor + background subtraction)."""
+    import numpy as np
+    import qups_tpu as q
+
+    c0, fc = 1500.0, 2e6
+    lam = c0 / fc
+    xdc = q.TransducerArray(numel=8, pitch=lam / 2, fc=fc)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc,
+        seq=q.Sequence(type="PW", focus=[[0.0], [0.0], [1.0]], c0=c0),
+        scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                             z=np.linspace(1e-3, 6e-3, 8)), fs=4 * fc)
+    h = lam / 6
+    cgrd = q.ScanCartesian(x=np.arange(-3e-3, 3e-3, h), y=[0.0],
+                           z=np.arange(-0.5e-3, 6.5e-3, h))
+    # field snapshots carry a propagating wave
+    med0 = q.Medium(c0=c0, rho0=1000.0)
+    chd, fields = us.kspaceFirstOrder(med0, cgrd, record="field",
+                                      field_stride=10, tmax=6e-6)
+    assert fields.ndim == 4 and fields.shape[0] == 1  # (M, nsnap, Nz, Nx)
+    assert fields.shape[2:] == (cgrd.nz, cgrd.nx)
+    assert np.isfinite(fields).all()
+    # later snapshots reach deeper rows than early ones (propagation)
+    early, late = fields[0, 1], fields[0, -1]
+    deep = slice(2 * fields.shape[2] // 3, None)
+    assert np.abs(late[deep]).max() > 10 * np.abs(early[deep]).max()
+
+    # homogeneous medium: background subtraction cancels exactly
+    chd_bg = us.kspaceFirstOrder(med0, cgrd, bg_subtract=True, tmax=6e-6)
+    ref = us.kspaceFirstOrder(med0, cgrd, tmax=6e-6)
+    assert np.abs(np.asarray(chd_bg.data)).max() \
+        < 1e-6 * np.abs(np.asarray(ref.data)).max()
+
+    # scatterer: subtraction keeps the echo, removes the direct wave
+    z_t = 4e-3
+    blob = lambda P: (np.hypot(P[0], P[2] - z_t) < lam / 4)  # noqa: E731
+    med1 = q.Medium(c0=c0, rho0=1000.0, pertreg=((blob, {"rho": 2200.0}),))
+    chd_s = us.kspaceFirstOrder(med1, cgrd, bg_subtract=True, tmax=8e-6)
+    x = np.asarray(chd_s.data)[:, 4, 0]
+    t = np.asarray(chd_s.time)[:, 0, 0]
+    t_echo = 2 * z_t / c0
+    sel = (t > 0.75 * t_echo) & (t < 1.4 * t_echo)
+    t_pk = t[sel][np.abs(x[sel]).argmax()]
+    assert abs(t_pk - t_echo) < 10 * h / c0, (t_pk, t_echo)
+    # direct-transmit residue (before half the echo time) is small relative
+    # to the retained echo
+    direct = np.abs(x[t < 0.4 * t_echo]).max()
+    assert direct < 0.5 * np.abs(x[sel]).max()
+
+
 def test_kspace_linear_element_projection():
     """el_proj='linear' distributes elements over nodes; TOF matches the
     nearest-node projection within a couple samples."""
