@@ -307,7 +307,7 @@ class UltrasoundSystem:
             c0: Optional[Union[float, np.ndarray]] = None,
             keep_tx: bool = False, keep_rx: bool = False,
             method: str = "cubic", kernel: str = "auto", out: str = "auto",
-            precision: str = "f32"):
+            precision: str = "f32", bsize: Optional[int] = None):
         """Compute-optimized delay-and-sum beamformer
         (``UltrasoundSystem.DAS``, ``UltrasoundSystem.m:3172-3372``).
 
@@ -330,6 +330,14 @@ class UltrasoundSystem:
         stores traces as packed bf16 tap pairs so both linear-interp taps
         ride one 32-bit gather — the TPU analog of the reference's half2
         trace mode (``bf.cu:170``); ~0.2% max rel error, ~10% faster.
+
+        ``bsize``: if set, stream the traces through the device ``bsize``
+        transmits at a time, keeping the full data host-resident and
+        accumulating (or concatenating, under ``keep_tx``) partial images —
+        the out-of-core analog of the reference's tall-array / ``bsize``
+        splicing (``UltrasoundSystem.m:3488``, ``ChannelData.tall``,
+        ``src/ChannelData.m:457``): device memory stays O(T*N*bsize + I)
+        regardless of the total transmit count.
         """
         from .ops.das_pallas import Fused, das_tiled
         pv, nv, model = self._tx_geometry()
@@ -339,6 +347,54 @@ class UltrasoundSystem:
             cinv = cinv.reshape(-1)
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+        if bsize is not None and chd.M > bsize:
+            # out-of-core transmit streaming: slice everything per-tx on
+            # host, recurse per block with bsize disabled
+            xh = chd.data if isinstance(chd.data, np.ndarray) \
+                else np.asarray(chd.data)
+            t0b = np.broadcast_to(np.asarray(t0).reshape(-1), (chd.M,))
+            fused_ok = all(isinstance(a, Fused) for a in apod_t)
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            pallas = kernel == "pallas" or (
+                kernel == "auto" and fused_ok and not (keep_rx and keep_tx)
+                and cinv.ndim == 0 and chd.data.ndim in (3, 4)
+                and self.scan.shape[2] == 1 and method == "linear" and on_tpu)
+            if not pallas:
+                # the XLA path consumes dense broadcastable apodizations:
+                # materialize Fused at full M once, slice per block below
+                apod_t = tuple(a.materialize(self) if isinstance(a, Fused)
+                               else a for a in apod_t)
+            acc = None
+            parts = []
+            for m0 in range(0, chd.M, bsize):
+                m1 = min(m0 + bsize, chd.M)
+                sub = ChannelData(data=xh[:, :, m0:m1], fs=chd.fs,
+                                  t0=t0b[m0:m1].reshape(1, 1, m1 - m0))
+                apod_b = tuple(_slice_tx_apod(a, m0, m1, chd.M)
+                               for a in apod_t)
+                img = self._das_block(
+                    sub, pv[m0:m1], nv[m0:m1], model, cinv, apod_b,
+                    fmod=fmod, keep_tx=keep_tx, keep_rx=keep_rx,
+                    method=method, kernel=kernel, out=out,
+                    precision=precision)
+                if keep_tx:
+                    parts.append(np.asarray(img))
+                else:
+                    img = np.asarray(img)
+                    acc = img if acc is None else acc + img
+            return np.concatenate(parts, axis=len(self.scan.shape) + 1) \
+                if keep_tx else acc
+        return self._das_block(chd, pv, nv, model, cinv, apod_t, fmod=fmod,
+                               keep_tx=keep_tx, keep_rx=keep_rx,
+                               method=method, kernel=kernel, out=out,
+                               precision=precision)
+
+    def _das_block(self, chd: ChannelData, pv, nv, model, cinv, apod_t,
+                   *, fmod, keep_tx, keep_rx, method, kernel, out,
+                   precision):
+        """One DAS dispatch over a (possibly tx-sliced) trace block."""
+        from .ops.das_pallas import Fused, das_tiled
+        t0 = chd.t0_host
         fused_ok = all(isinstance(a, Fused) for a in apod_t)
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         eligible = (
@@ -427,6 +483,27 @@ class UltrasoundSystem:
 # (I1, I2, I3, N, M) (``UltrasoundSystem.m:4892-5428``). All are host-side
 # numpy; the DAS kernels apply them per-transmit with broadcasting.
 # ----------------------------------------------------------------------------
+def _slice_tx_apod(a, m0, m1, M):
+    """Slice the transmit axis of one apodization for a ``bsize`` block:
+    dense broadcastable arrays are cut on axis 4 when it spans all M
+    transmits; Fused descriptors carrying a per-transmit ``lat_tx`` array
+    get a re-built descriptor with the slice (other Fused are pure geometry
+    and pass through)."""
+    from .ops.das_pallas import Fused
+    if isinstance(a, Fused):
+        p = a.p
+        lt = p.get("lat_tx")
+        if lt is not None and np.ndim(lt) and np.shape(lt)[0] == M:
+            p = dict(p)
+            p["lat_tx"] = np.asarray(lt)[m0:m1]
+            return Fused(a.kind, **p)
+        return a
+    arr = np.asarray(a)
+    if arr.ndim >= 5 and arr.shape[4] == M:
+        return arr[:, :, :, :, m0:m1]
+    return arr
+
+
 def _place(vec, dim, ndim=5):
     """Place a 1-D vector along dimension ``dim`` of an ndim-D array."""
     v = np.asarray(vec)

@@ -92,6 +92,28 @@ def test_das_keep_dims(sims):
     assert np.allclose(np.asarray(b2).squeeze().sum(-1), b0, atol=tol)
 
 
+def test_das_bsize_streaming(sims):
+    """Out-of-core tx streaming (bsize) matches the one-shot image exactly
+    (summed, keep_tx concat, and with an apodization)
+    (``UltrasoundSystem.m:3488`` bsize splicing / tall-array analog)."""
+    us, chd = sims["FSA"]
+    b0 = np.asarray(us.DAS(chd)).squeeze()
+    b1 = np.asarray(us.DAS(chd, bsize=5)).squeeze()
+    assert np.allclose(b1, b0, atol=1e-5 * np.abs(b0).max())
+    # keep_tx: blocks concatenate on the tx axis
+    k0 = np.asarray(us.DAS(chd, keep_tx=True))
+    k1 = np.asarray(us.DAS(chd, keep_tx=True, bsize=7))
+    assert k1.shape == k0.shape
+    assert np.allclose(k1, k0, atol=1e-5 * np.abs(k0).max())
+    # with a dense rx apodization (sliced per block on the tx axis)
+    N, M = chd.N, chd.M
+    ap = np.ones((1, 1, 1, N, M), np.float32)
+    ap[..., N // 2:, ::2] = 0
+    a0 = np.asarray(us.DAS(chd, apod=(ap,))).squeeze()
+    a1 = np.asarray(us.DAS(chd, apod=(ap,), bsize=6)).squeeze()
+    assert np.allclose(a1, a0, atol=1e-5 * np.abs(a0).max())
+
+
 def test_das_iq_remodulation(sims):
     # downmix the data, beamform with fmod -> same PSF location
     us, chd = sims["PW"]
