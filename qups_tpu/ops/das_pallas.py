@@ -157,7 +157,8 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             tx_model: str, planar: bool, iq: bool, fmod: float,
             MC: int, NC: int, F: int, keep_rx: bool, keep_tx: bool,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool,
-            pair: bool = False):
+            pair: bool = False, allfast: bool = False,
+            interp_mode: bool = False):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -433,7 +434,12 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 starting exactly at ws0 from the two aligned slabs it
                 straddles with a dynamic lane roll + iota select. No
                 per-window masks (every tap is in range by construction)
-                and exactly ONE gather per channel."""
+                and exactly ONE gather per channel. Measured 74.0 vs 45.2
+                Gsums/s against the aligned-window loop at the full bench
+                config (window planning makes every span fit: identical
+                checksums); selected STATICALLY per launch by the host-side
+                ``plan_allfast`` — a dynamic lax.cond dispatch measured 27%
+                SLOWER than the aligned loop."""
                 mm = ws0 - q0 * W  # 0 <= mm < W
                 q0b = jnp.minimum(q0 + 1, T // W - 1)
                 s0s = slab_at(q0)
@@ -441,10 +447,18 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 LJ = TIS - ws0
                 lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
                 sel = lane < (W - mm)
+
+                def roll_lanes(v):
+                    if interp_mode:
+                        # pltpu.roll has no interpret-mode rule; emulate the
+                        # right-roll with a modular lane gather
+                        return jnp.take_along_axis(v, (lane + mm) % W, axis=1)
+                    return pltpu.roll(v, W - mm, axis=1)
+
                 new = list(part)
                 for ch in range(nch):
-                    v0 = pltpu.roll(s0s[ch], W - mm, axis=1)
-                    v1 = pltpu.roll(s1s[ch], W - mm, axis=1)
+                    v0 = roll_lanes(s0s[ch])
+                    v1 = roll_lanes(s1s[ch])
                     v = jnp.where(sel, v0, v1)
                     srep = jnp.broadcast_to(v[:, None, :],
                                             (8, 8, W)).reshape(64, W)
@@ -517,11 +531,11 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 return jax.lax.fori_loop(1, Jact, jbody, part)
 
             def sweep(part):
-                # default: the aligned-window loop. The unaligned
-                # single-window 'fast' arm measures the same speed and a
-                # lax.cond dispatch costs ~7% (measured) — kept for perf
-                # experiments via _ABLATE.
-                if "fastonly" in _ABLATE:
+                # static dispatch: 'allfast' is proven by the host planner
+                # (every span fits one window); otherwise the aligned-window
+                # loop handles arbitrary spreads
+                if "fastonly" in _ABLATE or (allfast
+                                             and "noallfast" not in _ABLATE):
                     return fast(part)
                 if "cond" in _ABLATE:
                     return jax.lax.cond(span_fits, fast, slow, part)
@@ -634,6 +648,95 @@ def _group_boxes(prs, Np8):
                      ez.min(1), ez.max(1)], -1).astype(np.float32)
 
 
+def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
+                 W=128, safety=2):
+    """Host-side proof that EVERY (tile, rx-group, transmit) tap range fits
+    one W-lane window, mirroring the kernel's scalar-core interval math in
+    f32. When true, the kernel compiles the unaligned single-window 'fast'
+    arm unconditionally — one gather per (group, tx, channel), no window
+    masks (measured 74.0 vs 45.2 Gsums/s at the full bench config). The
+    ``safety`` margin absorbs host-vs-scalar-core f32 rounding skew on top
+    of the kernel's own ±2-sample planning margin."""
+    f32 = np.float32
+    B = np.asarray(boxes, f32).reshape(-1, 6)
+    Gb = np.asarray(gbox, f32)
+    zlo, zhi = B[:, 0:1], B[:, 1:2]
+    xbl, xbh = B[:, 2:3], B[:, 3:4]
+    ybl, ybh = B[:, 4:5], B[:, 5:6]
+    exlo, exhi = Gb[None, :, 0], Gb[None, :, 1]
+    eylo, eyhi = Gb[None, :, 2], Gb[None, :, 3]
+    ezlo, ezhi = Gb[None, :, 4], Gb[None, :, 5]
+
+    def igap(alo, ahi, blo, bhi):
+        return np.maximum(f32(0), np.maximum(blo - ahi, alo - bhi))
+
+    def ispan(alo, ahi, blo, bhi):
+        return np.maximum(ahi - blo, bhi - alo)
+
+    gx, sx = igap(xbl, xbh, exlo, exhi), ispan(xbl, xbh, exlo, exhi)
+    gz, sz = igap(zlo, zhi, ezlo, ezhi), ispan(zlo, zhi, ezlo, ezhi)
+    if planar:
+        drlo = np.sqrt(gx * gx + gz * gz) * f32(fs)
+        drhi = np.sqrt(sx * sx + sz * sz) * f32(fs)
+    else:
+        gy, sy = igap(ybl, ybh, eylo, eyhi), ispan(ybl, ybh, eylo, eyhi)
+        drlo = np.sqrt(gx * gx + gy * gy + gz * gz) * f32(fs)
+        drhi = np.sqrt(sx * sx + sy * sy + sz * sz) * f32(fs)
+
+    pvs = np.asarray(pvs, f32)
+    pvx, pvy, pvz = pvs[0, :M][None], pvs[1, :M][None], pvs[2, :M][None]
+    nvx, nvy, nvz = pvs[3, :M][None], pvs[4, :M][None], pvs[5, :M][None]
+    t0m = pvs[6, :M][None]
+    if tx_model == "plane":
+        ax0, ax1 = nvx * (xbl - pvx), nvx * (xbh - pvx)
+        az0, az1 = nvz * (zlo - pvz), nvz * (zhi - pvz)
+        dvlo = np.minimum(ax0, ax1) + np.minimum(az0, az1)
+        dvhi = np.maximum(ax0, ax1) + np.maximum(az0, az1)
+        if not planar:
+            ay0, ay1 = nvy * (ybl - pvy), nvy * (ybh - pvy)
+            dvlo = dvlo + np.minimum(ay0, ay1)
+            dvhi = dvhi + np.maximum(ay0, ay1)
+    else:
+        gtx, stx = igap(xbl, xbh, pvx, pvx), ispan(xbl, xbh, pvx, pvx)
+        gtz, stz = igap(zlo, zhi, pvz, pvz), ispan(zlo, zhi, pvz, pvz)
+        if planar:
+            rlo = np.sqrt(gtx * gtx + gtz * gtz)
+            rhi = np.sqrt(stx * stx + stz * stz)
+        else:
+            gty, sty = igap(ybl, ybh, pvy, pvy), ispan(ybl, ybh, pvy, pvy)
+            rlo = np.sqrt(gtx * gtx + gty * gty + gtz * gtz)
+            rhi = np.sqrt(stx * stx + sty * sty + stz * stz)
+        if tx_model == "diverging":
+            dvlo, dvhi = rlo, rhi
+        else:
+            bx0, bx1 = nvx * (xbl - pvx), nvx * (xbh - pvx)
+            bz0, bz1 = nvz * (zlo - pvz), nvz * (zhi - pvz)
+            rdlo = np.minimum(bx0, bx1) + np.minimum(bz0, bz1)
+            rdhi = np.maximum(bx0, bx1) + np.maximum(bz0, bz1)
+            if not planar:
+                by0, by1 = nvy * (ybl - pvy), nvy * (ybh - pvy)
+                rdlo = rdlo + np.minimum(by0, by1)
+                rdhi = rdhi + np.maximum(by0, by1)
+            dvlo = np.where(rdlo >= 0, rlo, -rhi)
+            dvhi = np.where(rdhi <= 0, -rlo, rhi)
+
+    # combine per (tile, group, tx) in tile chunks to bound memory
+    TB = B.shape[0]
+    step = max(1, 2 ** 24 // max(1, drlo.shape[1] * M))
+    for i0 in range(0, TB, step):
+        s = slice(i0, i0 + step)
+        lo_t = drlo[s, :, None] + (dvlo[s, None, :] - t0m[None]) * f32(fs) \
+            - f32(2)
+        hi_t = drhi[s, :, None] + (dvhi[s, None, :] - t0m[None]) * f32(fs) \
+            + f32(2)
+        lo_i = np.clip(lo_t.astype(np.int32), 0, T - 2)
+        hi_i = np.clip(hi_t.astype(np.int32) + 1, 0, T - 2)
+        tap_hi = hi_i if pair else hi_i + 1
+        if int((tap_hi - lo_i).max()) >= W - safety:
+            return False
+    return True
+
+
 @jax.jit
 def _pack_pairs(xr):
     """f32 ``(..., T)`` -> int32 bf16-pair lanes: lane ``t`` holds
@@ -648,10 +751,11 @@ def _pack_pairs(xr):
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
-    "tx_apods", "MC", "NC", "interpret", "pair"))
+    "tx_apods", "MC", "NC", "interpret", "pair", "allfast"))
 def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
               tx_model, planar, fmod, keep_rx, keep_tx=False, rx_apods,
-              tx_apods, MC, NC, interpret=False, pair=False):
+              tx_apods, MC, NC, interpret=False, pair=False,
+              allfast=False):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once)."""
     RB = pz.shape[0] // 8
@@ -670,7 +774,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
-        has_lat=has_lat, pair=pair)
+        has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret)
 
     grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
 
@@ -845,11 +949,15 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
                         py.astype(np.float32))
     gboxes = np.stack([_group_boxes(prs[i], Nsh) for i in range(nrx)])
     MC, NC = _choose_chunks(Msh, Nsh, Tp, 1)
+    allfast = all(
+        plan_allfast(boxes, gboxes[i], pvs[j], Msh, fs=fs,
+                     tx_model=tx_model, planar=planar, T=Tp, pair=False)
+        for i in range(nrx) for j in range(ntx))
     arrays = dict(pz=pz.astype(np.float32), px=px.astype(np.float32),
                   py=py.astype(np.float32), prs=prs, pvs=pvs, boxes=boxes,
                   gboxes=gboxes)
     statics = dict(planar=planar, MC=MC, NC=NC, Tp=Tp, Nsh=Nsh, Msh=Msh,
-                   I1p=I1p, I2p=I2p)
+                   I1p=I1p, I2p=I2p, allfast=allfast)
     return arrays, statics
 
 
@@ -1017,6 +1125,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                   and np.all(pvs[1] == 0))
     boxes = _tile_boxes(pzs, pxs, pys)
     gbox = _group_boxes(prs, Np8)
+    allfast = plan_allfast(boxes, gbox, pvs, M, fs=fs, tx_model=tx_model,
+                           planar=planar, T=Tp, pair=(precision == "bf16pair"))
 
     nch = 2 if (cplx or fmod != 0.0) else 1
     itemsize = 2 if precision == "bf16" else 4
@@ -1050,7 +1160,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             tx_model=tx_model, planar=planar, fmod=float(fmod),
             keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
-            pair=(precision == "bf16pair"))
+            pair=(precision == "bf16pair"), allfast=allfast)
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:

@@ -204,7 +204,8 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
                         pv1[0], (xl,), (acc,), fs=float(fs),
                         tx_model=tx_model, planar=planar, fmod=0.0,
                         keep_rx=False, rx_apods=(), tx_apods=(), MC=MC,
-                        NC=NC, interpret=interpret)[0]
+                        NC=NC, interpret=interpret,
+                        allfast=st["allfast"])[0]
         if "rx" in mesh.axis_names:
             out = jax.lax.psum(out, "rx")
         if "tx" in mesh.axis_names:

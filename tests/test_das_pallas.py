@@ -220,3 +220,54 @@ def test_keep_tx():
     assert got.shape == ref.shape
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_allfast_planner_decision():
+    """plan_allfast proves single-window coverage at low fs (fast arm) and
+    rejects it when the per-tile delay spread exceeds one 128-lane window
+    (high fs); parity holds either way."""
+    from qups_tpu.ops import das_pallas as dp
+
+    x, pi, pr, pv, nv, t0 = problem()
+    # mirror das_tiled's prep enough to query the planner directly
+    for fs, want in ((2e6, True), (64e6, False)):
+        sc = np.float32(1 / 1540.0)
+        g = pi.reshape(16, 128, 3)
+        gp = np.pad(g, ((0, 0), (0, 0), (0, 0)), mode="edge")
+        boxes = dp._tile_boxes((gp[:, :, 2] * sc).astype(np.float32),
+                               (gp[:, :, 0] * sc).astype(np.float32),
+                               (gp[:, :, 1] * sc).astype(np.float32))
+        prk = np.zeros((8, 128), np.float32)
+        prk[0, :16] = pr[:, 0] * sc
+        prk[2, :16] = pr[:, 2] * sc
+        gbox = dp._group_boxes(prk, 16)
+        pvk = np.zeros((8, 128), np.float32)
+        pvk[0, :4] = pv[:, 0] * sc
+        pvk[2, :4] = pv[:, 2] * sc
+        pvk[3, :4] = nv[:, 0]
+        pvk[5, :4] = nv[:, 2]
+        pvk[6, :4] = t0
+        got = dp.plan_allfast(boxes, gbox, pvk, 4, fs=fs, tx_model="plane",
+                              planar=True, T=256, pair=False)
+        assert got == want, (fs, got)
+    # low-fs parity: the unaligned single-window 'fast' arm is active
+    compare(x, pi, pr, pv, nv, t0, "plane", 16, 128, fs=2e6)
+    # high-fs parity: the aligned multi-window loop is the active path
+    compare(x, pi, pr, pv, nv, t0, "plane", 16, 128, fs=64e6)
+
+
+def test_noallfast_ablation_parity():
+    """Force the aligned-window loop on an allfast-eligible config — keeps
+    the slow arm covered now that small configs default to the fast arm."""
+    from qups_tpu.ops import das_pallas as dp
+    import jax
+
+    x, pi, pr, pv, nv, t0 = problem()
+    old = dp._ABLATE
+    try:
+        dp._ABLATE = frozenset({"noallfast"})
+        jax.clear_caches()
+        compare(x, pi, pr, pv, nv, t0, "plane", 16, 128)
+    finally:
+        dp._ABLATE = old
+        jax.clear_caches()
