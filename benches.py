@@ -127,6 +127,62 @@ def bench_greens():
                "value": dt / S * 1e6, "s_total": dt, "N": N, "M": M, "T": T})
 
 
+def bench_coherence():
+    """Coherence imaging on TPU: keep_rx DAS (Pallas fast path, rx axis
+    kept) + cohfac/slsc aperture reductions via ri-jit — the BASELINE
+    config-5 workload (reference: ``kern/slsc.m``/``kern/cohfac.m`` on SYN
+    images from ``bf.cu`` flag bit 3)."""
+    import jax
+    import jax.numpy as jnp
+    from qups_tpu.ops.das_pallas import das_tiled
+    from qups_tpu.ops.coherence import cohfac, slsc
+
+    T, N, M = (512, 16, 4) if _tiny() else (2048, 128, 64)
+    n = 128 if _tiny() else 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, N, M)).astype(np.float32))
+    pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    th = np.radians(np.linspace(-9, 9, M))
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.stack([np.sin(th), np.zeros(M), np.cos(th)], -1).astype(np.float32)
+    t0 = np.zeros(M, np.float32)
+    zs = np.linspace(5e-3, 45e-3, n)
+    xs = np.linspace(-12e-3, 12e-3, n)
+    Z, X = np.meshgrid(zs, xs, indexing="ij")
+    pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()],
+                  -1).astype(np.float32)
+    use_pallas = jax.devices()[0].platform != "cpu"
+
+    for name, post in (("cohfac", lambda brx: cohfac(brx, axis=1)),
+                       ("slsc", lambda brx: slsc(brx, axis=1,
+                                                 lags=max(2, N // 8)))):
+        def run(post=post):
+            if use_pallas:
+                brx = das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0,
+                                fs=31.25e6, tx_model="plane",
+                                im_shape=(n, n, 1), keep_rx=True)
+            else:
+                from qups_tpu.ops.das import das
+                brx = das(np.asarray(x), pi, pr, pv, nv, t0, 1 / 1540.0,
+                          fs=31.25e6, tx_model="plane", method="linear",
+                          keep_rx=True)
+            img = post(brx[..., 0] if use_pallas else brx)
+            return float(jnp.sum(jnp.abs(img)))
+        try:
+            run()
+            t1 = time.time()
+            run()
+            dt = time.time() - t1
+        except Exception as e:  # pragma: no cover
+            _emit({"bench": "coherence", "which": name, "error": str(e)})
+            continue
+        _emit({"bench": "coherence", "which": name,
+               "metric": "s/frame (keep_rx DAS + reduction)", "value": dt,
+               "sums_per_s": n * n * N * M / dt, "n_px_side": n,
+               "T": T, "N": N, "M": M})
+
+
 def bench_fdtd():
     """FDTD ms/time-step, 225x225 grid (``ParTest.m:298-318``)."""
     import jax.numpy as jnp
@@ -161,6 +217,8 @@ def main():
         bench_das()
     if which in ("greens", "all"):
         bench_greens()
+    if which in ("coherence", "all"):
+        bench_coherence()
     if which in ("fdtd", "all"):
         bench_fdtd()
 

@@ -526,54 +526,141 @@ def save_uff(path, chd: Optional[ChannelData] = None,
                 _uff_write_value(sg, "origin", np.asarray(scan.origin))
 
 
+def _uff_attr(node, name, default=""):
+    """Decode an HDF5 attribute that may be str, bytes, or a MATLAB
+    uint16 char-code array (USTB writes attrs via H5T_NATIVE char data)."""
+    v = node.attrs.get(name, default)
+    if isinstance(v, bytes):
+        return v.decode()
+    if isinstance(v, str):
+        return v
+    a = np.asarray(v)
+    if a.dtype.kind in "ui" and a.ndim >= 1:
+        return "".join(chr(int(c)) for c in a.reshape(-1))
+    if a.ndim == 0:
+        return str(a)
+    return "".join(str(x) for x in a.reshape(-1))
+
+
 def _uff_read_value(node):
     import h5py
     if isinstance(node, h5py.Group):
-        if node.attrs.get("class", b"").decode() == "complex" or \
+        if _uff_attr(node, "class") == "complex" or \
                 ("real" in node and "imag" in node):
             return np.asarray(node["real"]) + 1j * np.asarray(node["imag"])
         return {k: _uff_read_value(v) for k, v in node.items()}
     v = node[()]
     if isinstance(v, bytes):
         return v.decode()
-    return np.asarray(v)
+    a = np.asarray(v)
+    # USTB/MATLAB stores char arrays as uint16 code points
+    if _uff_attr(node, "class") == "char" and a.dtype.kind in "ui":
+        return "".join(chr(int(c)) for c in a.reshape(-1))
+    return a
+
+
+def _uff_point_xyz(pt):
+    """uff.point dict -> cartesian xyz (USTB stores spherical
+    azimuth/elevation/distance; xyz is the dependent form)."""
+    if "xyz" in pt:
+        return np.asarray(pt["xyz"], np.float64).reshape(-1)[:3]
+    az = float(np.squeeze(pt.get("azimuth", 0.0)))
+    el = float(np.squeeze(pt.get("elevation", 0.0)))
+    d = float(np.squeeze(pt.get("distance", np.inf)))
+    n = np.array([np.sin(az) * np.cos(el), np.sin(el),
+                  np.cos(az) * np.cos(el)])
+    return n if not np.isfinite(d) else d * n
+
+
+def _seq_from_ustb_waves(waves, c0, elem_pos=None):
+    """Map a list of uff.wave dicts to a Sequence + per-tx t0, following
+    the reference's import rules (``Sequence.UFF``, ``src/Sequence.m:
+    540-612``; t0 transform of ``ChannelData.UFF``,
+    ``src/ChannelData.m:219-230``)."""
+    wf = {str(np.squeeze(np.asarray(w.get("wavefront", 1)))) for w in waves}
+    plane_codes = {"0", "uff.wavefront.plane", "plane"}
+    pts = [w.get("source", {}) for w in waves]
+    dists = np.array([float(np.squeeze(p.get("distance", np.inf)))
+                      if isinstance(p, dict) else np.inf for p in pts])
+    delay = np.array([float(np.squeeze(w.get("delay", 0.0))) for w in waves])
+    if wf <= plane_codes or np.all(~np.isfinite(dists)):
+        # plane waves: source encodes the steering direction
+        dirs = np.stack([_uff_point_xyz(p) if isinstance(p, dict)
+                         else np.array([0, 0, 1.0]) for p in pts])
+        nrm = np.linalg.norm(dirs, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        dirs = dirs / nrm
+        seq = Sequence(type="PW", focus=dirs.T, c0=c0)
+        return seq, delay
+    xyz = np.stack([_uff_point_xyz(p) for p in pts])  # (M, 3)
+    if elem_pos is not None and xyz.shape[0] == elem_pos.shape[1] and \
+            np.allclose(xyz.T, elem_pos, atol=1e-6):
+        seq = Sequence(type="FSA", numpulse=xyz.shape[0], c0=c0)
+        t0 = delay - np.linalg.norm(elem_pos, axis=0) / c0
+        return seq, t0
+    seq = Sequence(type="VS", focus=xyz.T, c0=c0)
+    t0 = delay - np.linalg.norm(xyz, axis=1) / c0
+    return seq, t0
 
 
 def load_uff(path):
-    """Read a UFF HDF5 file written by :func:`save_uff` (and tolerant of
-    USTB channel_data groups). Returns a dict with any of 'chd', 'xdc',
-    'seq', 'scan'."""
+    """Read a UFF HDF5 file — both the :func:`save_uff` dialect and files
+    written by MATLAB USTB (``uff.write``): group/dataset 'class'
+    attributes as char-code arrays, char datasets as uint16 code points,
+    complex values as real/imag subgroup pairs, column-major (reversed-
+    axis) arrays, uff.wave sequence children with uff.point sources, and
+    probe geometry from uff.linear_array/curvilinear_array/matrix_array
+    properties. Returns a dict with any of 'chd', 'xdc', 'seq', 'scan'
+    (mapping per the reference's ``ChannelData.UFF``/``Sequence.UFF``/
+    ``Transducer.UFF``, ``src/ChannelData.m:180-240``,
+    ``src/Sequence.m:540-612``, ``src/Transducer.m:558-574``)."""
     import h5py
     out = {}
     with h5py.File(path, "r") as f:
+        matlab = "qups-tpu" not in _uff_attr(f, "version", "")
         # find the first channel_data-class group (or take the root groups)
         groups = [g for g in f.values() if isinstance(g, h5py.Group)]
         g = None
         for cand in groups:
-            if cand.attrs.get("class", b"").decode() == "uff.channel_data":
+            if _uff_attr(cand, "class") == "uff.channel_data":
                 g = cand
                 break
         if g is None and groups:
             g = groups[0]
         if g is None:
             return out
-        if "data" in g:
-            data = _uff_read_value(g["data"])
-            fs = float(np.squeeze(_uff_read_value(g["sampling_frequency"]))) \
-                if "sampling_frequency" in g else 1.0
-            t0 = _uff_read_value(g["t0"]) if "t0" in g else (
-                float(np.squeeze(_uff_read_value(g["initial_time"])))
-                if "initial_time" in g else 0.0)
-            out["chd"] = ChannelData(data=np.asarray(data), fs=fs,
-                                     t0=np.asarray(t0, np.float64))
+        c0 = float(np.squeeze(_uff_read_value(g["sound_speed"]))) \
+            if "sound_speed" in g else 1540.0
+        fc_pulse = None
+        if "pulse" in g and isinstance(g["pulse"], h5py.Group) and \
+                "center_frequency" in g["pulse"]:
+            fc_pulse = float(np.squeeze(
+                _uff_read_value(g["pulse"]["center_frequency"])))
         if "probe" in g:
             pg = g["probe"]
-            cls = pg.attrs.get("class", b"uff.probe").decode()
-            geom = np.asarray(_uff_read_value(pg["geometry"]))  # (N, 7)
-            fc = float(np.squeeze(_uff_read_value(pg["fc"]))) \
-                if "fc" in pg else 5e6
-            kw = dict(fc=fc, numel=geom.shape[0],
-                      width=float(geom[0, 5]), height=float(geom[0, 6]))
+            cls = _uff_attr(pg, "class") or "uff.probe"
+            geom = None
+            if "geometry" in pg:
+                geom = np.asarray(_uff_read_value(pg["geometry"]))
+                if geom.ndim == 2 and geom.shape[0] == 7 and \
+                        geom.shape[1] != 7:
+                    geom = geom.T  # MATLAB column-major: stored (7, N)
+            if "fc" in pg:
+                fc = float(np.squeeze(_uff_read_value(pg["fc"])))
+            else:
+                fc = fc_pulse or 5e6
+            N_el = int(np.squeeze(_uff_read_value(pg["N"]))) if "N" in pg \
+                else (geom.shape[0] if geom is not None else 0)
+            kw = dict(fc=fc, numel=N_el)
+            if geom is not None and geom.shape[1] >= 7:
+                kw["width"] = float(geom[0, 5])
+                kw["height"] = float(geom[0, 6])
+            elif "element_width" in pg:
+                kw["width"] = float(np.squeeze(
+                    _uff_read_value(pg["element_width"])))
+                if "element_height" in pg:
+                    kw["height"] = float(np.squeeze(
+                        _uff_read_value(pg["element_height"])))
             if "bw" in pg:
                 bwv = np.asarray(_uff_read_value(pg["bw"])).reshape(-1)
                 kw["bw"] = (float(bwv[0]), float(bwv[-1]))
@@ -581,26 +668,38 @@ def load_uff(path):
                 out["xdc"] = TransducerArray(
                     pitch=float(np.squeeze(_uff_read_value(pg["pitch"]))), **kw)
             elif cls == "uff.curvilinear_array" and "radius" in pg:
-                out["xdc"] = TransducerConvex(
-                    radius=float(np.squeeze(_uff_read_value(pg["radius"]))),
-                    angular_pitch=float(np.squeeze(
-                        _uff_read_value(pg["angular_pitch"]))), **kw)
-            elif cls == "uff.matrix_array" and "pitch2" in pg:
-                p2 = np.asarray(_uff_read_value(pg["pitch2"])).reshape(-1)
-                nd = np.asarray(_uff_read_value(pg["numd"])).reshape(-1)
+                rad = float(np.squeeze(_uff_read_value(pg["radius"])))
+                if "angular_pitch" in pg:
+                    apitch = float(np.squeeze(
+                        _uff_read_value(pg["angular_pitch"])))
+                else:  # USTB stores the linear pitch along the arc
+                    apitch = np.degrees(float(np.squeeze(
+                        _uff_read_value(pg["pitch"]))) / rad)
+                out["xdc"] = TransducerConvex(radius=rad,
+                                              angular_pitch=apitch, **kw)
+            elif cls == "uff.matrix_array" and ("pitch2" in pg
+                                                or "pitch_x" in pg):
+                if "pitch2" in pg:
+                    p2 = np.asarray(_uff_read_value(pg["pitch2"])).reshape(-1)
+                    nd = np.asarray(_uff_read_value(pg["numd"])).reshape(-1)
+                else:  # USTB field names
+                    p2 = [float(np.squeeze(_uff_read_value(pg["pitch_x"]))),
+                          float(np.squeeze(_uff_read_value(pg["pitch_y"])))]
+                    nd = [int(np.squeeze(_uff_read_value(pg["N_x"]))),
+                          int(np.squeeze(_uff_read_value(pg["N_y"])))]
+                kw.pop("numel", None)
                 out["xdc"] = TransducerMatrix(
                     pitch2=(float(p2[0]), float(p2[1])),
                     numd=(int(nd[0]), int(nd[1])), **kw)
-            else:
+            elif geom is not None:
                 out["xdc"] = TransducerGeneric(
                     pos=tuple(map(tuple, geom[:, :3].T)),
                     az=tuple(np.degrees(geom[:, 3])),
                     el=tuple(np.degrees(geom[:, 4])), **kw)
+        t0_seq = None
         if "sequence" in g and "qups_type" in g["sequence"]:
             sg = g["sequence"]
             styp = _uff_read_value(sg["qups_type"])
-            c0 = float(np.squeeze(_uff_read_value(g["sound_speed"]))) \
-                if "sound_speed" in g else 1540.0
             if styp == "FSA":
                 npu = int(np.squeeze(_uff_read_value(sg["numpulse"]))) \
                     if "numpulse" in sg else None
@@ -608,21 +707,68 @@ def load_uff(path):
             else:
                 foc = np.asarray(_uff_read_value(sg["source_xyz"])).T
                 out["seq"] = Sequence(type=styp, focus=foc, c0=c0)
+        elif "sequence" in g and isinstance(g["sequence"], h5py.Group):
+            # USTB: children are uff.wave groups (object-array layout)
+            sg = g["sequence"]
+            wave_nodes = [v for k, v in sorted(sg.items())
+                          if isinstance(v, h5py.Group)]
+            if not wave_nodes and _uff_attr(sg, "class") == "uff.wave":
+                wave_nodes = [sg]
+            waves = [_uff_read_value(w) for w in wave_nodes]
+            if waves:
+                ep = out["xdc"].positions() if "xdc" in out else None
+                out["seq"], t0_seq = _seq_from_ustb_waves(waves, c0, ep)
+        if "data" in g:
+            data = np.asarray(_uff_read_value(g["data"]))
+            if matlab and data.ndim >= 2:
+                # h5 row-major view of a MATLAB column-major (T,N,M,F)
+                data = np.transpose(data)
+            fs = float(np.squeeze(_uff_read_value(g["sampling_frequency"]))) \
+                if "sampling_frequency" in g else 1.0
+            if "t0" in g:
+                t0 = _uff_read_value(g["t0"])
+            elif t0_seq is not None:
+                # the reference takes t0 from the per-wave delays
+                # (``ChannelData.UFF``, ``src/ChannelData.m:219-230``);
+                # fall back to initial_time when the delays are all zero
+                # (the common USTB plane-wave-dataset convention)
+                it0 = float(np.squeeze(_uff_read_value(g["initial_time"]))) \
+                    if "initial_time" in g else 0.0
+                t0 = np.asarray(t0_seq, np.float64)
+                if np.all(t0 == 0.0) and it0 != 0.0:
+                    t0 = it0
+                elif np.allclose(t0, t0.reshape(-1)[0]):
+                    t0 = float(t0.reshape(-1)[0])
+                else:
+                    t0 = t0.reshape(1, 1, -1)
+            elif "initial_time" in g:
+                t0 = float(np.squeeze(_uff_read_value(g["initial_time"])))
+            else:
+                t0 = 0.0
+            out["chd"] = ChannelData(data=np.asarray(data), fs=fs,
+                                     t0=np.asarray(t0, np.float64))
         if "scan" in g:
             sg = g["scan"]
-            cls = sg.attrs.get("class", b"").decode()
+            cls = _uff_attr(sg, "class")
             if cls == "uff.linear_scan":
                 out["scan"] = ScanCartesian(
-                    x=np.asarray(_uff_read_value(sg["x_axis"])),
-                    y=np.asarray(_uff_read_value(sg["y_axis"])),
-                    z=np.asarray(_uff_read_value(sg["z_axis"])))
+                    x=np.asarray(_uff_read_value(sg["x_axis"])).reshape(-1),
+                    y=np.asarray(_uff_read_value(sg["y_axis"])).reshape(-1)
+                    if "y_axis" in sg else [0.0],
+                    z=np.asarray(_uff_read_value(sg["z_axis"])).reshape(-1))
             elif cls == "uff.sector_scan":
+                org = np.zeros(3)
+                if "origin" in sg:
+                    ov = _uff_read_value(sg["origin"])
+                    if isinstance(ov, dict):  # USTB uff.point origin
+                        org = _uff_point_xyz(ov)
+                    else:
+                        org = np.asarray(ov).reshape(-1)[:3]
                 out["scan"] = ScanPolar(
-                    origin=tuple(np.asarray(
-                        _uff_read_value(sg["origin"])).reshape(-1)[:3]),
-                    r=np.asarray(_uff_read_value(sg["depth_axis"])),
+                    origin=tuple(org),
+                    r=np.asarray(_uff_read_value(sg["depth_axis"])).reshape(-1),
                     a=np.degrees(np.asarray(
-                        _uff_read_value(sg["azimuth_axis"]))))
+                        _uff_read_value(sg["azimuth_axis"])).reshape(-1)))
     return out
 
 

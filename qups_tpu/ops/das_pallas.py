@@ -867,7 +867,13 @@ def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):
     transmit chunk, and the sweep measured (8, 32) fastest at the full
     trace size (35.7 vs 34.8 Gsums/s for (4, 64); MC=16 regresses to 32.3
     because it falls back to a fori loop). NC is a multiple of 8 dividing
-    Npad, at most 64."""
+    Npad, at most 64. Env override ``QUPS_DAS_CHUNKS=MC,NC`` for perf
+    sweeps."""
+    import os
+    ov = os.environ.get("QUPS_DAS_CHUNKS")
+    if ov:
+        mc, nc = (int(v) for v in ov.split(","))
+        return mc, nc
     per_t = T * itemsize * 2 * nch  # bytes/(tx,rx) trace row w/ 2 buffers
     cap = max(1, vmem_budget // per_t)  # max MC*NC
     mc = max(1, min(8, M, cap))

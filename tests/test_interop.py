@@ -194,3 +194,112 @@ def test_load_verasonics_workspace(tmp_path):
     assert isinstance(out["xdc"], q.TransducerArray)
     assert out["seq"].type in ("PW", "FSA")
     assert out["chd"][0].data.shape == (T, numel, A, 1)
+
+
+def test_load_uff_ustb_dialect(tmp_path):
+    """Read a synthetic file in MATLAB USTB conventions: char-code
+    class attributes, column-major (reversed-axis) data, uff.wave sequence
+    children with uff.point sources, linear_array probe fields
+    (mapping per ``src/ChannelData.m:180-240``, ``src/Sequence.m:540-612``)."""
+    h5py = pytest.importorskip("h5py")
+    path = tmp_path / "ustb.uff"
+    T, N, M = 32, 8, 3
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((T, N, M)).astype(np.float32)
+    angles = np.radians([-10.0, 0.0, 10.0])
+    pitch, fc, c0, fs, it0 = 0.3e-3, 5e6, 1540.0, 20e6, 2e-6
+
+    def chararr(s):
+        return np.array([ord(c) for c in s], np.uint16)
+
+    with h5py.File(path, "w") as f:
+        f.attrs["version"] = chararr("v1.2.0")
+        g = f.create_group("channel_data")
+        g.attrs["class"] = chararr("uff.channel_data")
+        # MATLAB column-major: (T, N, M) appears reversed in HDF5
+        g.create_dataset("data", data=np.transpose(data))
+        g.create_dataset("sampling_frequency", data=np.float64(fs))
+        g.create_dataset("initial_time", data=np.float64(it0))
+        g.create_dataset("sound_speed", data=np.float64(c0))
+        pu = g.create_group("pulse")
+        pu.attrs["class"] = chararr("uff.pulse")
+        pu.create_dataset("center_frequency", data=np.float64(fc))
+        pg = g.create_group("probe")
+        pg.attrs["class"] = chararr("uff.linear_array")
+        xs = (np.arange(N) - (N - 1) / 2) * pitch
+        geom = np.stack([xs, np.zeros(N), np.zeros(N), np.zeros(N),
+                         np.zeros(N), np.full(N, 0.27e-3),
+                         np.full(N, 5e-3)])  # (7, N): column-major transpose
+        pg.create_dataset("geometry", data=geom)
+        pg.create_dataset("pitch", data=np.float64(pitch))
+        pg.create_dataset("N", data=np.float64(N))
+        sg = g.create_group("sequence")
+        sg.attrs["array"] = chararr("1")
+        for i, a in enumerate(angles):
+            w = sg.create_group(f"sequence_{i + 1:04d}")
+            w.attrs["class"] = chararr("uff.wave")
+            w.create_dataset("wavefront", data=np.int32(0))  # plane
+            w.create_dataset("delay", data=np.float64(0.0))
+            sp = w.create_group("source")
+            sp.attrs["class"] = chararr("uff.point")
+            sp.create_dataset("azimuth", data=np.float64(a))
+            sp.create_dataset("elevation", data=np.float64(0.0))
+            sp.create_dataset("distance", data=np.float64(np.inf))
+
+    out = interop.load_uff(path)
+    chd, xdc, seq = out["chd"], out["xdc"], out["seq"]
+    assert chd.data.shape == (T, N, M)
+    assert np.allclose(np.asarray(chd.data), data)
+    assert float(chd.fs) == fs
+    # zero wave delays -> t0 from initial_time
+    assert np.allclose(np.asarray(chd.t0_host).reshape(-1), it0)
+    assert isinstance(xdc, q.TransducerArray)
+    assert xdc.numel == N and np.isclose(xdc.pitch, pitch)
+    assert np.isclose(xdc.fc, fc)  # from the pulse center frequency
+    assert seq.type == "PW"
+    nv = seq.focus_array  # (3, M) unit directions
+    assert np.allclose(nv[0], np.sin(angles), atol=1e-6)
+    assert np.allclose(nv[2], np.cos(angles), atol=1e-6)
+
+
+def test_load_uff_ustb_focused_vs(tmp_path):
+    """USTB spherical waves with finite-distance sources map to a VS
+    sequence with t0 = delay - |focus|/c0 (``src/ChannelData.m:222``)."""
+    h5py = pytest.importorskip("h5py")
+    path = tmp_path / "ustb_vs.uff"
+    M = 3
+    foci = np.stack([np.linspace(-2e-3, 2e-3, M), np.zeros(M),
+                     np.full(M, 30e-3)])  # (3, M)
+    c0 = 1540.0
+
+    def chararr(s):
+        return np.array([ord(c) for c in s], np.uint16)
+
+    with h5py.File(path, "w") as f:
+        f.attrs["version"] = chararr("v1.2.0")
+        g = f.create_group("channel_data")
+        g.attrs["class"] = chararr("uff.channel_data")
+        g.create_dataset("data", data=np.zeros((M, 4, 16)))  # (M,N,T) rev
+        g.create_dataset("sampling_frequency", data=np.float64(10e6))
+        g.create_dataset("sound_speed", data=np.float64(c0))
+        sg = g.create_group("sequence")
+        for i in range(M):
+            w = sg.create_group(f"sequence_{i + 1:04d}")
+            w.attrs["class"] = chararr("uff.wave")
+            w.create_dataset("wavefront", data=np.int32(1))  # spherical
+            w.create_dataset("delay", data=np.float64(1e-6))
+            sp = w.create_group("source")
+            sp.attrs["class"] = chararr("uff.point")
+            d = np.linalg.norm(foci[:, i])
+            sp.create_dataset("azimuth",
+                              data=np.float64(np.arctan2(foci[0, i],
+                                                         foci[2, i])))
+            sp.create_dataset("elevation", data=np.float64(0.0))
+            sp.create_dataset("distance", data=np.float64(d))
+
+    out = interop.load_uff(path)
+    seq, chd = out["seq"], out["chd"]
+    assert seq.type == "VS"
+    assert np.allclose(seq.focus_array, foci, atol=1e-9)
+    want_t0 = 1e-6 - np.linalg.norm(foci, axis=0) / c0
+    assert np.allclose(np.asarray(chd.t0_host).reshape(-1), want_t0)
