@@ -37,6 +37,37 @@ def load_chd(path: str) -> ChannelData:
                        t0=float(t0[0]) if t0.size == 1 else t0)
 
 
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Checkpoint a pytree of (possibly multi-chip-sharded) arrays with
+    orbax — the TPU-native answer to the reference's lack of in-band
+    checkpointing for long simulations (SURVEY §5: batch jobs + readers,
+    ``src/UltrasoundSystem.m:1295-1374``): sharded ChannelData / image
+    shards are written per-host without gathering to one device."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(path, tree)
+
+
+def load_checkpoint(path: str, like: Any = None) -> Any:
+    """Restore a :func:`save_checkpoint` pytree. ``like`` (optional) is a
+    template tree of arrays or jax.ShapeDtypeStructs carrying target
+    shardings — pass it to restore each leaf directly onto its device mesh;
+    omitted, leaves come back as host numpy arrays."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ck:
+        return ck.restore(os.path.abspath(path), like)
+
+
 def obj2dict(obj: Any) -> Dict:
     """Dataclass -> plain dict with a class tag (``obj2struct`` analog).
     Callables (waveform funs, region predicates) are dropped — they are
