@@ -863,12 +863,13 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
 
 def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):
     """Pick (MC, NC) trace-chunk sizes within the VMEM budget
-    (double-buffered). MC is capped at 8 — the kernel fully unrolls the
-    transmit chunk, and the sweep measured (8, 32) fastest at the full
-    trace size (35.7 vs 34.8 Gsums/s for (4, 64); MC=16 regresses to 32.3
-    because it falls back to a fori loop). NC is a multiple of 8 dividing
-    Npad, at most 64. Env override ``QUPS_DAS_CHUNKS=MC,NC`` for perf
-    sweeps."""
+    (double-buffered). The full-size sweep under the single-window fast
+    arm measured (4, 16) fastest — 102.7 Gsums/s vs 98.2 for (8, 8), 84.8
+    for (4, 32), 74.3 for the old (8, 32) default: a chunk product of ~64
+    rows keeps the working set small enough to overlap DMA with the sweep.
+    MC must divide M (the transmit chunk is fully unrolled; MC > 8 falls
+    back to a fori loop and regresses), NC is a multiple of 8 dividing
+    Npad. Env override ``QUPS_DAS_CHUNKS=MC,NC`` for perf sweeps."""
     import os
     ov = os.environ.get("QUPS_DAS_CHUNKS")
     if ov:
@@ -876,10 +877,10 @@ def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):
         return mc, nc
     per_t = T * itemsize * 2 * nch  # bytes/(tx,rx) trace row w/ 2 buffers
     cap = max(1, vmem_budget // per_t)  # max MC*NC
-    mc = max(1, min(8, M, cap))
+    mc = max(1, min(4, M, cap))
     while M % mc:
         mc -= 1
-    nc = min(N, 64, max(8, (cap // mc) // 8 * 8))
+    nc = min(N, 16, max(8, (cap // mc) // 8 * 8))
     while nc > 8 and N % nc:
         nc -= 8
     return mc, max(8, nc)

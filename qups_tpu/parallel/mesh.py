@@ -160,7 +160,8 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
 def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
                        fs: float, tx_model: str = "virtual",
-                       im_shape=None, interpret: bool = False):
+                       im_shape=None, interpret: bool = False,
+                       precision: str = "f32"):
     """Sharded DAS riding the fused Pallas kernel per shard.
 
     The channel data ``x (T, N, M)`` (real f32) is sharded rx->'rx',
@@ -170,12 +171,17 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
     composition of the single-chip hot path (BASELINE scaling metric).
     Host-side geometry packing + window planning happen per shard
     (``prep_sharded``), stacked on the mesh axes.
+
+    ``precision='bf16pair'`` packs each shard's traces into bf16 tap-pair
+    lanes on-device before the kernel (the single-chip hot-path trace
+    mode): ~2x fewer gather bits per sum, ~0.2% max rel err.
     """
-    from ..ops.das_pallas import _das_call, prep_sharded
+    from ..ops.das_pallas import _das_call, _pack_pairs, prep_sharded
 
     shard_map = jax.shard_map
     nrx = mesh.shape.get("rx", 1)
     ntx = mesh.shape.get("tx", 1)
+    pair = precision == "bf16pair"
     x = jnp.asarray(x, jnp.float32)
     T, N, M = x.shape
     I = np.shape(pi)[0]
@@ -199,12 +205,14 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
 
     def local(gbox1, pr1, pv1, xl):
         # xl (Msh, Nsh, T); shard-local pallas launch + cross-chip psum
+        if pair:
+            xl = _pack_pairs(xl)
         acc = jnp.zeros((st["I1p"], st["I2p"]), jnp.float32)
         out = _das_call(boxesj, gbox1[0], pzj, pxj, pyj, None, pr1[0],
                         pv1[0], (xl,), (acc,), fs=float(fs),
                         tx_model=tx_model, planar=planar, fmod=0.0,
                         keep_rx=False, rx_apods=(), tx_apods=(), MC=MC,
-                        NC=NC, interpret=interpret,
+                        NC=NC, interpret=interpret, pair=pair,
                         allfast=st["allfast"])[0]
         if "rx" in mesh.axis_names:
             out = jax.lax.psum(out, "rx")

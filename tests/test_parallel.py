@@ -142,3 +142,36 @@ def test_das_sharded_pallas_parity():
                          tx_model="plane", method="linear")).squeeze()
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_das_sharded_pallas_bf16pair():
+    """Sharded kernel with on-device bf16 tap-pair packing per shard
+    matches the XLA das within bf16 tolerance."""
+    import jax
+    import numpy as np
+    from qups_tpu.parallel import make_mesh, das_sharded_pallas
+    from qups_tpu.ops.das import das
+
+    rng = np.random.default_rng(11)
+    T, N, M, I1, I2 = 256, 16, 4, 16, 128
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    xs = np.linspace(-12e-3, 12e-3, I2)
+    zs = np.linspace(5e-3, 45e-3, I1)
+    Z, X = np.meshgrid(zs, xs, indexing="ij")
+    pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()], -1).astype(np.float32)
+    pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    th = np.radians(np.linspace(-9, 9, M))
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.stack([np.sin(th), np.zeros(M), np.cos(th)], -1).astype(np.float32)
+    t0 = np.full(M, 2 * 5e-3 / 1540.0, np.float32)
+
+    mesh = make_mesh(jax.devices()[:4], axes=("rx", "tx"))
+    got = np.asarray(das_sharded_pallas(
+        mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
+        im_shape=(I1, I2, 1), interpret=True,
+        precision="bf16pair")).squeeze()
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear")).squeeze()
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-2
