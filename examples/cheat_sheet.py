@@ -72,13 +72,42 @@ cgrd = q.ScanCartesian(x=np.arange(-4e-3, 4e-3, 0.2e-3), y=[0.0],
 b7 = us.bfEikonal(chd, med, cgrd)       # eikonal travel-time beamforming
 print("eikonal image:", b7.shape)
 
+# ------------------------------------------------------- out-of-core / tall
+# stream transmits through the device in blocks (host-resident traces)
+b8 = us.DAS(chd, method="linear", bsize=2)
+assert np.allclose(np.asarray(b8), np.asarray(b), atol=1e-5 * np.abs(
+    np.asarray(b)).max())
+
+# ------------------------------------------------- full-wave sim (k-Wave-y)
+# field snapshots + iso-impedance background subtraction
+cgrd2 = q.ScanCartesian(x=np.arange(-3e-3, 3e-3, 0.3e-3), y=[0.0],
+                        z=np.arange(-0.5e-3, 8e-3, 0.3e-3))
+us_kw = us.replace(scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                        z=np.linspace(1e-3, 6e-3, 8)))
+chd_kw, fields = us_kw.kspaceFirstOrder(
+    q.Medium(c0=c0, rho0=1000.0), cgrd2, record="field", field_stride=16,
+    tmax=4e-6)
+print("fdtd traces:", chd_kw.data.shape, "field snapshots:", fields.shape)
+
+# ---------------------------------------------------------------- profiling
+from qups_tpu.utils import Timer  # noqa: E402
+tm = Timer()
+with tm("das"):
+    _ = us.DAS(chd, method="linear")
+print("DAS wall:", round(tm.times["das"], 3), "s")
+
 # ------------------------------------------------------------ serialization
 from qups_tpu import interop  # noqa: E402
+from qups_tpu.io import save_checkpoint, load_checkpoint  # noqa: E402
 import tempfile, os  # noqa: E402
 with tempfile.TemporaryDirectory() as d:
     interop.save_uff(os.path.join(d, "demo.uff"), chd=chd, xdc=xdc,
                      seq=seq_pw, scan=scan)
     back = interop.load_uff(os.path.join(d, "demo.uff"))
     assert back["xdc"].numel == xdc.numel
+    # orbax checkpoint of a (possibly sharded) result pytree
+    save_checkpoint(os.path.join(d, "ckpt"), {"img": np.asarray(b)})
+    assert np.allclose(load_checkpoint(os.path.join(d, "ckpt"))["img"],
+                       np.asarray(b))
 
 print("cheat sheet OK")

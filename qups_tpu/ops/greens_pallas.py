@@ -372,34 +372,56 @@ def greens_tiled(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
             grid_sum = g if grid_sum is None else grid_sum + g
 
     # ---- convolve with the pulse kernel along the deposit axis, then undo
-    # the per-rx offset with static slices ----
-    @functools.partial(jax.jit, static_argnames=("T", "P0", "ofs_t"))
-    def finish(grid, kv, *, T, P0, ofs_t):
-        from .conv import convd
-        # grid (M, G, Npad) -> full (M, G + K - 1, Npad)
-        full = convd(grid, kv.reshape(1, -1, 1), axis=1, shape="full",
-                     method="fft" if kv.shape[0] > 64 else "direct")
-        Gf = full.shape[1]
-        # x[t, n, m] = full[m, t + P0 - ofs[n], n]  (amplitude norm 1/fsr
-        # is already folded by the kernel resampling)
-        maxsh = max(P0 - o for o in ofs_t)
-        minsh = min(P0 - o for o in ofs_t)
+    # the per-rx offset. Two strategies (QUPS_GREENS_FINISH=conv|fft):
+    # 'conv' (default) = depthwise lax.conv + per-rx static slices;
+    # 'fft' = one rfft/irfft pass with per-rx-lane phase ramps
+    # exp(+2j pi k sh_n / L) realizing x[t,n,m] = full[m, t+sh_n, n]. ----
+    @functools.partial(jax.jit, static_argnames=("T", "P0", "ofs_t", "how"))
+    def finish(grid, kv, *, T, P0, ofs_t, how="conv"):
+        M_, G_, Npad_ = grid.shape
+        Nn = len(ofs_t)
+        K_ = kv.shape[0]
+        Gf = G_ + K_ - 1
+        sh = np.asarray([P0 - o for o in ofs_t], np.int64)
+        maxsh = int(sh.max())
+        minsh = int(sh.min())
+        if how == "fft":
+            # circular-shift safety: out-of-range taps land on zero-pad
+            L = max(Gf, maxsh + T, Gf - minsh)
+            L = int(2 ** np.ceil(np.log2(max(2, L))))  # fast FFT size
+            F = jnp.fft.rfft(grid[:, :, :Nn], n=L, axis=1)  # (M, L/2+1, N)
+            Kf = jnp.fft.rfft(kv, n=L)  # (L/2+1,)
+            k = np.arange(L // 2 + 1)
+            ph = np.exp(2j * np.pi / L * k[None, :] * sh[:, None])
+            mix = (Kf[None, :, None]
+                   * jnp.asarray(ph.T[None], jnp.complex64))  # (1,L/2+1,N)
+            x = jnp.fft.irfft(F * mix, n=L, axis=1)[:, :T]  # (M, T, N)
+            return jnp.transpose(x, (1, 2, 0))
+        # depthwise conv along the deposit axis (rides the conv unit; the
+        # (K,1,Npad) depthwise rhs measured 33 ms at config-#4 shape)
+        rhs = jnp.tile(kv[::-1].reshape(K_, 1, 1), (1, 1, Npad_))
+        full = jax.lax.conv_general_dilated(
+            grid, rhs, window_strides=(1,), padding=[(K_ - 1, K_ - 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=Npad_)  # (M, Gf, Npad)
         padlo = max(0, -minsh)
         padhi = max(0, maxsh + T - Gf)
         fullp = jnp.pad(full, ((0, 0), (padlo, padhi), (0, 0)))
-        cols = [fullp[:, (P0 - o + padlo):(P0 - o + padlo + T), n]
-                for n, o in enumerate(ofs_t)]
+        cols = [fullp[:, (s + padlo):(s + padlo + T), n]
+                for n, s in enumerate(sh)]
         x = jnp.stack(cols, axis=-1)  # (M, T, N)
         return jnp.transpose(x, (1, 2, 0))
 
+    import os
     ofs_t = tuple(int(o) for o in ofs_pad[:N])
+    how = os.environ.get("QUPS_GREENS_FINISH", "conv")
     if np.iscomplexobj(kern):
         xr = finish(grid_sum, jnp.asarray(kern.real, jnp.float32), T=T,
-                    P0=P0, ofs_t=ofs_t)
+                    P0=P0, ofs_t=ofs_t, how=how)
         xi = finish(grid_sum, jnp.asarray(kern.imag, jnp.float32), T=T,
-                    P0=P0, ofs_t=ofs_t)
+                    P0=P0, ofs_t=ofs_t, how=how)
         if out == "complex":
             return jax.jit(lambda a, b: a + 1j * b)(xr, xi)
         return jnp.stack([xr, xi], axis=-1)  # boundary-safe ri pair
     return finish(grid_sum, jnp.asarray(kern, jnp.float32), T=T, P0=P0,
-                  ofs_t=ofs_t)
+                  ofs_t=ofs_t, how=how)
