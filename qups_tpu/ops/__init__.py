@@ -3,6 +3,7 @@ from .conv import convd, xcorr, conv_lag0, conv_len
 from .coherence import cohfac, slsc, dmas, pcf, pwznxcorr
 from .das import das, das_lut, delay_tables
 from .greens import greens_splat, greens_dense
+from .greens_freq import greens_freq
 from .greens_pallas import greens_tiled
 from .das_pallas import das_tiled, Fused
 from .simus import simus_fsa
@@ -15,7 +16,7 @@ __all__ = [
     "convd", "xcorr", "conv_lag0", "conv_len",
     "cohfac", "slsc", "dmas", "pcf", "pwznxcorr",
     "das", "das_lut", "delay_tables", "greens_splat", "greens_dense",
-    "greens_tiled", "das_tiled", "Fused", "simus_fsa",
+    "greens_freq", "greens_tiled", "das_tiled", "Fused", "simus_fsa",
     "bf_adjoint", "refocus", "stolt_migration",
     "msfm", "msfm_multi",
     "wbilerp", "xiaolinwu_line", "ray_paths", "global_average_c",

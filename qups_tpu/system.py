@@ -118,16 +118,20 @@ class UltrasoundSystem:
     def greens(self, scat: Scatterers, element_subdivisions: Tuple[int, int] = (1, 1),
                R0: Optional[float] = None, method: str = "cubic",
                impl: str = "auto", fsk: Optional[float] = None,
-               block: int = 32) -> ChannelData:
+               block: int = 32, rtol: float = 1e-6) -> ChannelData:
         """Simulate echoes from point scatterers via a shifted Green's
         function, then apply the transmit Sequence via :meth:`focusTx`
         (``UltrasoundSystem.greens``, ``UltrasoundSystem.m:463-882``).
 
-        ``impl``: 'auto' uses the Pallas splat kernel on TPU ('pallas'
-        forces it; complex kernels split into re/im splat passes and the
-        focusTx synthesis runs inside one jit, so no complex array crosses
-        a program boundary — the TPU ri contract of ``utils/cpx.py``);
-        'splat' is the XLA scatter-add path; 'dense' the O(T S N M) oracle.
+        ``impl``: 'auto' uses the frequency-domain MXU path on TPU
+        ('freq': per-bin (S,N)^T x (S,M) GEMMs with exact fractional
+        delays — see :mod:`qups_tpu.ops.greens_freq`; ``rtol`` trims the
+        synthesis band to kernel-spectrum bins above ``rtol * max``);
+        'pallas' the VPU splat kernel (tent/cubic deposit + convolve, the
+        exact TPU analog of the reference's ``greens.cu``); 'splat' the
+        XLA scatter-add path; 'dense' the O(T S N M) oracle. Complex
+        kernels keep every jit boundary real (ri contract of
+        ``utils/cpx.py``).
         """
         fs = float(self.fs)
         fsk = float(fsk or fs)
@@ -162,8 +166,34 @@ class UltrasoundSystem:
         s0 = n0 / fs
 
         if impl == "auto":
-            impl = "pallas" if jax.devices()[0].platform not in ("cpu",) \
+            impl = "freq" if jax.devices()[0].platform not in ("cpu",) \
                 else "splat"
+
+        if impl == "freq":
+            from .ops.greens_freq import greens_freq
+            kw = dict(T=T, s0=s0, t0k=float(wv.t0), fs=fs, cinv=1.0 / c0,
+                      R0=R0, fsr=fsk / fs, rtol=rtol)
+            amp = np.asarray(scat.amp)
+            x = greens_freq(kern, ps.T, amp, pn, pv, out="auto", **kw)
+            if np.iscomplexobj(kern) or np.iscomplexobj(amp):
+                if x.ndim == 4 and x.shape[-1] == 2:  # ri pair (TPU)
+                    seq = self.seq
+
+                    @jax.jit
+                    def _post(xri):
+                        chd = ChannelData(
+                            data=xri[..., 0] + 1j * xri[..., 1], fs=fs,
+                            t0=s0)
+                        chd = self.focusTx(chd, seq, method=method)
+                        return (jnp.real(chd.data), jnp.imag(chd.data),
+                                jnp.real(jnp.asarray(chd.t0, jnp.float32)))
+
+                    rr, ri_, t0v = _post(x)
+                    data = np.asarray(rr) + 1j * np.asarray(ri_)
+                    return ChannelData(data=data, fs=fs,
+                                       t0=np.asarray(t0v).reshape(-1))
+            chd = ChannelData(data=x, fs=fs, t0=s0)
+            return self.focusTx(chd, self.seq, method=method)
 
         if impl == "pallas":
             from .ops.greens_pallas import greens_tiled

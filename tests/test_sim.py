@@ -46,6 +46,29 @@ def test_greens_splat_matches_dense():
     assert np.abs(xs - xd).max() / scale < 1e-3
 
 
+def test_greens_freq_matches_dense():
+    """system.greens impl='freq' (the TPU MXU path) vs the dense oracle:
+    exact fractional delays vs cubic interp — agree to interp error."""
+    # fc = fs/6: narrow enough band that cubic interp ~= the band-limited
+    # semantics of the freq path (at fs/4 pulses the two legitimately
+    # diverge by >10% — see tests/test_greens_freq.py for the exact
+    # band-limited oracle)
+    us = make_us(numel=8, fc=2e6)
+    scat = q.Scatterers(pos=[[1e-3, -2e-3], [0, 0], [28e-3, 31e-3]], c0=1540.0)
+    chd_f = us.greens(scat, impl="freq")
+    chd_d = us.greens(scat, impl="dense")
+    xf = np.asarray(chd_f.data)
+    xd = np.asarray(chd_d.data)
+    assert xf.shape == xd.shape
+    assert np.allclose(np.asarray(chd_f.t0), np.asarray(chd_d.t0))
+    scale = np.abs(xd).max()
+    assert np.abs(xf - xd).max() / scale < 5e-2  # cubic-vs-bandlimited
+    # envelope peaks within a sample on the strongest trace
+    n, m = np.unravel_index(np.abs(xd).max(0).argmax(), xd.shape[1:])
+    assert abs(int(np.abs(xf[:, n, m]).argmax())
+               - int(np.abs(xd[:, n, m]).argmax())) <= 1
+
+
 def test_greens_amplitude_propagation_loss():
     # double the distance -> half the (one-way)^2 amplitude
     us = make_us(numel=4)

@@ -53,11 +53,6 @@ def main():
                           "compile_s": round(cs, 1), "check": chk}),
               flush=True)
 
-    # splat only, forced by downloading the deposit grid
-    orig = gp.finish if hasattr(gp, "finish") else None
-    import types
-    src = gp.greens_tiled
-    # time _splat_tiled directly with the same planning path: call
-    # greens_tiled but patch finish to identity via env? simplest: time the
-    # splat by calling the internal once through a tiny wrapper
-    print(json.dumps({"note": "splat timing via grid download"}), flush=True)
+
+if __name__ == "__main__":
+    main()
