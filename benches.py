@@ -107,24 +107,34 @@ def bench_greens():
         s0 = 2 * 14e-3 / c0
         T = int(np.ceil((2 * 50e-3 / c0 - s0) * fs))
         kw = dict(T=T, s0=s0, t0k=-K / 2 / fs, fs=fs, cinv=1 / c0, R0=1e-3)
-        use_pallas = jax.devices()[0].platform != "cpu"
-        try:
-            def run():
-                if use_pallas:
-                    return float(jnp.sum(jnp.abs(greens_tiled(
-                        kern, ps, amp, pn, pv, method="linear", **kw))))
-                return float(jnp.sum(jnp.abs(greens_splat(
-                    jnp.asarray(kern), ps, amp, pn, pv, method="linear",
-                    block=256, **kw))))
-            run()
-            t1 = time.time()
-            run()
-            dt = time.time() - t1
-        except Exception as e:  # pragma: no cover
-            _emit({"bench": "greens", "S": S, "error": str(e)})
-            continue
-        _emit({"bench": "greens", "metric": "us/scatterer", "S": S,
-               "value": dt / S * 1e6, "s_total": dt, "N": N, "M": M, "T": T})
+        on_tpu = jax.devices()[0].platform != "cpu"
+        # 'freq' = the MXU per-bin GEMM path (the TPU default); 'pallas'
+        # the VPU splat kernel; 'splat' the XLA path (CPU only)
+        impls = ("freq", "pallas") if on_tpu else ("freq", "splat")
+        for impl in impls:
+            try:
+                def run():
+                    if impl == "freq":
+                        from qups_tpu.ops.greens_freq import greens_freq
+                        return float(jnp.sum(jnp.abs(greens_freq(
+                            kern, ps, amp, pn, pv, **kw))))
+                    if impl == "pallas":
+                        return float(jnp.sum(jnp.abs(greens_tiled(
+                            kern, ps, amp, pn, pv, method="linear", **kw))))
+                    return float(jnp.sum(jnp.abs(greens_splat(
+                        jnp.asarray(kern), ps, amp, pn, pv, method="linear",
+                        block=256, **kw))))
+                run()
+                t1 = time.time()
+                run()
+                dt = time.time() - t1
+            except Exception as e:  # pragma: no cover
+                _emit({"bench": "greens", "impl": impl, "S": S,
+                       "error": str(e)})
+                continue
+            _emit({"bench": "greens", "metric": "us/scatterer", "impl": impl,
+                   "S": S, "value": dt / S * 1e6, "s_total": dt, "N": N,
+                   "M": M, "T": T})
 
 
 def bench_coherence():

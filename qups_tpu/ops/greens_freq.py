@@ -140,9 +140,25 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     ``out='complex'`` or the boundary-safe ri pair (T, N, M, 2) (default on
     TPU via 'auto').
     """
+    plan = _host_plan(kern, ps, pn, pv, T=T, s0=s0, t0k=t0k, fs=fs,
+                      cinv=cinv, R0=R0, fsr=fsr, rtol=rtol,
+                      precision=precision)
+    ps, pn, pv = plan["ps"], plan["pn"], plan["pv"]
+
+    def gpass(a_real):
+        return _freq_gemm(jnp.asarray(plan["phc"]), jnp.asarray(ps),
+                          jnp.asarray(a_real, jnp.float32), jnp.asarray(pn),
+                          jnp.asarray(pv), **plan["st"])
+
+    return _orchestrate(gpass, plan, np.asarray(amp), T=T, out=out)
+
+
+def _host_plan(kern, ps, pn, pv, *, T, s0, t0k, fs, cinv, R0, fsr, rtol,
+               precision):
+    """Host-side planning shared by the local and sharded entry points:
+    kernel resampling, wrap-free FFT length, kernel spectrum + band."""
     kern = np.asarray(kern)
     ps = np.asarray(ps, np.float32)
-    amp_c = np.asarray(amp)
     pn = np.asarray(pn, np.float32)
     pv = np.asarray(pv, np.float32)
     if pn.ndim == 2:
@@ -194,11 +210,16 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     phc = np.float32(2.0 * np.pi * cinv * fs / L)
     st = dict(L=L, k0=k0, F=F, R0=float(R0), fsr=float(fsr),
               precision=precision)
+    return dict(ps=ps, pn=pn, pv=pv, phc=phc, st=st, Kr=Kr, Ki=Ki, L=L,
+                k0=k0, k1=k1)
 
-    def gpass(a_real):
-        return _freq_gemm(jnp.asarray(phc), jnp.asarray(ps),
-                          jnp.asarray(a_real, jnp.float32), jnp.asarray(pn),
-                          jnp.asarray(pv), **st)
+
+def _orchestrate(gpass, plan, amp_c, *, T, out):
+    """Run the geometry GEMM pass(es) and synthesize traces — shared by
+    the local and shard_map entry points. ``gpass(real_amp) -> (F,N,M,2)``.
+    """
+    L, k0, k1 = plan["L"], plan["k0"], plan["k1"]
+    Kr, Ki = plan["Kr"], plan["Ki"]
 
     def kf_ri(Kf):
         z = Kf[k0:k1]

@@ -1,5 +1,5 @@
 from .mesh import (make_mesh, das_sharded, das_sharded_pallas,
-                   greens_sharded)
+                   greens_sharded, greens_freq_sharded)
 
 __all__ = ["make_mesh", "das_sharded", "das_sharded_pallas",
-           "greens_sharded"]
+           "greens_sharded", "greens_freq_sharded"]

@@ -260,3 +260,51 @@ def greens_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int, s0: float,
                   out_specs=P(None, "rx", None), check_vma=False)
     return f(jnp.asarray(kern), ps, amp, jnp.asarray(pn, jnp.float32),
              jnp.asarray(pv, jnp.float32))
+
+
+def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
+                        s0: float, t0k: float, fs: float, cinv, R0: float,
+                        fsr: float = 1.0, rtol: float = 1e-6,
+                        precision: str = "highest", out: str = "auto"):
+    """Sharded frequency-domain Green's-function simulation
+    (:mod:`qups_tpu.ops.greens_freq` under ``shard_map``).
+
+    Scatterers are sharded over the 'tx' mesh axis (the generic worker
+    axis: zero-amplitude padding makes shards equal), receive elements
+    over 'rx'. Each device runs the per-bin phasor GEMMs on its
+    (S/n_tx, N/n_rx) block; the partial geometry spectra G (F, N/n_rx, M)
+    are ``psum``-reduced over 'tx' — ONE collective for the whole
+    simulation, the freq-domain analog of the splat path's grid psum —
+    and the irfft synthesis runs on the still-rx-sharded spectrum.
+    """
+    from ..ops import greens_freq as _  # noqa: F401 (package init)
+    from ..ops.greens_freq import _freq_gemm, _host_plan, _orchestrate
+    shard_map = jax.shard_map
+
+    plan = _host_plan(kern, ps, pn, pv, T=T, s0=s0, t0k=t0k, fs=fs,
+                      cinv=cinv, R0=R0, fsr=fsr, rtol=rtol,
+                      precision=precision)
+    psn, pnn, pvn = plan["ps"], plan["pn"], plan["pv"]
+    ntx = mesh.shape["tx"]
+    nrx = mesh.shape.get("rx", 1)
+    S, N = psn.shape[0], pnn.shape[0]
+    pad_s = (-S) % ntx
+    pad_n = (-N) % nrx
+    ps_p = np.pad(psn, ((0, pad_s), (0, 0)), mode="edge")
+    pn_p = np.pad(pnn, ((0, pad_n), (0, 0), (0, 0)), mode="edge")
+
+    def local(psl, al, pnl):
+        G = _freq_gemm(jnp.asarray(plan["phc"]), psl, al,
+                       pnl, jnp.asarray(pvn), **plan["st"])
+        return jax.lax.psum(G, "tx")
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P("tx", None), P("tx"), P("rx", None, None)),
+                  out_specs=P(None, "rx", None, None), check_vma=False)
+
+    def gpass(a_real):
+        a_p = jnp.pad(jnp.asarray(a_real, jnp.float32), (0, pad_s))
+        return f(jnp.asarray(ps_p), a_p, jnp.asarray(pn_p))
+
+    x = _orchestrate(gpass, plan, np.asarray(amp), T=T, out=out)
+    return x[:, :N] if pad_n else x  # crop replicated rx padding

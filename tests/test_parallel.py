@@ -93,6 +93,37 @@ def test_greens_sharded_matches_single():
     assert float(jnp.abs(got - ref).max()) < 1e-4 * float(jnp.abs(ref).max())
 
 
+def test_greens_freq_sharded_matches_single():
+    from qups_tpu.ops.greens_freq import greens_freq
+    from qups_tpu.parallel import greens_freq_sharded
+    rng = np.random.default_rng(2)
+    S, N, M, T, K = 13, 5, 2, 96, 21  # S, N deliberately non-divisible
+    fs = 5e6
+    kern = (np.hanning(K) * np.sin(2 * np.pi * 1e6 * np.arange(K) / fs)
+            ).astype(np.float32)
+    ps = np.stack([rng.uniform(-3e-3, 3e-3, S), np.zeros(S),
+                   rng.uniform(15e-3, 25e-3, S)], -1).astype(np.float32)
+    amp = rng.standard_normal(S).astype(np.float32)
+    pn = np.stack([np.linspace(-4e-3, 4e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)[:, None, :]
+    pv = np.stack([np.linspace(-2e-3, 2e-3, M), np.zeros(M), np.zeros(M)],
+                  -1).astype(np.float32)[:, None, :]
+    kw = dict(T=T, s0=1.5e-5, t0k=-1e-6, fs=fs, cinv=1 / 1540.0, R0=1e-3)
+    ref = greens_freq(kern, ps, amp, pn, pv, **kw)
+    mesh = make_mesh(jax.devices(), axes=("rx", "tx"), shape=(2, 4))
+    got = greens_freq_sharded(mesh, kern, ps, amp, pn, pv, **kw)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) < 1e-4 * float(jnp.abs(ref).max())
+    # complex kernel path under the mesh as well (ri orchestration)
+    ck = kern.astype(np.complex64) * np.exp(
+        1j * np.linspace(0, 1, K)).astype(np.complex64)
+    refc = greens_freq(ck, ps, amp, pn, pv, out="complex", **kw)
+    gotc = greens_freq_sharded(mesh, ck, ps, amp, pn, pv, out="complex",
+                               **kw)
+    assert float(jnp.abs(gotc - refc).max()) \
+        < 1e-4 * float(jnp.abs(refc).max())
+
+
 def test_system_greens_das_on_mesh_smoke():
     # end-to-end on the mesh: simulate (sharded) then beamform (sharded)
     xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=3e6)
