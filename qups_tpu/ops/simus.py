@@ -8,8 +8,14 @@ MUST/SIMUS interop (``UltrasoundSystem.simus``,
 
 with ``D(f, th) = sinc(w f sin(th) / c) [cos(th)]`` the rectangular-element
 directivity (hard/soft baffle). Per frequency bin this is an
-``(N, S) x (S, E)`` complex GEMM — MXU-native — versus the reference's
-external MATLAB toolbox. The inverse FFT returns time-domain FSA traces.
+``(S, N)^T x (S, E)`` complex GEMM — MXU-native — versus the reference's
+external MATLAB toolbox. Like :mod:`qups_tpu.ops.greens_freq`, the
+distance phasors ride amplitude-folded multiplicative recurrences over a
+contiguous bin hull, bins are processed in blocks feeding batched GEMMs,
+and every jit boundary carries real arrays only (the TPU backend rejects
+complex transfers — ``qups_tpu/utils/cpx.py``); the frequency-dependent
+sinc directivity, which has no multiplicative recurrence, is evaluated
+per block from the in-scan bin index.
 """
 from __future__ import annotations
 
@@ -17,35 +23,35 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+_PRECS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
-@partial(jax.jit, static_argnames=("T", "fs", "c0", "baffle"))
-def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
-              T: int, fs: float, c0: float, baffle: str = "soft"):
-    """Frequency-domain FSA synthesis.
+@partial(jax.jit, static_argnames=("T", "k0", "F", "fs", "c0", "baffle",
+                                   "B", "precision"))
+def _simus_core(ps, amp, pn, nn_az, pv, nv_az, widths, spec_ri, *, T: int,
+                k0: int, F: int, fs: float, c0: float, baffle: str = "soft",
+                B: int = 8, precision: str = "highest"):
+    """FSA spectrum synthesis over the contiguous bin hull [k0, k0+F).
 
-    Args:
-      ps (S, 3): scatterer positions; amp (S,): real amplitudes.
-      pn (N, 3): rx element centers; nn_az (N,): element azimuth [rad].
-      pv (E, 3): tx element centers; nv_az (E,): azimuths [rad].
-      widths (2,): (tx width, rx width) element widths [m].
-      spec (F,): complex pulse spectrum at the selected bins (includes the
-        start-time phase ramp).
-      bin_idx (F,): int32 rfft bin indices of the selected frequencies.
-      T: output samples; fs: sampling rate; c0: sound speed;
-      baffle: 'soft' multiplies the obliquity cos(th); 'hard' omits it.
-
-    Returns: real (T, N, E) FSA traces (rfft synthesis).
+    ps (S, 3); amp (S,); pn (N, 3) + nn_az (N,) rx centers/azimuths [rad];
+    pv (E, 3) + nv_az (E,); widths (2,) = (tx, rx) element widths [m];
+    spec_ri (F, 2) pulse spectrum at the hull bins (zeros where the
+    caller's threshold dropped a bin), including the start-time ramp.
+    Returns real (T, N, E) f32 traces.
     """
-    ps = jnp.asarray(ps, jnp.float32)
-    amp = jnp.asarray(amp, jnp.float32)
-    pn = jnp.asarray(pn, jnp.float32)
-    pv = jnp.asarray(pv, jnp.float32)
+    ps = ps.astype(jnp.float32)
+    amp = amp.astype(jnp.float32)
+    prec = _PRECS[precision]
+    B = max(1, min(B, F))
 
     def geom(pe, az):
-        d = ps[:, None, :] - pe[None, :, :]      # (S, E, 3)
-        r = jnp.linalg.norm(d, axis=-1)          # (S, E)
-        # lateral angle in the element frame (azimuth about y)
+        d = ps[:, None, :] - pe[None, :, :].astype(jnp.float32)  # (S, E, 3)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
         ca, sa = jnp.cos(az), jnp.sin(az)
         lat = d[..., 0] * ca[None, :] - d[..., 2] * sa[None, :]
         ax = d[..., 2] * ca[None, :] + d[..., 0] * sa[None, :]
@@ -56,27 +62,85 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
     r_tx, sth_tx, cth_tx = geom(pv, jnp.asarray(nv_az, jnp.float32))
     r_rx, sth_rx, cth_rx = geom(pn, jnp.asarray(nn_az, jnp.float32))
 
-    def one_f(carry, inp):
-        f, pf = inp
+    # k-independent weights: 1/r loss, obliquity, scatterer amplitude
+    w_tx = amp[:, None] / jnp.maximum(r_tx, 1e-6)
+    w_rx = 1.0 / jnp.maximum(r_rx, 1e-6)
+    if baffle == "soft":
+        w_tx = w_tx * jnp.maximum(cth_tx, 0.0)
+        w_rx = w_rx * jnp.maximum(cth_rx, 0.0)
 
-        def steer(r, sth, cth, w):
-            arg = w * f * sth / c0
-            D = jnp.sinc(arg)
-            if baffle == "soft":
-                D = D * jnp.maximum(cth, 0.0)
-            ph = -2.0 * jnp.pi * f * r / c0
-            return D * jnp.exp(1j * ph) / jnp.maximum(r, 1e-6)
+    dph = jnp.float32(2.0 * np.pi * fs / (T * c0))
 
-        A_tx = steer(r_tx, sth_tx, cth_tx, widths[0])   # (S, E)
-        A_rx = steer(r_rx, sth_rx, cth_rx, widths[1])   # (S, N)
-        Xf = jnp.einsum("sn,s,se->ne", A_rx, amp.astype(jnp.complex64),
-                        A_tx)                            # (N, E)
-        return carry, pf * Xf
+    def phasor(r, w, k):  # w e^{-i k dph r}
+        a = -k * dph * r
+        return jax.lax.complex(w * jnp.cos(a), w * jnp.sin(a))
 
-    bin_idx = jnp.asarray(bin_idx, jnp.int32)
-    fbins = bin_idx.astype(jnp.float32) * (fs / T)
-    _, Xs = jax.lax.scan(one_f, 0.0, (fbins, jnp.asarray(spec, jnp.complex64)))
-    # scatter the selected bins into the rfft spectrum and synthesize
-    full = jnp.zeros((T // 2 + 1,) + Xs.shape[1:], jnp.complex64)
-    full = full.at[bin_idx].set(Xs)
+    E_rx = phasor(r_rx, w_rx, float(k0))
+    E_tx = phasor(r_tx, w_tx, float(k0))
+    d_rx = phasor(r_rx, jnp.ones_like(r_rx), 1.0)
+    d_tx = phasor(r_tx, jnp.ones_like(r_tx), 1.0)
+
+    # sinc directivity arguments per unit bin index: w_el * k * fs * sth /
+    # (T c0) — no recurrence exists, so it is evaluated per block
+    s_tx = widths[0] * (fs / (T * c0)) * sth_tx  # (S, E)
+    s_rx = widths[1] * (fs / (T * c0)) * sth_rx  # (S, N)
+
+    nblk = -(-F // B)
+
+    def one_block(carry, it):
+        e1, e2 = carry
+        kb = k0 + it * B
+        As, Bs = [], []
+        for j in range(B):
+            kf = (kb + j).astype(jnp.float32)
+            As.append(e1 * jnp.sinc(s_rx * kf))
+            Bs.append(e2 * jnp.sinc(s_tx * kf))
+            e1 = e1 * d_rx
+            e2 = e2 * d_tx
+        X = jnp.einsum("bsn,bsm->bnm", jnp.stack(As), jnp.stack(Bs),
+                       precision=prec)  # (B, N, E) c64
+        return (e1, e2), X
+
+    _, X = jax.lax.scan(one_block, (E_rx, E_tx), jnp.arange(nblk))
+    X = X.reshape(nblk * B, *X.shape[2:])[:F]
+    pf = jax.lax.complex(spec_ri[:, 0], spec_ri[:, 1])
+    full = jnp.zeros((T // 2 + 1,) + X.shape[1:], jnp.complex64)
+    full = full.at[k0:k0 + F].set(X * pf[:, None, None])
     return jnp.fft.irfft(full, n=T, axis=0)
+
+
+def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
+              T: int, fs: float, c0: float, baffle: str = "soft",
+              precision: str = "highest"):
+    """Frequency-domain FSA synthesis.
+
+    Args:
+      ps (S, 3): scatterer positions; amp (S,): real amplitudes.
+      pn (N, 3): rx element centers; nn_az (N,): element azimuth [rad].
+      pv (E, 3): tx element centers; nv_az (E,): azimuths [rad].
+      widths (2,): (tx width, rx width) element widths [m].
+      spec (F0,): complex pulse spectrum at the selected bins (includes the
+        start-time phase ramp).
+      bin_idx (F0,): rfft bin indices of the selected frequencies.
+      T: output samples; fs: sampling rate; c0: sound speed;
+      baffle: 'soft' multiplies the obliquity cos(th); 'hard' omits it.
+
+    Returns: real (T, N, E) FSA traces (rfft synthesis).
+    """
+    bin_idx = np.asarray(bin_idx, np.int64)
+    spec = np.asarray(spec, np.complex64)
+    if bin_idx.size == 0:
+        return jnp.zeros((T, np.shape(pn)[0], np.shape(pv)[0]), jnp.float32)
+    # contiguous hull; dropped interior bins carry zero spectrum
+    k0, k1 = int(bin_idx.min()), int(bin_idx.max()) + 1
+    F = k1 - k0
+    spec_h = np.zeros(F, np.complex64)
+    spec_h[bin_idx - k0] = spec
+    spec_ri = np.stack([spec_h.real, spec_h.imag], -1).astype(np.float32)
+    return _simus_core(
+        jnp.asarray(ps, jnp.float32), jnp.asarray(amp, jnp.float32),
+        jnp.asarray(pn, jnp.float32), jnp.asarray(nn_az, jnp.float32),
+        jnp.asarray(pv, jnp.float32), jnp.asarray(nv_az, jnp.float32),
+        jnp.asarray(widths, jnp.float32), jnp.asarray(spec_ri),
+        T=T, k0=k0, F=F, fs=float(fs), c0=float(c0), baffle=baffle,
+        precision=precision)
