@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interp import interp1, interpf, wsinterpd, wsinterpd2
+from ..utils.cpx import cexp
 
 TDIM, NDIM, MDIM = 0, 1, 2
 
@@ -40,6 +41,16 @@ class ChannelData:
     def __post_init__(self):
         d = self.data if hasattr(self.data, "ndim") else jnp.asarray(self.data)
         assert d.ndim >= 3, "data must be at least (T, N, M)"
+        if isinstance(d, np.ndarray) and np.iscomplexobj(d) \
+                and jax.default_backend() not in ("cpu",):
+            # host-complex buffers cannot be uploaded on this TPU backend
+            # (only device-RESIDENT complex is legal — utils/cpx.py): route
+            # the upload through the ri format once, here, so every DSP
+            # method below can consume the data directly. (Host-resident
+            # REAL data stays host — the out-of-core streaming contract of
+            # system.DAS(bsize) is unaffected.)
+            from ..utils.cpx import to_device
+            d = to_device(d)
         object.__setattr__(self, "data", d)
         # t0 is tiny metadata: keep it host-side (numpy / python float) so it
         # never becomes a device-resident array at eager ops (complex/scalar
@@ -102,7 +113,7 @@ class ChannelData:
         if method == "freq":
             v = interpf(self.data, ntau)
             if fmod:
-                v = v * jnp.exp(1j * omega * ntau)
+                v = v * cexp(omega * ntau)
             if w is not None:
                 v = v * w
             if sdim is not None:
@@ -133,7 +144,7 @@ class ChannelData:
     def downmix(self, fc: float) -> "ChannelData":
         """Demodulate (downmix) by ``fc``: multiply by ``exp(-2j pi fc t)``
         (``ChannelData.downmix``, ``ChannelData.m:757``)."""
-        d = self.data * jnp.exp(-2j * np.pi * fc * self.time)
+        d = self.data * cexp(-2 * np.pi * fc * self.time)
         return self.replace(data=d)
 
     def hilbert(self) -> "ChannelData":

@@ -22,6 +22,7 @@ from typing import Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.cpx import cexp, czeros
 
 from .conv import convd
 
@@ -85,7 +86,8 @@ def slsc(x, axis: int = -1, lags: Union[int, Sequence[int], None] = None,
         else:
             nrm = jnp.abs(xm)
             xm = jnp.where(nrm == 0, 0.0, xm / jnp.where(nrm == 0, 1.0, nrm))
-        z = jnp.zeros(xm.shape[:-1], dtype=xm.dtype)
+        z = czeros(xm.shape[:-1]) if jnp.issubdtype(xm.dtype, jnp.complexfloating) \
+            else jnp.zeros(xm.shape[:-1], dtype=xm.dtype)
         for l in lag_list:
             w = 1.0 / (A - l) / 2.0 / L
             c = jnp.sum(jnp.conj(xm[..., : A - l]) * xm[..., l:], axis=-1)
@@ -129,11 +131,12 @@ def dmas(bn, axis: int = -1, lags: Union[int, Sequence[int], None] = None):
     else:
         lag_list = [l for l in lags if 1 <= l <= N - 1]
     bm = jnp.moveaxis(bn, axis, -1)
-    b = jnp.zeros(bm.shape[:-1], dtype=bm.dtype)
+    b = czeros(bm.shape[:-1]) if jnp.issubdtype(bm.dtype, jnp.complexfloating) \
+        else jnp.zeros(bm.shape[:-1], dtype=bm.dtype)
     for l in lag_list:
         b = b + jnp.sum(bm[..., : N - l] * bm[..., l:], axis=-1)
     if jnp.iscomplexobj(b):
-        return jnp.exp(1j * jnp.angle(b)) * jnp.sqrt(jnp.abs(b))
+        return cexp(jnp.angle(b)) * jnp.sqrt(jnp.abs(b))
     return jnp.sign(b) * jnp.sqrt(jnp.abs(b))
 
 

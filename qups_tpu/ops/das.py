@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .interp import expand_trailing, interp1
+from ..utils.cpx import cexp, czeros, to_device
 
 TX_MODELS = ("plane", "virtual", "diverging")
 
@@ -111,7 +112,7 @@ def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
       image ``(I, N', M', *F)`` with ``N' = N if keep_rx else 1`` and
       ``M' = M if keep_tx else 1``.
     """
-    x = jnp.asarray(x)
+    x = to_device(x)
     pi = jnp.asarray(pi, jnp.float32)
     pr = jnp.asarray(pr, jnp.float32)
     pv = jnp.asarray(pv, jnp.float32)
@@ -156,7 +157,7 @@ def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
         if cplx:
             v = v.astype(out_dtype)
         if fmod != 0.0:
-            v = v * expand_trailing(jnp.exp((2j * np.pi * fmod) * tau), v.ndim)
+            v = v * expand_trailing(cexp((2 * np.pi * fmod) * tau), v.ndim)
         v = _apply_apod(v, apods_m)
         if not keep_rx:
             v = jnp.sum(v, axis=1, keepdims=True)   # (I, 1, *F)
@@ -169,7 +170,8 @@ def das(x, pi, pr, pv, nv, t0, cinv, *, fs: float, apod=(), fmod: float = 0.0,
         img = jnp.moveaxis(ys, 0, 2)  # (I, N', M, *F)
     else:
         n_out = N if keep_rx else 1
-        init = jnp.zeros((I, n_out) + F, out_dtype)
+        init = czeros((I, n_out) + F) if cplx \
+            else jnp.zeros((I, n_out) + F, out_dtype)
 
         def body(acc, xs):
             return acc + step(*xs[:4], xs[4]), None
@@ -186,7 +188,7 @@ def das_lut(x, tau_rx, tau_tx, t0, *, fs: float, apod=(), fmod: float = 0.0,
     ``src/UltrasoundSystem.m:4476-4673``): beamform with arbitrary separable
     delay tables ``tau = tau_rx (I, N) + tau_tx (I, M)`` (seconds).
     """
-    x = jnp.asarray(x)
+    x = to_device(x)
     tau_rx = jnp.asarray(tau_rx, jnp.float32)
     tau_tx = jnp.asarray(tau_tx, jnp.float32)
     T, N, M = x.shape[:3]
@@ -219,7 +221,7 @@ def das_lut(x, tau_rx, tau_tx, t0, *, fs: float, apod=(), fmod: float = 0.0,
         if cplx:
             v = v.astype(out_dtype)
         if fmod != 0.0:
-            v = v * expand_trailing(jnp.exp((2j * np.pi * fmod) * tau), v.ndim)
+            v = v * expand_trailing(cexp((2 * np.pi * fmod) * tau), v.ndim)
         v = _apply_apod(v, apods_m)
         if not keep_rx:
             v = jnp.sum(v, axis=1, keepdims=True)
@@ -232,7 +234,8 @@ def das_lut(x, tau_rx, tau_tx, t0, *, fs: float, apod=(), fmod: float = 0.0,
         img = jnp.moveaxis(ys, 0, 2)
     else:
         n_out = N if keep_rx else 1
-        init = jnp.zeros((I, n_out) + F, out_dtype)
+        init = czeros((I, n_out) + F) if cplx \
+            else jnp.zeros((I, n_out) + F, out_dtype)
 
         def body(acc, xs):
             return acc + step(xs[0], xs[1], xs[2], xs[3]), None

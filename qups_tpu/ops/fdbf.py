@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.cpx import cexp, czeros
 
 from .interp import interp1
 
@@ -56,10 +57,10 @@ def bf_adjoint(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off, fbins, *,
     t0 = jnp.broadcast_to(jnp.asarray(t0, jnp.float32).reshape(-1), (V,))
     t0_off = jnp.broadcast_to(jnp.asarray(t0_off, jnp.float32).reshape(-1), (V,))
     f = (jnp.arange(K, dtype=jnp.float32) * df)[:, None, None]  # (K,1,1)
-    xr = x * jnp.exp((2j * np.pi * fmod) * (t + t0[None, None, :]))
+    xr = x * cexp((2 * np.pi * fmod) * (t + t0[None, None, :]))
     X = jnp.fft.fft(xr, axis=0)
-    X = X * jnp.exp(-2j * np.pi * f * t0[None, None, :])
-    X = X * jnp.exp(+2j * np.pi * f * t0_off[None, None, :])
+    X = X * cexp(-2 * np.pi * f * t0[None, None, :])
+    X = X * cexp(+2 * np.pi * f * t0_off[None, None, :])
 
     tau_rx = jnp.asarray(tau_rx, jnp.float32)
     tau_tx = jnp.asarray(tau_tx, jnp.float32)
@@ -76,14 +77,14 @@ def bf_adjoint(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off, fbins, *,
         valid = k >= 0
         Xf = jax.lax.dynamic_index_in_dim(X, jnp.maximum(k, 0), 0,
                                           keepdims=False)  # (N, V)
-        Wtx = jnp.exp(-2j * np.pi * fk * tau_tx)  # (I, M)
+        Wtx = cexp(-2 * np.pi * fk * tau_tx)  # (I, M)
         # element m fires at -del[m, v] (the focusTx convention), so the
         # wave from m reaches pixel i at tau_tx(i, m) - del(m, v)
-        S = apod_tx * jnp.exp(+2j * np.pi * fk * del_tx)  # (M, V)
+        S = apod_tx * cexp(+2 * np.pi * fk * del_tx)  # (M, V)
         A = Wtx @ S.astype(Wtx.dtype)  # (I, V)
         nrm = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=1, keepdims=True))
         Ah = A / jnp.where(nrm == 0, 1.0, nrm)
-        Wrx = jnp.exp(+2j * np.pi * fk * tau_rx)  # (I, N)
+        Wrx = cexp(+2 * np.pi * fk * tau_rx)  # (I, N)
         if keep_rx:
             # b(i,n) = W(i,n) * sum_v X(n,v) conj(Ah(i,v))
             y = Wrx * (jnp.conj(Ah) @ Xf.T)
@@ -93,7 +94,7 @@ def bf_adjoint(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off, fbins, *,
             y = jnp.sum((Wrx @ Xf) * jnp.conj(Ah), axis=1)
         return acc + jnp.where(valid, 1.0, 0.0) * y, None
 
-    acc0 = jnp.zeros(out_shape, jnp.complex64)
+    acc0 = czeros(out_shape)
     b, _ = jax.lax.scan(step, acc0, jnp.asarray(fbins, jnp.int32))
     return b
 
@@ -137,7 +138,7 @@ def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
     f = (jnp.fft.fftfreq(T) * fs).astype(jnp.float32)  # (T,)
     tauT = jnp.asarray(tau, jnp.float32).T  # (V, M)
     aT = jnp.asarray(apd, jnp.float32).T    # (V, M)
-    H = aT[None] * jnp.exp(+2j * np.pi * f[:, None, None] * tauT[None])  # (K,V,M)
+    H = aT[None] * cexp(+2 * np.pi * f[:, None, None] * tauT[None])  # (K,V,M)
     # per-frequency spectral norm for whitening (reference pagenorm2)
     s = jnp.linalg.matrix_norm(H, ord=2) if hasattr(jnp.linalg, "matrix_norm") \
         else jnp.linalg.norm(H, ord=2, axis=(1, 2))
@@ -156,11 +157,11 @@ def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
     t0 = jnp.asarray(t0, jnp.float32).reshape(-1)
     t0v = jnp.broadcast_to(t0, (V,))
     X = jnp.fft.fft(x, axis=0)
-    X = X * jnp.exp(-2j * np.pi * f[:, None, None] * t0v[None, None, :])
+    X = X * cexp(-2 * np.pi * f[:, None, None] * t0v[None, None, :])
     # y[k, n, m] = sum_v Hi[k, m, v] X[k, n, v]   (batched complex GEMM, MXU)
     Y = jnp.einsum("kmv,knv->knm", Hi, X)
     t0min = jnp.min(t0)
-    Y = Y * jnp.exp(+2j * np.pi * f[:, None, None] * t0min)
+    Y = Y * cexp(+2 * np.pi * f[:, None, None] * t0min)
     return jnp.fft.ifft(Y, axis=0), t0min
 
 
@@ -198,10 +199,10 @@ def stolt_migration(x, t0, del_tx, angles_deg, *, fs: float, c0: float,
     t0 = jnp.broadcast_to(jnp.asarray(t0, jnp.float32).reshape(-1), (M,))
     t = jnp.arange(T, dtype=jnp.float32)[:, None, None] / fs + t0[None, None, :]
 
-    xr = x * jnp.exp((2j * np.pi * fmod) * t)
+    xr = x * cexp((2 * np.pi * fmod) * t)
     Xf = jnp.fft.fftshift(jnp.fft.fft(xr, n=F, axis=0), axes=0)
-    Xf = Xf * jnp.exp(-2j * np.pi * fj * t0[None, None, :])
-    Xf = Xf * jnp.exp(-2j * np.pi * fj * jnp.asarray(del_tx, jnp.float32)[None])
+    Xf = Xf * cexp(-2 * np.pi * fj * t0[None, None, :])
+    Xf = Xf * cexp(-2 * np.pi * fj * jnp.asarray(del_tx, jnp.float32)[None])
     Xk = jnp.fft.fftshift(jnp.fft.fft(Xf, n=K, axis=1), axes=1)
 
     fkz = cs * jnp.sign(fj) * jnp.sqrt(kxj ** 2 + (fj / cs) ** 2)  # (F,K,1)
@@ -210,14 +211,14 @@ def stolt_migration(x, t0, del_tx, angles_deg, *, fs: float, c0: float,
     if jacobian:
         kz = fj / cs
         y = (y * kz) / (fkz + 1e-30)
-    y = y * jnp.exp(+2j * np.pi * fj * t0[None, None, :])
+    y = y * cexp(+2 * np.pi * fj * t0[None, None, :])
     b = jnp.fft.ifft(jnp.fft.ifftshift(y, axes=0), n=F, axis=0)
     # lateral alignment for steered plane waves (Garcia PWI)
     th = np.radians(np.asarray(angles_deg, np.float64))
     gamma = (np.sin(th) / (2 - np.cos(th))).astype(np.float32)  # (M,)
     tb = jnp.arange(F, dtype=jnp.float32)[:, None, None] / fs + t0[None, None, :]
     zax = c0 / 2 * tb  # (F, 1, M)
-    b = b * jnp.exp(2j * np.pi * kxj * jnp.asarray(gamma)[None, None, :] * zax)
+    b = b * cexp(2 * np.pi * kxj * jnp.asarray(gamma)[None, None, :] * zax)
     b = jnp.fft.ifft(jnp.fft.ifftshift(b, axes=1), n=K, axis=1)
     b = b[:T, :N]
     if not keep_tx:

@@ -25,6 +25,7 @@ from typing import Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.cpx import cexp
 
 METHODS = ("nearest", "linear", "cubic", "lanczos3")
 
@@ -157,7 +158,7 @@ def interpf(x, tau, extrap=None):
     # y[i, *D] = (1/T) sum_k exp(2i pi f_k tau[i, *D]) X[k, *D]
     taue = jnp.broadcast_to(expand_trailing(tau, 1 + len(D)), (tau.shape[0],) + D)
     Xe = jnp.broadcast_to(expand_trailing(X, 1 + len(D)), (T,) + D)
-    ph = jnp.exp(2j * jnp.pi * taue[..., None] * f)  # (I, *D, T)
+    ph = cexp(2 * jnp.pi * taue[..., None] * f)  # (I, *D, T)
     Xt = jnp.moveaxis(Xe, 0, -1)  # (*D, T)
     y = jnp.sum(ph * Xt[None], axis=-1) / T
     if not jnp.iscomplexobj(x):
@@ -168,7 +169,7 @@ def interpf(x, tau, extrap=None):
 def _phase(omega, tau, dtype):
     if isinstance(omega, (int, float)) and omega == 0:
         return None
-    return jnp.exp(1j * omega * tau).astype(dtype)
+    return cexp(omega * tau).astype(dtype)
 
 
 def wsinterpd(x, tau, w=None, sdim: Union[int, Sequence[int], None] = None,
@@ -283,7 +284,9 @@ def wsinterpd2(x, tau1, tau2, w=None, sdim: Union[int, Sequence[int], None] = No
         return slice_args(tuple(parts))
 
     y0 = jax.eval_shape(lambda: one(*args_at([a[0] for a in scanned])))
-    acc0 = jnp.zeros(y0.shape, y0.dtype)
+    from ..utils.cpx import czeros
+    acc0 = czeros(y0.shape) if jnp.issubdtype(y0.dtype, jnp.complexfloating) \
+        else jnp.zeros(y0.shape, y0.dtype)
 
     def body(acc, sl):
         return acc + one(*args_at(sl)), None

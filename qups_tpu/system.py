@@ -185,11 +185,12 @@ class UltrasoundSystem:
                             data=xri[..., 0] + 1j * xri[..., 1], fs=fs,
                             t0=s0)
                         chd = self.focusTx(chd, seq, method=method)
-                        return (jnp.real(chd.data), jnp.imag(chd.data),
-                                jnp.real(jnp.asarray(chd.t0, jnp.float32)))
+                        # device-resident complex output is legal on this
+                        # backend; only transfers are not (utils/cpx.py)
+                        return chd.data, jnp.real(
+                            jnp.asarray(chd.t0, jnp.float32))
 
-                    rr, ri_, t0v = _post(x)
-                    data = np.asarray(rr) + 1j * np.asarray(ri_)
+                    data, t0v = _post(x)
                     return ChannelData(data=data, fs=fs,
                                        t0=np.asarray(t0v).reshape(-1))
             chd = ChannelData(data=x, fs=fs, t0=s0)
@@ -221,11 +222,12 @@ class UltrasoundSystem:
                         x = x + 1j * (x2[..., 0] + 1j * x2[..., 1])
                     chd = ChannelData(data=x, fs=fs, t0=s0)
                     chd = self.focusTx(chd, seq, method=method)
-                    return (jnp.real(chd.data), jnp.imag(chd.data),
-                            jnp.real(jnp.asarray(chd.t0, jnp.float32)))
+                    # device-resident complex output is legal; only
+                    # transfers are not (utils/cpx.py)
+                    return chd.data, jnp.real(
+                        jnp.asarray(chd.t0, jnp.float32))
 
-                rr, ri_, t0v = _post(x1, x2)
-                data = np.asarray(rr) + 1j * np.asarray(ri_)
+                data, t0v = _post(x1, x2)
                 return ChannelData(data=data, fs=fs,
                                    t0=np.asarray(t0v).reshape(-1))
             x = greens_tiled(kern, ps.T, amp, pn, pv, **kw)
@@ -380,8 +382,9 @@ class UltrasoundSystem:
         if bsize is not None and chd.M > bsize:
             # out-of-core transmit streaming: slice everything per-tx on
             # host, recurse per block with bsize disabled
+            from .utils.cpx import to_host
             xh = chd.data if isinstance(chd.data, np.ndarray) \
-                else np.asarray(chd.data)
+                else to_host(chd.data)  # complex-safe device download
             t0b = np.broadcast_to(np.asarray(t0).reshape(-1), (chd.M,))
             fused_ok = all(isinstance(a, Fused) for a in apod_t)
             on_tpu = jax.devices()[0].platform not in ("cpu",)

@@ -55,3 +55,44 @@ def to_device_ri(x) -> jnp.ndarray:
     if np.iscomplexobj(x):
         return jnp.asarray(ri_split(x))
     return jnp.asarray(ri_split(x.astype(np.complex64)))
+
+
+def czeros(shape):
+    """Eager-safe complex zeros.
+
+    ``jnp.zeros(shape, complex64)`` run eagerly uploads a python complex
+    scalar — a host->device complex transfer, unsupported on this backend.
+    Building the array from real zeros keeps every transfer real.
+    """
+    z = jnp.zeros(shape, jnp.float32)
+    import jax
+
+    return jax.lax.complex(z, z)
+
+
+def cexp(theta):
+    """Eager-safe ``exp(1j * theta)`` for real ``theta``.
+
+    ``jnp.exp(1j * theta)`` run eagerly multiplies by the host complex
+    scalar ``1j`` (an unsupported upload); cos/sin + lax.complex keeps all
+    transfers real. Inside jit both forms are equivalent.
+    """
+    import jax
+
+    return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+
+
+def to_device(x):
+    """Host array -> device array, routing complex uploads through the ri
+    format.
+
+    On this backend a *device-resident* complex array is legal (jits may
+    return and consume them); only the host<->device transfer of a complex
+    buffer is unimplemented. So: upload the ri pair, recombine in a jit.
+    Device arrays pass through untouched.
+    """
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        import jax
+
+        return jax.jit(ri_join)(jnp.asarray(ri_split(x)))
+    return jnp.asarray(x)
