@@ -123,7 +123,7 @@ def _synth(G, kf, *, L: int, k0: int, T: int):
 def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
                 fs: float, cinv, R0: float, fsr: float = 1.0,
                 rtol: float = 1e-6, precision: str = "highest",
-                out: str = "auto"):
+                out: str = "auto", slab: int = 131072):
     """Frequency-domain FSA Green's-function simulation.
 
     Same contract as :func:`qups_tpu.ops.greens.greens_splat` — ``kern``
@@ -145,10 +145,25 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
                       precision=precision)
     ps, pn, pv = plan["ps"], plan["pn"], plan["pv"]
 
+    # very large scatterer clouds: slab the scatterer axis and accumulate
+    # the (F, N, M, 2) geometry spectra — bounds the (S, N)/(S, M) phasor
+    # carries (the tall-array analog; cf. greens_tiled's SLAB)
+    SLAB = slab
+
     def gpass(a_real):
-        return _freq_gemm(jnp.asarray(plan["phc"]), jnp.asarray(ps),
-                          jnp.asarray(a_real, jnp.float32), jnp.asarray(pn),
-                          jnp.asarray(pv), **plan["st"])
+        a_real = np.asarray(a_real, np.float32)
+        if ps.shape[0] <= SLAB:
+            return _freq_gemm(jnp.asarray(plan["phc"]), jnp.asarray(ps),
+                              jnp.asarray(a_real), jnp.asarray(pn),
+                              jnp.asarray(pv), **plan["st"])
+        acc = None
+        for i0 in range(0, ps.shape[0], SLAB):
+            part = _freq_gemm(jnp.asarray(plan["phc"]),
+                              jnp.asarray(ps[i0:i0 + SLAB]),
+                              jnp.asarray(a_real[i0:i0 + SLAB]),
+                              jnp.asarray(pn), jnp.asarray(pv), **plan["st"])
+            acc = part if acc is None else jax.jit(jnp.add)(acc, part)
+        return acc
 
     return _orchestrate(gpass, plan, np.asarray(amp), T=T, out=out)
 

@@ -149,6 +149,14 @@ def test_subelements():
     assert err < 2e-4, err
 
 
+def test_scatterer_slab_blocking():
+    """slab-blocked spectra accumulate to the unblocked result."""
+    kern, ps, amp, pn, pv, kw = problem(S=11)
+    full = np.asarray(greens_freq(kern, ps, amp, pn, pv, **kw))
+    slabbed = np.asarray(greens_freq(kern, ps, amp, pn, pv, slab=4, **kw))
+    assert np.abs(slabbed - full).max() <= 1e-5 * np.abs(full).max()
+
+
 def test_fsr_resampled_kernel():
     # kernel sampled at 2x the output rate; the pulse band (2.5 MHz at a
     # 15 MHz output rate) stays below the OUTPUT Nyquist so decimation to
