@@ -133,22 +133,31 @@ def interpd(x, tau, method: str = "cubic", extrap=0.0):
     return interp1(x, tau, method=method, extrap=extrap)
 
 
-def interpf(x, tau, extrap=None):
+def interpf(x, tau, extrap=None, chunk: int = 2048):
     """Frequency-domain (sinc / Fourier) interpolation: evaluates the
     trigonometric interpolant of ``x`` at fractional indices ``tau``.
 
     Implements the missing-from-snapshot ``interpf`` referenced by
     ``ChannelData.sample(..., 'freq')`` (``src/ChannelData.m:1334``) as an
-    FFT-phase-shift evaluation: ``y = sum_k X[k] exp(2i pi f_k tau) / T``.
-    This is a dense (C x T) x (T, *B) contraction — MXU-friendly — but it
-    MATERIALIZES an (I, *D, T) phasor: O(I * D * T) memory. Use it for
-    oracles and small resamples; at scale prefer :func:`interp1` (or chunk
-    the queries).
+    FFT-phase-shift evaluation: ``y = sum_k X[k] exp(2i pi f_k tau) / T``
+    — a dense (C x T) x (T, *B) contraction, MXU-friendly. The phasor is
+    materialized per query block of ``chunk`` leading indices
+    (``lax.map``), so peak memory is O(chunk * D * T) instead of
+    O(I * D * T) regardless of the query count.
     """
     x = jnp.asarray(x)
     tau = jnp.asarray(tau)
     if tau.ndim == 0:
         tau = tau[None]
+    I = tau.shape[0]
+    if chunk and I > chunk:
+        nb = -(-I // chunk)
+        taup = jnp.pad(tau, [(0, nb * chunk - I)]
+                       + [(0, 0)] * (tau.ndim - 1))
+        blocks = taup.reshape((nb, chunk) + tau.shape[1:])
+        y = jax.lax.map(lambda tb: interpf(x, tb, extrap=extrap, chunk=0),
+                        blocks)
+        return y.reshape((nb * chunk,) + y.shape[2:])[:I]
     T = x.shape[0]
     B = x.shape[1:]
     C = tau.shape[1:]

@@ -125,6 +125,15 @@ def test_wsinterpd2_separable():
             assert np.allclose(y[:, n, m], want, atol=1e-4)
 
 
+def test_interpf_chunked_matches_dense():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((32, 3)).astype(np.float32)
+    tau = rng.uniform(0, 31, (37, 1)).astype(np.float32)
+    dense = np.asarray(interpf(x, tau, chunk=0))
+    chunked = np.asarray(interpf(x, tau, chunk=8))  # 37 -> 5 padded blocks
+    np.testing.assert_allclose(chunked, dense, atol=1e-5)
+
+
 def test_interpf_exact_on_bandlimited():
     # Fourier interpolation is exact for band-limited periodic signals
     T = 64
