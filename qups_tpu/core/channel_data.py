@@ -41,16 +41,6 @@ class ChannelData:
     def __post_init__(self):
         d = self.data if hasattr(self.data, "ndim") else jnp.asarray(self.data)
         assert d.ndim >= 3, "data must be at least (T, N, M)"
-        if isinstance(d, np.ndarray) and np.iscomplexobj(d) \
-                and jax.default_backend() not in ("cpu",):
-            # host-complex buffers cannot be uploaded on this TPU backend
-            # (only device-RESIDENT complex is legal — utils/cpx.py): route
-            # the upload through the ri format once, here, so every DSP
-            # method below can consume the data directly. (Host-resident
-            # REAL data stays host — the out-of-core streaming contract of
-            # system.DAS(bsize) is unaffected.)
-            from ..utils.cpx import to_device
-            d = to_device(d)
         object.__setattr__(self, "data", d)
         # t0 is tiny metadata: keep it host-side (numpy / python float) so it
         # never becomes a device-resident array at eager ops (complex/scalar
@@ -94,6 +84,23 @@ class ChannelData:
             return t0.reshape(-1).astype(np.float64)
         return np.asarray(jax.device_get(t0)).reshape(-1).astype(np.float64)
 
+    @property
+    def _ddata(self):
+        """Device-safe view of ``data`` for the DSP methods below.
+
+        Host-complex buffers cannot be uploaded directly on this TPU
+        backend (only device-RESIDENT complex is legal — utils/cpx.py);
+        this routes that one upload through the ri format. Host REAL data
+        passes through untouched, preserving the out-of-core streaming
+        contract of ``system.DAS(bsize)`` (host numpy stays host until a
+        method actually needs device math)."""
+        d = self.data
+        if isinstance(d, np.ndarray) and np.iscomplexobj(d) \
+                and jax.default_backend() not in ("cpu",):
+            from ..utils.cpx import to_device
+            return to_device(d)
+        return d
+
     def replace(self, **changes) -> "ChannelData":
         return dataclasses.replace(self, **changes)
 
@@ -111,7 +118,7 @@ class ChannelData:
         ntau = (jnp.asarray(tau) - self.t0) * self.fs
         omega = 2 * np.pi * fmod / self.fs
         if method == "freq":
-            v = interpf(self.data, ntau)
+            v = interpf(self._ddata, ntau)
             if fmod:
                 v = v * cexp(omega * ntau)
             if w is not None:
@@ -120,7 +127,7 @@ class ChannelData:
                 sdims = (sdim,) if isinstance(sdim, int) else tuple(sdim)
                 v = jnp.sum(v, axis=sdims, keepdims=True)
             return v
-        return wsinterpd(self.data, ntau, w=w, sdim=sdim, omega=omega, method=method)
+        return wsinterpd(self._ddata, ntau, w=w, sdim=sdim, omega=omega, method=method)
 
     def sample2sep(self, tau1, tau2, method: str = "cubic", w=None, sdim=None, fmod=0.0):
         """Sample at separable times ``tau1 + tau2``
@@ -138,18 +145,18 @@ class ChannelData:
             n1 = jnp.asarray(tau1) * self.fs
             n2 = (jnp.asarray(tau2) - t0) * self.fs
         omega = 2 * np.pi * fmod / self.fs
-        return wsinterpd2(self.data, n1, n2, w=w, sdim=sdim, omega=omega, method=method)
+        return wsinterpd2(self._ddata, n1, n2, w=w, sdim=sdim, omega=omega, method=method)
 
     # ------------------------------------------------------------------- DSP
     def downmix(self, fc: float) -> "ChannelData":
         """Demodulate (downmix) by ``fc``: multiply by ``exp(-2j pi fc t)``
         (``ChannelData.downmix``, ``ChannelData.m:757``)."""
-        d = self.data * cexp(-2 * np.pi * fc * self.time)
+        d = self._ddata * cexp(-2 * np.pi * fc * self.time)
         return self.replace(data=d)
 
     def hilbert(self) -> "ChannelData":
         """Analytic signal along the time axis (``ChannelData.m:935``)."""
-        x = jnp.real(self.data)
+        x = jnp.real(self._ddata)
         T = self.T
         X = jnp.fft.fft(x, axis=TDIM)
         h = np.zeros(T)
@@ -179,7 +186,7 @@ class ChannelData:
         from ..ops.conv import convd
         h = jnp.asarray(h).reshape((-1,) + (1,) * (self.data.ndim - 1))
         L = h.shape[0]
-        d = convd(self.data, h, axis=TDIM, shape="full")
+        d = convd(self._ddata, h, axis=TDIM, shape="full")
         return self.replace(data=d, t0=self.t0 - (L - 1) / 2 / self.fs)
 
     def filtfilt(self, h) -> "ChannelData":
@@ -188,11 +195,11 @@ class ChannelData:
         h = jnp.asarray(h).reshape((-1,) + (1,) * (self.data.ndim - 1))
         hh = convd(h, jnp.flip(jnp.conj(h), axis=0), axis=TDIM, shape="full")
         L = hh.shape[0]
-        d = convd(self.data, hh, axis=TDIM, shape="full")
+        d = convd(self._ddata, hh, axis=TDIM, shape="full")
         return self.replace(data=d, t0=self.t0 - (L - 1) / 2 / self.fs)
 
     def fft(self, n: Optional[int] = None):
-        return jnp.fft.fft(self.data, n=n, axis=TDIM)
+        return jnp.fft.fft(self._ddata, n=n, axis=TDIM)
 
     def fftaxis(self, n: Optional[int] = None) -> np.ndarray:
         n = n or self.T
@@ -207,7 +214,7 @@ class ChannelData:
         ratio = fs_new / self.fs
         Tn = int(np.ceil(self.T * ratio))
         ntau = jnp.arange(Tn).reshape((-1,) + (1,) * (self.data.ndim - 1)) / ratio
-        d = interp1(self.data, ntau, method=method)
+        d = interp1(self._ddata, ntau, method=method)
         return self.replace(data=d, fs=fs_new)
 
     def convt(self, wv_samples, lag0: float = 0.0) -> "ChannelData":
@@ -215,14 +222,14 @@ class ChannelData:
         kernel's start time (``ChannelData.convt``, ``ChannelData.m:1105``)."""
         from ..ops.conv import convd
         h = jnp.asarray(wv_samples).reshape((-1,) + (1,) * (self.data.ndim - 1))
-        d = convd(self.data, h, axis=TDIM, shape="full")
+        d = convd(self._ddata, h, axis=TDIM, shape="full")
         return self.replace(data=d, t0=self.t0 + lag0)
 
     def zeropad(self, pre: int = 0, post: int = 0) -> "ChannelData":
         """Pad the time axis; ``t0`` moves back by ``pre`` samples
         (``ChannelData.zeropad``, ``ChannelData.m:1153``)."""
         pad = [(int(pre), int(post))] + [(0, 0)] * (self.data.ndim - 1)
-        return self.replace(data=jnp.pad(self.data, pad),
+        return self.replace(data=jnp.pad(self._ddata, pad),
                             t0=self.t0 - pre / self.fs)
 
     def estfc(self) -> float:
@@ -245,7 +252,7 @@ class ChannelData:
         Tn = self.T + int(np.ceil(nshift.max()))
         i = np.arange(Tn).reshape((-1,) + (1,) * (self.data.ndim - 1))
         ntau = jnp.asarray(i - nshift.reshape((1, 1, -1)), jnp.float32)
-        d = interp1(self.data, ntau, method=method)
+        d = interp1(self._ddata, ntau, method=method)
         return self.replace(data=d, t0=t0min)
 
     def align_int(self, method: str = "cubic") -> "ChannelData":
@@ -256,7 +263,7 @@ class ChannelData:
         n0 = math.ceil(t0 * c.fs)
         frac = n0 / c.fs - t0
         i = np.arange(c.T).reshape((-1,) + (1,) * (c.data.ndim - 1))
-        d = interp1(c.data, jnp.asarray(i + frac * c.fs, jnp.float32), method=method)
+        d = interp1(c._ddata, jnp.asarray(i + frac * c.fs, jnp.float32), method=method)
         return c.replace(data=d, t0=n0 / c.fs)
 
     # ------------------------------------------------------------ structure
@@ -266,7 +273,7 @@ class ChannelData:
         chds = [self, *others]
         nd = max(c.data.ndim for c in chds)
         nd = max(nd, axis + 1)
-        datas = [c.data.reshape(c.data.shape + (1,) * (nd - c.data.ndim)) for c in chds]
+        datas = [c._ddata.reshape(c.data.shape + (1,) * (nd - c.data.ndim)) for c in chds]
         return self.replace(data=jnp.concatenate(datas, axis=axis))
 
     def splice(self, axis: int = MDIM):
@@ -294,7 +301,7 @@ class ChannelData:
     def _binop(self, other, op):
         if isinstance(other, ChannelData):
             other = other.data
-        return self.replace(data=op(self.data, other))
+        return self.replace(data=op(self._ddata, other))
 
     def __add__(self, o): return self._binop(o, jnp.add)
     def __sub__(self, o): return self._binop(o, jnp.subtract)
@@ -306,13 +313,13 @@ class ChannelData:
         """Matrix-multiply over the transmit dim: ``y[t,n,v,...] =
         sum_m H[v,m] x[t,n,m,...]`` — the decoding primitive behind
         ``refocus`` (``ChannelData.mtimes``, ``ChannelData.m:524-746``)."""
-        d = jnp.einsum("vm,tnm...->tnv...", jnp.asarray(H), self.data)
+        d = jnp.einsum("vm,tnm...->tnv...", jnp.asarray(H), self._ddata)
         return self.replace(data=d)
 
-    def real(self): return self.replace(data=jnp.real(self.data))
-    def imag(self): return self.replace(data=jnp.imag(self.data))
-    def abs(self): return self.replace(data=jnp.abs(self.data))
-    def conj(self): return self.replace(data=jnp.conj(self.data))
+    def real(self): return self.replace(data=jnp.real(self._ddata))
+    def imag(self): return self.replace(data=jnp.imag(self._ddata))
+    def abs(self): return self.replace(data=jnp.abs(self._ddata))
+    def conj(self): return self.replace(data=jnp.conj(self._ddata))
 
     @property
     def is_complex(self) -> bool:

@@ -46,6 +46,43 @@ _PRECS = {
 }
 
 
+def block_gemm_scan(E1, E2, d1, d2, *, F: int, B: int, prec, k0: int = 0,
+                    weights=None, subsum: bool = False):
+    """The shared bin-blocked phasor-GEMM engine (used by greens_freq and
+    ops.simus): extend the multiplicative recurrences ``E <- E * d`` by B
+    bins per scan step and contract each block with ONE batched complex
+    GEMM ``X_k = A_k^T B_k``.
+
+    ``weights``: optional callable ``k_float -> (w1, w2)`` applying per-bin
+    REAL weights to the rx/tx phasors (e.g. sinc directivity — terms with
+    no multiplicative recurrence). ``subsum``: sum a trailing sub-element
+    axis of E1/E2 before the GEMM. Returns (ceil(F/B)*B, N, M) complex —
+    callers crop to F.
+    """
+    B = max(1, min(B, F))
+    nblk = -(-F // B)
+
+    def one_block(carry, it):
+        e1, e2 = carry
+        kb = k0 + it * B
+        As, Bs = [], []
+        for j in range(B):
+            a, b = e1, e2
+            if weights is not None:
+                w1, w2 = weights((kb + j).astype(jnp.float32))
+                a, b = a * w1, b * w2
+            As.append(jnp.sum(a, 2) if subsum else a)
+            Bs.append(jnp.sum(b, 2) if subsum else b)
+            e1 = e1 * d1
+            e2 = e2 * d2
+        X = jnp.einsum("bsn,bsm->bnm", jnp.stack(As), jnp.stack(Bs),
+                       precision=prec)  # (B, N, M) c64
+        return (e1, e2), X
+
+    _, X = jax.lax.scan(one_block, (E1, E2), jnp.arange(nblk))
+    return X.reshape(nblk * B, *X.shape[2:])
+
+
 @partial(jax.jit,
          static_argnames=("L", "k0", "F", "R0", "fsr", "precision", "B"))
 def _freq_gemm(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int, R0: float,
@@ -86,22 +123,8 @@ def _freq_gemm(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int, R0: float,
     d1 = phasor(r1, jnp.ones_like(r1), 1.0)
     d2 = phasor(r2, jnp.ones_like(r2), 1.0)
 
-    nblk = -(-F // B)
-
-    def one_block(carry, _):
-        e1, e2 = carry
-        As, Bs = [], []
-        for _j in range(B):
-            As.append(jnp.sum(e1, 2))  # sub-element sum -> (S, N)
-            Bs.append(jnp.sum(e2, 2))
-            e1 = e1 * d1
-            e2 = e2 * d2
-        X = jnp.einsum("bsn,bsm->bnm", jnp.stack(As), jnp.stack(Bs),
-                       precision=prec)  # (B, N, M) c64
-        return (e1, e2), X
-
-    _, X = jax.lax.scan(one_block, (E1, E2), None, length=nblk)
-    X = X.reshape(nblk * B, *X.shape[2:])[:F]  # crop block padding
+    X = block_gemm_scan(E1, E2, d1, d2, F=F, B=B, prec=prec,
+                        subsum=True)[:F]
     return jnp.stack([jnp.real(X), jnp.imag(X)], axis=-1)  # (F, N, M, 2)
 
 
@@ -185,18 +208,37 @@ def _host_plan(kern, ps, pn, pv, *, T, s0, t0k, fs, cinv, R0, fsr, rtol,
         from .interp import interp1
         K0 = kern.shape[0]
         Kn = int(np.ceil(K0 / fsr))
-        kern = np.asarray(interp1(
-            jnp.asarray(kern), jnp.arange(Kn, dtype=jnp.float32) * fsr,
-            method="lanczos3"))
+        q = jnp.arange(Kn, dtype=jnp.float32) * fsr
+
+        def res(kr):  # real parts only: complex transfers are forbidden
+            return np.asarray(interp1(jnp.asarray(kr, jnp.float32), q,
+                                      method="lanczos3"))
+
+        if np.iscomplexobj(kern):
+            kern = res(kern.real) + 1j * res(kern.imag)
+        else:
+            kern = res(kern)
     K = kern.shape[0]
 
     # ---- FFT length from conservative host-side deposit bounds ----
-    r1 = np.linalg.norm(ps[:, None, :] - pn.reshape(-1, 3)[None], axis=-1)
-    r2 = np.linalg.norm(ps[:, None, :] - pv.reshape(-1, 3)[None], axis=-1)
+    # running min/max over scatterer blocks: only the bounds are needed, so
+    # never materialize the full (S, N*En) distance matrix (at S=1e6 that
+    # would be GBs of host RAM for two scalars)
+    def rbounds(pe):
+        pe = pe.reshape(-1, 3).astype(np.float64)
+        lo, hi = np.inf, -np.inf
+        for i0 in range(0, ps.shape[0], 65536):
+            r = np.linalg.norm(ps[i0:i0 + 65536, None, :].astype(np.float64)
+                               - pe[None], axis=-1)
+            lo, hi = min(lo, float(r.min())), max(hi, float(r.max()))
+        return lo, hi
+
+    r1lo, r1hi = rbounds(pn)
+    r2lo, r2hi = rbounds(pv)
     dc = (t0k - s0) * fs
     cinv = float(np.asarray(cinv).reshape(()))
-    dmin = float(cinv * (r1.min() + r2.min()) * fs + dc)
-    dmax = float(cinv * (r1.max() + r2.max()) * fs + dc)
+    dmin = cinv * (r1lo + r2lo) * fs + dc
+    dmax = cinv * (r1hi + r2hi) * fs + dc
     # [0, T) must be wrap-free: tails past L alias to [0, ...) unless
     # L > dmax + K; deposits before 0 alias to [L + dmin, ...) unless
     # L + dmin >= T. 8-bin guard for band-limited ringing.

@@ -149,30 +149,31 @@ def interpf(x, tau, extrap=None, chunk: int = 2048):
     tau = jnp.asarray(tau)
     if tau.ndim == 0:
         tau = tau[None]
+    X = jnp.fft.fft(x, axis=0)  # (T, *B) — computed ONCE, outside the map
+    T, B = x.shape[0], x.shape[1:]
+
+    def blk(tb):  # evaluate one query block against the spectrum
+        C = tb.shape[1:]
+        D = bshape_left(C, B)
+        f = jnp.fft.fftfreq(T).astype(jnp.float32)  # cycles/sample
+        # y[i, *D] = (1/T) sum_k exp(2i pi f_k tau[i, *D]) X[k, *D]
+        taue = jnp.broadcast_to(expand_trailing(tb, 1 + len(D)),
+                                (tb.shape[0],) + D)
+        Xe = jnp.broadcast_to(expand_trailing(X, 1 + len(D)), (T,) + D)
+        ph = cexp(2 * jnp.pi * taue[..., None] * f)  # (i, *D, T)
+        y = jnp.sum(ph * jnp.moveaxis(Xe, 0, -1)[None], axis=-1) / T
+        if not jnp.iscomplexobj(x):
+            y = y.real
+        return y
+
     I = tau.shape[0]
-    if chunk and I > chunk:
-        nb = -(-I // chunk)
-        taup = jnp.pad(tau, [(0, nb * chunk - I)]
-                       + [(0, 0)] * (tau.ndim - 1))
-        blocks = taup.reshape((nb, chunk) + tau.shape[1:])
-        y = jax.lax.map(lambda tb: interpf(x, tb, extrap=extrap, chunk=0),
-                        blocks)
-        return y.reshape((nb * chunk,) + y.shape[2:])[:I]
-    T = x.shape[0]
-    B = x.shape[1:]
-    C = tau.shape[1:]
-    D = bshape_left(C, B)
-    X = jnp.fft.fft(x, axis=0)  # (T, *B)
-    f = jnp.fft.fftfreq(T).astype(jnp.float32)  # cycles/sample
-    # y[i, *D] = (1/T) sum_k exp(2i pi f_k tau[i, *D]) X[k, *D]
-    taue = jnp.broadcast_to(expand_trailing(tau, 1 + len(D)), (tau.shape[0],) + D)
-    Xe = jnp.broadcast_to(expand_trailing(X, 1 + len(D)), (T,) + D)
-    ph = cexp(2 * jnp.pi * taue[..., None] * f)  # (I, *D, T)
-    Xt = jnp.moveaxis(Xe, 0, -1)  # (*D, T)
-    y = jnp.sum(ph * Xt[None], axis=-1) / T
-    if not jnp.iscomplexobj(x):
-        y = y.real
-    return y
+    if not chunk or I <= chunk:
+        return blk(tau)
+    nb = -(-I // chunk)
+    taup = jnp.pad(tau, [(0, nb * chunk - I)] + [(0, 0)] * (tau.ndim - 1))
+    blocks = taup.reshape((nb, chunk) + tau.shape[1:])
+    y = jax.lax.map(blk, blocks)
+    return y.reshape((nb * chunk,) + y.shape[2:])[:I]
 
 
 def _phase(omega, tau, dtype):

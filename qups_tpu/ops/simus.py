@@ -31,18 +31,18 @@ _PRECS = {
 }
 
 
-@partial(jax.jit, static_argnames=("T", "k0", "F", "fs", "c0", "baffle",
+@partial(jax.jit, static_argnames=("k0", "F", "T", "fs", "c0", "baffle",
                                    "B", "precision"))
-def _simus_core(ps, amp, pn, nn_az, pv, nv_az, widths, spec_ri, *, T: int,
-                k0: int, F: int, fs: float, c0: float, baffle: str = "soft",
-                B: int = 8, precision: str = "highest"):
-    """FSA spectrum synthesis over the contiguous bin hull [k0, k0+F).
+def _simus_spectrum(ps, amp, pn, nn_az, pv, nv_az, widths, *, k0: int,
+                    F: int, T: int, fs: float, c0: float,
+                    baffle: str = "soft", B: int = 8,
+                    precision: str = "highest"):
+    """Geometry+directivity spectrum X[k, n, e] for one contiguous bin run
+    [k0, k0+F) — device-resident complex output (legal on this backend;
+    only transfers are restricted).
 
     ps (S, 3); amp (S,); pn (N, 3) + nn_az (N,) rx centers/azimuths [rad];
-    pv (E, 3) + nv_az (E,); widths (2,) = (tx, rx) element widths [m];
-    spec_ri (F, 2) pulse spectrum at the hull bins (zeros where the
-    caller's threshold dropped a bin), including the start-time ramp.
-    Returns real (T, N, E) f32 traces.
+    pv (E, 3) + nv_az (E,); widths (2,) = (tx, rx) element widths [m].
     """
     ps = ps.astype(jnp.float32)
     amp = amp.astype(jnp.float32)
@@ -81,31 +81,44 @@ def _simus_core(ps, amp, pn, nn_az, pv, nv_az, widths, spec_ri, *, T: int,
     d_tx = phasor(r_tx, jnp.ones_like(r_tx), 1.0)
 
     # sinc directivity arguments per unit bin index: w_el * k * fs * sth /
-    # (T c0) — no recurrence exists, so it is evaluated per block
+    # (T c0) — no recurrence exists, so the shared engine evaluates it as
+    # a per-bin weight callback
+    from .greens_freq import block_gemm_scan
     s_tx = widths[0] * (fs / (T * c0)) * sth_tx  # (S, E)
     s_rx = widths[1] * (fs / (T * c0)) * sth_rx  # (S, N)
 
-    nblk = -(-F // B)
+    def weights(kf):
+        return jnp.sinc(s_rx * kf), jnp.sinc(s_tx * kf)
 
-    def one_block(carry, it):
-        e1, e2 = carry
-        kb = k0 + it * B
-        As, Bs = [], []
-        for j in range(B):
-            kf = (kb + j).astype(jnp.float32)
-            As.append(e1 * jnp.sinc(s_rx * kf))
-            Bs.append(e2 * jnp.sinc(s_tx * kf))
-            e1 = e1 * d_rx
-            e2 = e2 * d_tx
-        X = jnp.einsum("bsn,bsm->bnm", jnp.stack(As), jnp.stack(Bs),
-                       precision=prec)  # (B, N, E) c64
-        return (e1, e2), X
+    return block_gemm_scan(E_rx, E_tx, d_rx, d_tx, F=F, B=B, prec=prec,
+                           k0=k0, weights=weights)[:F]  # (F, N, E) c64
 
-    _, X = jax.lax.scan(one_block, (E_rx, E_tx), jnp.arange(nblk))
-    X = X.reshape(nblk * B, *X.shape[2:])[:F]
-    pf = jax.lax.complex(spec_ri[:, 0], spec_ri[:, 1])
-    full = jnp.zeros((T // 2 + 1,) + X.shape[1:], jnp.complex64)
-    full = full.at[k0:k0 + F].set(X * pf[:, None, None])
+
+def _bin_runs(bin_idx, merge_gap: int = 32):
+    """Split selected bin indices into contiguous runs (gaps up to
+    ``merge_gap`` are absorbed — a short zero-spectrum stretch is cheaper
+    than an extra compiled program). Returns [(k0, k1), ...]."""
+    runs = []
+    k0 = k = int(bin_idx[0])
+    for b in bin_idx[1:]:
+        b = int(b)
+        if b - k > merge_gap:
+            runs.append((k0, k + 1))
+            k0 = b
+        k = b
+    runs.append((k0, k + 1))
+    return runs
+
+
+@partial(jax.jit, static_argnames=("T", "k0s"))
+def _simus_synth(Xs, spec_ris, *, T: int, k0s):
+    """Assemble the rfft spectrum from per-run geometry spectra x pulse
+    spectra and synthesize real traces."""
+    shape = Xs[0].shape[1:]
+    full = jnp.zeros((T // 2 + 1,) + shape, jnp.complex64)
+    for X, sri, k0 in zip(Xs, spec_ris, k0s):
+        pf = jax.lax.complex(sri[:, 0], sri[:, 1])
+        full = full.at[k0:k0 + X.shape[0]].set(X * pf[:, None, None])
     return jnp.fft.irfft(full, n=T, axis=0)
 
 
@@ -128,19 +141,26 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
     Returns: real (T, N, E) FSA traces (rfft synthesis).
     """
     bin_idx = np.asarray(bin_idx, np.int64)
-    spec = np.asarray(spec, np.complex64)
+    order = np.argsort(bin_idx)
+    bin_idx = bin_idx[order]
+    spec = np.asarray(spec, np.complex64)[order]
     if bin_idx.size == 0:
         return jnp.zeros((T, np.shape(pn)[0], np.shape(pv)[0]), jnp.float32)
-    # contiguous hull; dropped interior bins carry zero spectrum
-    k0, k1 = int(bin_idx.min()), int(bin_idx.max()) + 1
-    F = k1 - k0
-    spec_h = np.zeros(F, np.complex64)
-    spec_h[bin_idx - k0] = spec
-    spec_ri = np.stack([spec_h.real, spec_h.imag], -1).astype(np.float32)
-    return _simus_core(
-        jnp.asarray(ps, jnp.float32), jnp.asarray(amp, jnp.float32),
-        jnp.asarray(pn, jnp.float32), jnp.asarray(nn_az, jnp.float32),
-        jnp.asarray(pv, jnp.float32), jnp.asarray(nv_az, jnp.float32),
-        jnp.asarray(widths, jnp.float32), jnp.asarray(spec_ri),
-        T=T, k0=k0, F=F, fs=float(fs), c0=float(c0), baffle=baffle,
-        precision=precision)
+    # contiguous runs (short gaps absorbed as zero spectrum): sparse /
+    # multi-lobe selections never pay GEMMs across dead bands
+    Xs, spec_ris, k0s = [], [], []
+    for k0, k1 in _bin_runs(bin_idx):
+        F = k1 - k0
+        sel = (bin_idx >= k0) & (bin_idx < k1)
+        spec_h = np.zeros(F, np.complex64)
+        spec_h[bin_idx[sel] - k0] = spec[sel]
+        spec_ris.append(jnp.asarray(
+            np.stack([spec_h.real, spec_h.imag], -1).astype(np.float32)))
+        Xs.append(_simus_spectrum(
+            jnp.asarray(ps, jnp.float32), jnp.asarray(amp, jnp.float32),
+            jnp.asarray(pn, jnp.float32), jnp.asarray(nn_az, jnp.float32),
+            jnp.asarray(pv, jnp.float32), jnp.asarray(nv_az, jnp.float32),
+            jnp.asarray(widths, jnp.float32), k0=int(k0), F=int(F), T=T,
+            fs=float(fs), c0=float(c0), baffle=baffle, precision=precision))
+        k0s.append(int(k0))
+    return _simus_synth(tuple(Xs), tuple(spec_ris), T=T, k0s=tuple(k0s))

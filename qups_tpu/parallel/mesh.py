@@ -286,7 +286,8 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
                       precision=precision)
     psn, pnn, pvn = plan["ps"], plan["pn"], plan["pv"]
     ntx = mesh.shape["tx"]
-    nrx = mesh.shape.get("rx", 1)
+    has_rx = "rx" in mesh.axis_names
+    nrx = mesh.shape["rx"] if has_rx else 1
     S, N = psn.shape[0], pnn.shape[0]
     pad_s = (-S) % ntx
     pad_n = (-N) % nrx
@@ -298,9 +299,10 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
                        pnl, jnp.asarray(pvn), **plan["st"])
         return jax.lax.psum(G, "tx")
 
+    rx = "rx" if has_rx else None
     f = shard_map(local, mesh=mesh,
-                  in_specs=(P("tx", None), P("tx"), P("rx", None, None)),
-                  out_specs=P(None, "rx", None, None), check_vma=False)
+                  in_specs=(P("tx", None), P("tx"), P(rx, None, None)),
+                  out_specs=P(None, rx, None, None), check_vma=False)
 
     def gpass(a_real):
         a_p = jnp.pad(jnp.asarray(a_real, jnp.float32), (0, pad_s))

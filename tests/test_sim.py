@@ -169,6 +169,42 @@ def test_calc_hp_pw_uniformity():
     assert mid.std() / mid.mean() < 0.2
 
 
+def test_simus_sparse_bins_split_runs():
+    """Multi-lobe bin selections split into contiguous GEMM runs; the
+    result equals the single-hull evaluation (dead-band bins carry zero
+    spectrum either way)."""
+    from qups_tpu.ops.simus import _bin_runs, simus_fsa
+    # run splitting itself
+    assert _bin_runs(np.array([3, 4, 5]), merge_gap=4) == [(3, 6)]
+    assert _bin_runs(np.array([3, 4, 200, 202]), merge_gap=4) == \
+        [(3, 5), (200, 203)]
+    rng = np.random.default_rng(7)
+    S, N, E, T, fs, c0 = 5, 4, 3, 256, 10e6, 1540.0
+    ps = np.stack([rng.uniform(-2e-3, 2e-3, S), np.zeros(S),
+                   rng.uniform(8e-3, 12e-3, S)], -1).astype(np.float32)
+    amp = np.ones(S, np.float32)
+    pn = np.stack([np.linspace(-2e-3, 2e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    pv = pn[:E].copy()
+    az = np.zeros(N, np.float32)
+    bins = np.array([10, 11, 12, 90, 91], np.int32)  # two lobes
+    spec = (rng.standard_normal(5) + 1j * rng.standard_normal(5)
+            ).astype(np.complex64)
+    kw = dict(T=T, fs=fs, c0=c0)
+    split = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E],
+                                 np.array([0.3e-3, 0.3e-3]), spec, bins,
+                                 **kw))
+    # same selection padded with explicit zero bins bridging the gap ->
+    # one hull; results must agree
+    allb = np.arange(10, 92, dtype=np.int32)
+    spec_all = np.zeros(allb.size, np.complex64)
+    spec_all[np.searchsorted(allb, bins)] = spec
+    hull = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E],
+                                np.array([0.3e-3, 0.3e-3]), spec_all, allb,
+                                **kw))
+    np.testing.assert_allclose(split, hull, atol=2e-5 * np.abs(hull).max())
+
+
 def test_simus_tof_oracle():
     """Native frequency-domain simulator: echo peak at the analytic
     time-of-flight within 1 wavelength (the SimTest SIMUS tolerance,
