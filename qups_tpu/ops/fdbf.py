@@ -23,6 +23,16 @@ from ..utils.cpx import cexp, czeros
 from .interp import interp1
 
 
+@jax.jit
+def spectral_level(x):
+    """Per-bin spectral level in dB (max over traces) — module-level
+    jit so repeated bfAdjoint calls reuse the compiled program."""
+    T = x.shape[0]
+    return 20.0 * jnp.log10(
+        jnp.abs(jnp.fft.fft(x, axis=0)).reshape(T, -1).max(axis=1)
+        + 1e-30)
+
+
 @partial(jax.jit, static_argnames=("fs", "fmod", "keep_rx", "keep_tx"))
 def bf_adjoint(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off, fbins, *,
                fs: float, fmod: float = 0.0, keep_rx: bool = False,

@@ -306,5 +306,6 @@ def _orchestrate(gpass, plan, amp_c, *, T, out):
         xi = jnp.zeros_like(xr)
     if out == "complex" or (out == "auto"
                             and jax.devices()[0].platform == "cpu"):
-        return jax.jit(lambda a, b: a + 1j * b)(xr, xi)
+        from ..utils.cpx import cjoin
+        return cjoin(xr, xi)
     return jnp.stack([xr, xi], axis=-1)  # ri pair

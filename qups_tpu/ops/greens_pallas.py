@@ -421,7 +421,8 @@ def greens_tiled(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
         xi = finish(grid_sum, jnp.asarray(kern.imag, jnp.float32), T=T,
                     P0=P0, ofs_t=ofs_t, how=how)
         if out == "complex":
-            return jax.jit(lambda a, b: a + 1j * b)(xr, xi)
+            from ..utils.cpx import cjoin
+            return cjoin(xr, xi)
         return jnp.stack([xr, xi], axis=-1)  # boundary-safe ri pair
     return finish(grid_sum, jnp.asarray(kern, jnp.float32), T=T, P0=P0,
                   ofs_t=ofs_t, how=how)

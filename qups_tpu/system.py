@@ -743,9 +743,8 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
     if bins is not None:
         sel = np.asarray(bins, np.int32).reshape(-1)
     else:
-        lev_fn = jax.jit(lambda x: 20.0 * jnp.log10(
-            jnp.abs(jnp.fft.fft(x, axis=0)).reshape(T, -1).max(axis=1) + 1e-30))
-        lev = np.asarray(lev_fn(chd.data))
+        from .ops.fdbf import spectral_level
+        lev = np.asarray(spectral_level(chd.data))
         lev = lev - lev.max()
         f = np.fft.fftfreq(T) * chd.fs
         sel = np.where((lev >= fthresh_db) & (f >= 0) & (f < chd.fs / 2))[0]

@@ -82,6 +82,25 @@ def cexp(theta):
     return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
 
 
+def _join_jit():
+    """Module-level cached jit of ri_join-style combine (a fresh
+    ``jax.jit(lambda ...)`` per call would recompile every call — a
+    multi-second cost on this backend's remote-build toolchain)."""
+    global _JOIN
+    try:
+        return _JOIN
+    except NameError:
+        import jax
+
+        _JOIN = jax.jit(lambda a, b: a + 1j * b)
+        return _JOIN
+
+
+def cjoin(re, im):
+    """Combine device-resident real/imag parts into complex (cached jit)."""
+    return _join_jit()(re, im)
+
+
 def to_device(x):
     """Host array -> device array, routing complex uploads through the ri
     format.
