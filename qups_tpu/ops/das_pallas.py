@@ -49,10 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # op-split profiling knob (perf forensics only — not API): a set of
-# {"nomask", "nogather", "noweights", "noloop", "fastonly", "cond"} that
-# deletes or swaps one piece of the inner loop so its cost can be measured
-# by difference. Read at trace time; call jax.clear_caches() after
-# changing it.
+# {"nomask", "nogather", "noweights", "noloop", "fastonly", "cond",
+#  "noroll", "nounpack", "noindex", "fusedmix"} that deletes or swaps one
+# piece of the inner loop so its cost can be measured by difference. Read
+# at trace time; call jax.clear_caches() after changing it.
 _ABLATE: frozenset = frozenset()
 
 
@@ -246,6 +246,73 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
     # selected by a where-chain since Mosaic lacks value dynamic_slice)
     geoms = [tx_geom(mtc * MC + c) for c in range(MC)]
 
+    def tx_bounds(c):
+        """Scalar-core transmit-path window bounds for (tile, transmit c):
+        conservative [dvlo, dvhi] of the one-way path over the tile's pixel
+        box, already shifted by t0 and scaled to samples. Hoisted out of
+        the per-(rx-group, transmit) loop — they depend only on the tile
+        and the transmit, and the per-(g, c) scalar planning chain was
+        measured at 19% of kernel time (the 'fixedwin' ablation); after
+        this hoist only ~6 scalar ops remain per (g, c)."""
+        m_ = mtc * MC + c
+        pvxs = pv_ref[0, m_]
+        pvzs = pv_ref[2, m_]
+        t0m = pv_ref[6, m_]
+        if tx_model == "plane":
+            nvxs = pv_ref[3, m_]
+            nvzs = pv_ref[5, m_]
+            ax0 = nvxs * (xbl - pvxs)
+            ax1 = nvxs * (xbh - pvxs)
+            az0 = nvzs * (zlo - pvzs)
+            az1 = nvzs * (zhi - pvzs)
+            dvlo = jnp.minimum(ax0, ax1) + jnp.minimum(az0, az1)
+            dvhi = jnp.maximum(ax0, ax1) + jnp.maximum(az0, az1)
+            if not planar:
+                nvys = pv_ref[4, m_]
+                pvys = pv_ref[1, m_]
+                ay0 = nvys * (ybl - pvys)
+                ay1 = nvys * (ybh - pvys)
+                dvlo = dvlo + jnp.minimum(ay0, ay1)
+                dvhi = dvhi + jnp.maximum(ay0, ay1)
+        else:
+            gtx = igap(xbl, xbh, pvxs, pvxs)
+            stx = ispan(xbl, xbh, pvxs, pvxs)
+            gtz = igap(zlo, zhi, pvzs, pvzs)
+            stz = ispan(zlo, zhi, pvzs, pvzs)
+            if planar:
+                rlo = jnp.sqrt(gtx * gtx + gtz * gtz)
+                rhi = jnp.sqrt(stx * stx + stz * stz)
+            else:
+                pvys = pv_ref[1, m_]
+                gty = igap(ybl, ybh, pvys, pvys)
+                sty = ispan(ybl, ybh, pvys, pvys)
+                rlo = jnp.sqrt(gtx * gtx + gty * gty + gtz * gtz)
+                rhi = jnp.sqrt(stx * stx + sty * sty + stz * stz)
+            if tx_model == "diverging":
+                dvlo, dvhi = rlo, rhi
+            else:  # virtual: sign((p - pv) . nv) * |p - pv|
+                nvxs = pv_ref[3, m_]
+                nvzs = pv_ref[5, m_]
+                bx0 = nvxs * (xbl - pvxs)
+                bx1 = nvxs * (xbh - pvxs)
+                bz0 = nvzs * (zlo - pvzs)
+                bz1 = nvzs * (zhi - pvzs)
+                rdlo = jnp.minimum(bx0, bx1) + jnp.minimum(bz0, bz1)
+                rdhi = jnp.maximum(bx0, bx1) + jnp.maximum(bz0, bz1)
+                if not planar:
+                    nvys = pv_ref[4, m_]
+                    pvys = pv_ref[1, m_]
+                    by0 = nvys * (ybl - pvys)
+                    by1 = nvys * (ybh - pvys)
+                    rdlo = rdlo + jnp.minimum(by0, by1)
+                    rdhi = rdhi + jnp.maximum(by0, by1)
+                dvlo = jnp.where(rdlo >= 0, rlo, -rhi)
+                dvhi = jnp.where(rdhi <= 0, -rlo, rhi)
+        # pre-shift by t0 and scale to samples (± the f32-skew margin)
+        return ((dvlo - t0m) * fs - 2.0, (dvhi - t0m) * fs + 2.0)
+
+    txb = [tx_bounds(c) for c in range(MC)]
+
     def select_c(c, items):
         if isinstance(c, int):  # static transmit lane (keep_tx path)
             return items[c]
@@ -327,6 +394,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             # reference's whole-sample bounds check (``interpd.cu:84``).
             VAL = Ki.astype(jnp.uint32) <= jnp.uint32(T - 2)
             TIS = jnp.clip(Ki, 0, T - 2)
+            WTm = None  # multiplicative weight (apods), for the fused mix
             if WR is not None or tx_apods:
                 WT = jnp.where(VAL, 1.0, 0.0)
                 if WR is not None:
@@ -335,72 +403,22 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                     tw = select_c(c, [w for _, _, w in geoms])
                     WT = WT * jnp.broadcast_to(tw[None],
                                                (8, 8, 128)).reshape(64, 128)
+                WTm = WT
                 W1 = U * WT
                 W0 = WT - W1
             else:
                 # fold the mask directly into the two tap weights
                 W1 = jnp.where(VAL, U, 0.0)
                 W0 = jnp.where(VAL, 1.0 - U, 0.0)
-            # scalar-core window range for THIS (group, transmit):
-            # conservative transmit-path bounds over the tile's pixel box
-            # (per-axis linear bounds are exact for the plane model; the
-            # interval arithmetic is conservative otherwise), + the group's
-            # receive bounds. ±2-sample margin absorbs f32 rounding skew
-            # between this scalar chain and the vector TI computation.
-            m_ = mtc * MC + c
-            pvxs = pv_ref[0, m_]
-            pvzs = pv_ref[2, m_]
-            if tx_model == "plane":
-                nvxs = pv_ref[3, m_]
-                nvzs = pv_ref[5, m_]
-                ax0 = nvxs * (xbl - pvxs)
-                ax1 = nvxs * (xbh - pvxs)
-                az0 = nvzs * (zlo - pvzs)
-                az1 = nvzs * (zhi - pvzs)
-                dvlo = jnp.minimum(ax0, ax1) + jnp.minimum(az0, az1)
-                dvhi = jnp.maximum(ax0, ax1) + jnp.maximum(az0, az1)
-                if not planar:
-                    nvys = pv_ref[4, m_]
-                    pvys = pv_ref[1, m_]
-                    ay0 = nvys * (ybl - pvys)
-                    ay1 = nvys * (ybh - pvys)
-                    dvlo = dvlo + jnp.minimum(ay0, ay1)
-                    dvhi = dvhi + jnp.maximum(ay0, ay1)
-            else:
-                gtx = igap(xbl, xbh, pvxs, pvxs)
-                stx = ispan(xbl, xbh, pvxs, pvxs)
-                gtz = igap(zlo, zhi, pvzs, pvzs)
-                stz = ispan(zlo, zhi, pvzs, pvzs)
-                if planar:
-                    rlo = jnp.sqrt(gtx * gtx + gtz * gtz)
-                    rhi = jnp.sqrt(stx * stx + stz * stz)
-                else:
-                    pvys = pv_ref[1, m_]
-                    gty = igap(ybl, ybh, pvys, pvys)
-                    sty = ispan(ybl, ybh, pvys, pvys)
-                    rlo = jnp.sqrt(gtx * gtx + gty * gty + gtz * gtz)
-                    rhi = jnp.sqrt(stx * stx + sty * sty + stz * stz)
-                if tx_model == "diverging":
-                    dvlo, dvhi = rlo, rhi
-                else:  # virtual: sign((p - pv) . nv) * |p - pv|
-                    nvxs = pv_ref[3, m_]
-                    nvzs = pv_ref[5, m_]
-                    bx0 = nvxs * (xbl - pvxs)
-                    bx1 = nvxs * (xbh - pvxs)
-                    bz0 = nvzs * (zlo - pvzs)
-                    bz1 = nvzs * (zhi - pvzs)
-                    rdlo = jnp.minimum(bx0, bx1) + jnp.minimum(bz0, bz1)
-                    rdhi = jnp.maximum(bx0, bx1) + jnp.maximum(bz0, bz1)
-                    if not planar:
-                        nvys = pv_ref[4, m_]
-                        by0 = nvys * (ybl - pvys)
-                        by1 = nvys * (ybh - pvys)
-                        rdlo = rdlo + jnp.minimum(by0, by1)
-                        rdhi = rdhi + jnp.maximum(by0, by1)
-                    dvlo = jnp.where(rdlo >= 0, rlo, -rhi)
-                    dvhi = jnp.where(rdhi <= 0, -rlo, rhi)
-            lo_t = drlo + (dvlo - t0m) * fs - 2.0
-            hi_t = drhi + (dvhi - t0m) * fs + 2.0
+            # scalar-core window range for THIS (group, transmit): the
+            # group's receive bounds + the hoisted per-(tile, transmit)
+            # one-way bounds (see tx_bounds; ±2-sample margin absorbs f32
+            # rounding skew between the scalar chain and the vector TI).
+            lo_t = drlo + select_c(c, [t[0] for t in txb])
+            hi_t = drhi + select_c(c, [t[1] for t in txb])
+            if "fixedwin" in _ABLATE:  # probe: scalar planning chain cost
+                lo_t = jnp.float32(0.0)
+                hi_t = jnp.float32(64.0)
             lo_i = jnp.clip(lo_t.astype(jnp.int32), 0, T - 2)
             hi_i = jnp.clip(hi_t.astype(jnp.int32) + 1, 0, T - 2)
             ws0 = lo_i
@@ -442,6 +460,8 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 SLOWER than the aligned loop."""
                 mm = ws0 - q0 * W  # 0 <= mm < W
                 q0b = jnp.minimum(q0 + 1, T // W - 1)
+                if "oneslab" in _ABLATE:  # probe: 2nd VMEM slab-read cost
+                    q0b = q0
                 s0s = slab_at(q0)
                 s1s = slab_at(q0b)
                 LJ = TIS - ws0
@@ -457,21 +477,51 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
 
                 new = list(part)
                 for ch in range(nch):
-                    v0 = roll_lanes(s0s[ch])
-                    v1 = roll_lanes(s1s[ch])
-                    v = jnp.where(sel, v0, v1)
+                    if "noroll" in _ABLATE:
+                        v = s0s[ch]
+                    elif "oneroll" in _ABLATE:
+                        # measured SLOWER (0.684 vs 0.657 s at the full
+                        # bench): the pre-roll select serializes on both
+                        # slabs + mm, while two independent rolls schedule
+                        # as each slab lands — kept only as a probe.
+                        # roll(u, W-mm)[l] = u[(l+mm) % W] = s0[l+mm] for
+                        # l < W-mm, s1[l+mm-W] otherwise
+                        u = jnp.where(lane >= mm, s0s[ch], s1s[ch])
+                        v = roll_lanes(u)
+                    else:
+                        v0 = roll_lanes(s0s[ch])
+                        v1 = roll_lanes(s1s[ch])
+                        v = jnp.where(sel, v0, v1)
                     srep = jnp.broadcast_to(v[:, None, :],
                                             (8, 8, W)).reshape(64, W)
-                    if pair:
+                    if "nogather" in _ABLATE:
+                        g0 = g1 = (jax.lax.bitcast_convert_type(
+                            srep, jnp.float32) if pair else srep)
+                    elif pair:
                         gi = jnp.take_along_axis(srep, LJ, axis=1)
-                        g0 = jax.lax.bitcast_convert_type(
-                            gi << 16, jnp.float32)
-                        g1 = jax.lax.bitcast_convert_type(
-                            gi & jnp.int32(-65536), jnp.float32)
+                        if "nounpack" in _ABLATE:
+                            g0 = g1 = jax.lax.bitcast_convert_type(
+                                gi, jnp.float32)
+                        else:
+                            g0 = jax.lax.bitcast_convert_type(
+                                gi << 16, jnp.float32)
+                            g1 = jax.lax.bitcast_convert_type(
+                                gi & jnp.int32(-65536), jnp.float32)
                     else:
                         g0 = jnp.take_along_axis(srep, LJ, axis=1)
                         g1 = jnp.take_along_axis(srep, LJ + 1, axis=1)
-                    new[ch] = new[ch] + (g0 * W0 + g1 * W1)
+                    if "noweights" in _ABLATE:
+                        new[ch] = new[ch] + g0
+                    elif "fusedmix" in _ABLATE:
+                        # candidate trim: one lerp + one mask instead of two
+                        # pre-masked tap weights (same math, fewer vector ops)
+                        vmix = g0 + U * (g1 - g0)
+                        if WTm is not None:
+                            new[ch] = new[ch] + WTm * vmix
+                        else:
+                            new[ch] = new[ch] + jnp.where(VAL, vmix, 0.0)
+                    else:
+                        new[ch] = new[ch] + (g0 * W0 + g1 * W1)
                 return tuple(new)
 
             def jbody(j, part):
