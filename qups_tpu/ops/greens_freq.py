@@ -47,7 +47,8 @@ _PRECS = {
 
 
 def block_gemm_scan(E1, E2, d1, d2, *, F: int, B: int, prec, k0: int = 0,
-                    weights=None, subsum: bool = False):
+                    weights=None, subsum: bool = False,
+                    gemm16: bool = False):
     """The shared bin-blocked phasor-GEMM engine (used by greens_freq and
     ops.simus): extend the multiplicative recurrences ``E <- E * d`` by B
     bins per scan step and contract each block with ONE batched complex
@@ -58,6 +59,16 @@ def block_gemm_scan(E1, E2, d1, d2, *, F: int, B: int, prec, k0: int = 0,
     no multiplicative recurrence). ``subsum``: sum a trailing sub-element
     axis of E1/E2 before the GEMM. Returns (ceil(F/B)*B, N, M) complex —
     callers crop to F.
+
+    ``gemm16``: run the contraction with bf16 phasor inputs and f32
+    accumulation (~0.2% rel err). MEASURED SLOWER on the v5e (31.8 s vs
+    18.8 s f32 at S=1e5): this engine is bound by the elementwise c64
+    recurrence + stack materialization, not the GEMM, and the ri
+    extract/cast adds a pass. Kept for GEMM-bound backends; on TPU use
+    the fused Pallas engine (:mod:`greens_freq_pallas`) instead. The ri
+    parts are packed into ONE ``bsn,bsm->bnm`` dot — four separate
+    same-input einsums pathologically deoptimize on this backend (185 s
+    vs 0.2 s, NOTES.md), a single dot_general does not.
     """
     B = max(1, min(B, F))
     nblk = -(-F // B)
@@ -75,8 +86,25 @@ def block_gemm_scan(E1, E2, d1, d2, *, F: int, B: int, prec, k0: int = 0,
             Bs.append(jnp.sum(b, 2) if subsum else b)
             e1 = e1 * d1
             e2 = e2 * d2
-        X = jnp.einsum("bsn,bsm->bnm", jnp.stack(As), jnp.stack(Bs),
-                       precision=prec)  # (B, N, M) c64
+        Ast = jnp.stack(As)  # (B, S, N) c64
+        Bst = jnp.stack(Bs)  # (B, S, M) c64
+        if gemm16:
+            # ri parts concatenated along the ELEMENT axis so the dot
+            # keeps the exact bsn,bsm->bnm shape of the f32 path (a
+            # separate ri axis made XLA materialize a transposed copy of
+            # the stack — measured 2.2x SLOWER than f32 at S=1e5)
+            N_, M_ = Ast.shape[-1], Bst.shape[-1]
+            Ar = jnp.concatenate([jnp.real(Ast), jnp.imag(Ast)],
+                                 axis=-1).astype(jnp.bfloat16)  # (B,S,2N)
+            Br = jnp.concatenate([jnp.real(Bst), jnp.imag(Bst)],
+                                 axis=-1).astype(jnp.bfloat16)  # (B,S,2M)
+            P = jnp.einsum("bsn,bsm->bnm", Ar, Br,
+                           preferred_element_type=jnp.float32)
+            X = jax.lax.complex(P[:, :N_, :M_] - P[:, N_:, M_:],
+                                P[:, :N_, M_:] + P[:, N_:, :M_])
+        else:
+            X = jnp.einsum("bsn,bsm->bnm", Ast, Bst,
+                           precision=prec)  # (B, N, M) c64
         return (e1, e2), X
 
     _, X = jax.lax.scan(one_block, (E1, E2), jnp.arange(nblk))
@@ -97,11 +125,16 @@ def _freq_gemm(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int, R0: float,
 
     Args: phc () f32 = 2 pi cinv fs / L; ps (S, 3); amp (S,) REAL;
     pn (N, En, 3); pv (M, Em, 3). Returns (F, N, M, 2) f32.
+
+    ``precision='bf16'`` runs the per-bin GEMMs with bf16 phasor inputs
+    (f32 accumulation) — ~4x the MXU rate for ~0.4% amplitude error; the
+    phasor recurrence stays f32.
     """
     ps = ps.astype(jnp.float32)
     pn = pn.astype(jnp.float32)
     pv = pv.astype(jnp.float32)
-    prec = _PRECS[precision]
+    gemm16 = precision == "bf16"
+    prec = _PRECS["highest" if gemm16 else precision]
     B = max(1, min(B, F))
 
     def geom(pe):  # (E, Esub, 3) -> r (S, E, Esub)
@@ -124,7 +157,7 @@ def _freq_gemm(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int, R0: float,
     d2 = phasor(r2, jnp.ones_like(r2), 1.0)
 
     X = block_gemm_scan(E1, E2, d1, d2, F=F, B=B, prec=prec,
-                        subsum=True)[:F]
+                        subsum=True, gemm16=gemm16)[:F]
     return jnp.stack([jnp.real(X), jnp.imag(X)], axis=-1)  # (F, N, M, 2)
 
 
@@ -146,7 +179,8 @@ def _synth(G, kf, *, L: int, k0: int, T: int):
 def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
                 fs: float, cinv, R0: float, fsr: float = 1.0,
                 rtol: float = 1e-6, precision: str = "highest",
-                out: str = "auto", slab: int = 131072):
+                out: str = "auto", slab: int = 131072,
+                engine: str = "auto"):
     """Frequency-domain FSA Green's-function simulation.
 
     Same contract as :func:`qups_tpu.ops.greens.greens_splat` — ``kern``
@@ -158,6 +192,11 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     ``rtol``: kernel-spectrum bins below ``rtol * max`` are dropped (the
     synthesis band is the contiguous hull of the survivors); 0 keeps every
     rfft bin.
+
+    ``engine``: 'auto' | 'xla' | 'pallas'. 'pallas' is the fused
+    phasor+GEMM kernel (:mod:`greens_freq_pallas`) — VMEM-resident
+    phasors, ~10x the XLA engine at large S; single sub-element geometry
+    only. 'auto' picks it on TPU when eligible.
 
     Returns (T, N, M) f32 for real kern+amp; otherwise complex64 for
     ``out='complex'`` or the boundary-safe ri pair (T, N, M, 2) (default on
@@ -173,18 +212,31 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     # carries (the tall-array analog; cf. greens_tiled's SLAB)
     SLAB = slab
 
+    single_sub = pn.shape[1] == 1 and pv.shape[1] == 1
+    if engine == "pallas" and not single_sub:
+        raise ValueError("engine='pallas' supports single sub-element"
+                         " geometry only (element_subdivisions=(1, 1))")
+    on_cpu = jax.devices()[0].platform == "cpu"
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and single_sub and not on_cpu)
+    if use_pallas:
+        from .greens_freq_pallas import freq_gemm_pallas
+        gemm = partial(freq_gemm_pallas, interpret=on_cpu)
+    else:
+        gemm = _freq_gemm
+
     def gpass(a_real):
         a_real = np.asarray(a_real, np.float32)
         if ps.shape[0] <= SLAB:
-            return _freq_gemm(jnp.asarray(plan["phc"]), jnp.asarray(ps),
-                              jnp.asarray(a_real), jnp.asarray(pn),
-                              jnp.asarray(pv), **plan["st"])
+            return gemm(jnp.asarray(plan["phc"]), jnp.asarray(ps),
+                        jnp.asarray(a_real), jnp.asarray(pn),
+                        jnp.asarray(pv), **plan["st"])
         acc = None
         for i0 in range(0, ps.shape[0], SLAB):
-            part = _freq_gemm(jnp.asarray(plan["phc"]),
-                              jnp.asarray(ps[i0:i0 + SLAB]),
-                              jnp.asarray(a_real[i0:i0 + SLAB]),
-                              jnp.asarray(pn), jnp.asarray(pv), **plan["st"])
+            part = gemm(jnp.asarray(plan["phc"]),
+                        jnp.asarray(ps[i0:i0 + SLAB]),
+                        jnp.asarray(a_real[i0:i0 + SLAB]),
+                        jnp.asarray(pn), jnp.asarray(pv), **plan["st"])
             acc = part if acc is None else jax.jit(jnp.add)(acc, part)
         return acc
 

@@ -265,7 +265,8 @@ def greens_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int, s0: float,
 def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
                         s0: float, t0k: float, fs: float, cinv, R0: float,
                         fsr: float = 1.0, rtol: float = 1e-6,
-                        precision: str = "highest", out: str = "auto"):
+                        precision: str = "highest", out: str = "auto",
+                        engine: str = "auto"):
     """Sharded frequency-domain Green's-function simulation
     (:mod:`qups_tpu.ops.greens_freq` under ``shard_map``).
 
@@ -276,6 +277,10 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
     are ``psum``-reduced over 'tx' — ONE collective for the whole
     simulation, the freq-domain analog of the splat path's grid psum —
     and the irfft synthesis runs on the still-rx-sharded spectrum.
+
+    ``engine``: 'auto' | 'xla' | 'pallas' — per-shard GEMM engine (see
+    :func:`qups_tpu.ops.greens_freq.greens_freq`); 'auto' uses the fused
+    Pallas engine on TPU for single sub-element geometry.
     """
     from ..ops import greens_freq as _  # noqa: F401 (package init)
     from ..ops.greens_freq import _freq_gemm, _host_plan, _orchestrate
@@ -285,6 +290,17 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
                       cinv=cinv, R0=R0, fsr=fsr, rtol=rtol,
                       precision=precision)
     psn, pnn, pvn = plan["ps"], plan["pn"], plan["pv"]
+    single_sub = pnn.shape[1] == 1 and pvn.shape[1] == 1
+    on_cpu = jax.devices()[0].platform == "cpu"
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and single_sub and not on_cpu)
+    if use_pallas:
+        from functools import partial as _part
+
+        from ..ops.greens_freq_pallas import freq_gemm_pallas
+        gemm = _part(freq_gemm_pallas, interpret=on_cpu)
+    else:
+        gemm = _freq_gemm
     ntx = mesh.shape["tx"]
     has_rx = "rx" in mesh.axis_names
     nrx = mesh.shape["rx"] if has_rx else 1
@@ -295,8 +311,8 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
     pn_p = np.pad(pnn, ((0, pad_n), (0, 0), (0, 0)), mode="edge")
 
     def local(psl, al, pnl):
-        G = _freq_gemm(jnp.asarray(plan["phc"]), psl, al,
-                       pnl, jnp.asarray(pvn), **plan["st"])
+        G = gemm(jnp.asarray(plan["phc"]), psl, al,
+                 pnl, jnp.asarray(pvn), **plan["st"])
         return jax.lax.psum(G, "tx")
 
     rx = "rx" if has_rx else None

@@ -118,7 +118,8 @@ class UltrasoundSystem:
     def greens(self, scat: Scatterers, element_subdivisions: Tuple[int, int] = (1, 1),
                R0: Optional[float] = None, method: str = "cubic",
                impl: str = "auto", fsk: Optional[float] = None,
-               block: int = 32, rtol: float = 1e-6) -> ChannelData:
+               block: int = 32, rtol: float = 1e-6,
+               precision: str = "highest") -> ChannelData:
         """Simulate echoes from point scatterers via a shifted Green's
         function, then apply the transmit Sequence via :meth:`focusTx`
         (``UltrasoundSystem.greens``, ``UltrasoundSystem.m:463-882``).
@@ -132,6 +133,11 @@ class UltrasoundSystem:
         XLA scatter-add path; 'dense' the O(T S N M) oracle. Complex
         kernels keep every jit boundary real (ri contract of
         ``utils/cpx.py``).
+
+        ``precision`` (freq path): 'highest' (default) | 'default' |
+        'bf16' — bf16 runs the per-bin GEMMs with bf16 phasor inputs and
+        f32 accumulation: ~4x the MXU rate at ~0.2% rel error, for large
+        diffuse-speckle clouds.
         """
         fs = float(self.fs)
         fsk = float(fsk or fs)
@@ -172,7 +178,7 @@ class UltrasoundSystem:
         if impl == "freq":
             from .ops.greens_freq import greens_freq
             kw = dict(T=T, s0=s0, t0k=float(wv.t0), fs=fs, cinv=1.0 / c0,
-                      R0=R0, fsr=fsk / fs, rtol=rtol)
+                      R0=R0, fsr=fsk / fs, rtol=rtol, precision=precision)
             amp = np.asarray(scat.amp)
             x = greens_freq(kern, ps.T, amp, pn, pv, out="auto", **kw)
             if np.iscomplexobj(kern) or np.iscomplexobj(amp):

@@ -173,3 +173,14 @@ def test_fsr_resampled_kernel():
     for n, m in [(0, 0), (3, 1)]:
         assert abs(int(np.argmax(np.abs(want[:, n, m])))
                    - int(np.argmax(np.abs(got[:, n, m])))) <= 1
+
+
+def test_bf16_gemm_parity():
+    """precision='bf16' (bf16 phasor GEMM inputs, f32 accumulation)
+    matches the f32 path within the bf16 mantissa budget."""
+    kern, ps, amp, pn, pv, kw = problem(S=31)
+    x32 = np.asarray(greens_freq(kern, ps, amp, pn, pv, **kw))
+    x16 = np.asarray(greens_freq(kern, ps, amp, pn, pv,
+                                 precision="bf16", **kw))
+    rel = np.linalg.norm(x16 - x32) / np.linalg.norm(x32)
+    assert rel < 5e-3, rel

@@ -122,6 +122,11 @@ def test_greens_freq_sharded_matches_single():
                                **kw)
     assert float(jnp.abs(gotc - refc).max()) \
         < 1e-4 * float(jnp.abs(refc).max())
+    # the fused Pallas engine under the same mesh (interpret mode on CPU)
+    gotp = greens_freq_sharded(mesh, kern, ps, amp, pn, pv,
+                               engine="pallas", **kw)
+    assert float(jnp.abs(gotp - ref).max()) \
+        < 1e-4 * float(jnp.abs(ref).max())
 
 
 def test_system_greens_das_on_mesh_smoke():
