@@ -38,8 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 _TWO_PI = 6.283185307179586
 
 
-def _kernel(q1_ref, w1_ref, q2_ref, w2_ref, out_ref, *, FB: int, k0: int,
-            bf16: bool):
+def _kernel(*refs, FB: int, k0: int, bf16: bool, has_dir: bool = False):
     """Grid (nF, nS) — bin blocks OUTER, scatterer chunks INNER so each
     (FB, 2, N, M) spectrum block accumulates in VMEM across the chunk
     sweep. Per step: re-init the chunk phasors at bin kb = k0 + fb*FB
@@ -47,7 +46,17 @@ def _kernel(q1_ref, w1_ref, q2_ref, w2_ref, out_ref, *, FB: int, k0: int,
 
     The rx side is stored TRANSPOSED (N, SC) so every dot is the
     canonical (m, k) x (k, n) form — contracting dim 0 of the lhs makes
-    Mosaic materialize a per-dot transpose copy."""
+    Mosaic materialize a per-dot transpose copy.
+
+    ``has_dir``: two extra operands s1 (N, SC) / s2 (SC, M) of per-unit-
+    bin sinc slopes; each bin applies the rectangular-element directivity
+    ``sinc(s * k)`` to the dot inputs (the simus/MUST analog — the sinc
+    has no multiplicative recurrence, so it is evaluated per bin)."""
+    if has_dir:
+        q1_ref, w1_ref, s1_ref, q2_ref, w2_ref, s2_ref, out_ref = refs
+    else:
+        q1_ref, w1_ref, q2_ref, w2_ref, out_ref = refs
+        s1_ref = s2_ref = None
     fb = pl.program_id(0)
     s = pl.program_id(1)
     kb = (k0 + fb * FB).astype(jnp.float32)
@@ -56,6 +65,8 @@ def _kernel(q1_ref, w1_ref, q2_ref, w2_ref, out_ref, *, FB: int, k0: int,
     w1 = w1_ref[:]
     q2 = q2_ref[:]  # (SC, M)
     w2 = w2_ref[:]
+    s1 = s1_ref[:] if has_dir else None
+    s2 = s2_ref[:] if has_dir else None
 
     def init(q, w):
         u = kb * q
@@ -85,9 +96,21 @@ def _kernel(q1_ref, w1_ref, q2_ref, w2_ref, out_ref, *, FB: int, k0: int,
             a, b, cdims, preferred_element_type=jnp.float32,
             precision=(None if bf16 else jax.lax.Precision.HIGHEST))
 
+    def sinc(x):
+        px = jnp.float32(np.pi) * x
+        return jnp.where(jnp.abs(px) < 1e-6, 1.0, jnp.sin(px) / px)
+
     for j in range(FB):
-        xr = dot(e1r, e2r) - dot(e1i, e2i)
-        xi = dot(e1r, e2i) + dot(e1i, e2r)
+        if has_dir:
+            kf = kb + jnp.float32(j)
+            g1 = sinc(s1 * kf)
+            g2 = sinc(s2 * kf)
+            a1r, a1i = e1r * g1, e1i * g1
+            a2r, a2i = e2r * g2, e2i * g2
+        else:
+            a1r, a1i, a2r, a2i = e1r, e1i, e2r, e2i
+        xr = dot(a1r, a2r) - dot(a1i, a2i)
+        xi = dot(a1r, a2i) + dot(a1i, a2r)
         out_ref[j, 0] += xr
         out_ref[j, 1] += xi
         if j < FB - 1:  # extend the recurrence to the next bin
@@ -114,10 +137,12 @@ def _prologue(phc_over_2pi, ps, amp, pn, pv, *, R0: float, fsr: float):
 
 @functools.partial(jax.jit, static_argnames=("F", "FB", "SC", "k0", "bf16",
                                              "interpret"))
-def _gf_call(q1, w1, q2, w2, *, F: int, FB: int, SC: int, k0: int,
-             bf16: bool, interpret: bool = False):
+def _gf_call(q1, w1, q2, w2, s1=None, s2=None, *, F: int, FB: int, SC: int,
+             k0: int, bf16: bool, interpret: bool = False):
     """pallas_call wrapper: pads S/N/M/F to tile multiples and crops the
-    result to (F, N, M, 2)."""
+    result to (F, N, M, 2). ``s1``/``s2`` (both or neither): per-unit-bin
+    sinc directivity slopes."""
+    has_dir = s1 is not None
     N, S = q1.shape  # rx side transposed (N, S)
     M = q2.shape[1]
     Sp = -(-S // SC) * SC
@@ -129,25 +154,34 @@ def _gf_call(q1, w1, q2, w2, *, F: int, FB: int, SC: int, k0: int,
         return jnp.pad(a, ((0, d0 - a.shape[0]), (0, d1 - a.shape[1])))
 
     # zero weights make padded scatterers/elements inert
-    q1p, w1p = pad2(q1, Np, Sp), pad2(w1, Np, Sp)
-    q2p, w2p = pad2(q2, Sp, Mp), pad2(w2, Sp, Mp)
+    rx_spec = pl.BlockSpec((Np, SC), lambda fb, s: (0, s))
+    tx_spec = pl.BlockSpec((SC, Mp), lambda fb, s: (s, 0))
+    ops = [pad2(q1, Np, Sp), pad2(w1, Np, Sp)]
+    specs = [rx_spec, rx_spec]
+    if has_dir:
+        ops.append(pad2(s1, Np, Sp))
+        specs.append(rx_spec)
+    ops += [pad2(q2, Sp, Mp), pad2(w2, Sp, Mp)]
+    specs += [tx_spec, tx_spec]
+    if has_dir:
+        ops.append(pad2(s2, Sp, Mp))
+        specs.append(tx_spec)
 
     grid = (nF, Sp // SC)
     out = pl.pallas_call(
-        functools.partial(_kernel, FB=FB, k0=k0, bf16=bf16),
+        functools.partial(_kernel, FB=FB, k0=k0, bf16=bf16,
+                          has_dir=has_dir),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((Np, SC), lambda fb, s: (0, s)),
-            pl.BlockSpec((Np, SC), lambda fb, s: (0, s)),
-            pl.BlockSpec((SC, Mp), lambda fb, s: (s, 0)),
-            pl.BlockSpec((SC, Mp), lambda fb, s: (s, 0)),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((FB, 2, Np, Mp), lambda fb, s: (fb, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nF * FB, 2, Np, Mp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the directivity variant keeps ~6 extra (SC, N/M) arrays
+            # live; the default 16 MB scoped-vmem limit is too tight
+            vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(q1p, w1p, q2p, w2p)
+    )(*ops)
     # (nF*FB, 2, Np, Mp) -> (F, N, M, 2)
     return jnp.moveaxis(out[:F, :, :N, :M], 1, -1)
 
@@ -185,3 +219,62 @@ def freq_gemm_pallas(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int,
     FB = int(max(1, min(32, (4 * 2**20) // (2 * Np * Mp * 4))))
     return _gf_call(q1, w1, q2, w2, F=F, FB=FB, SC=SC, k0=k0,
                     bf16=(precision == "bf16"), interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("baffle",))
+def _simus_prologue(ps, amp, pn, nn_az, pv, nv_az, widths, dq, sl, *,
+                    baffle: str):
+    """Device-side geometry for the simus/MUST analog (mirrors
+    ``ops.simus._simus_spectrum``'s weights): per side returns the
+    normalized phase slope q = dq * r, the k-independent weight (1/r,
+    obliquity for the soft baffle, amplitudes on tx), and the per-unit-bin
+    sinc slope s = width * sl * sin(theta). The rx side is transposed."""
+    def geom(pe, az):
+        d = ps[:, None, :] - pe[None, :, :].astype(jnp.float32)  # (S, E, 3)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        ca, sa = jnp.cos(az), jnp.sin(az)
+        lat = d[..., 0] * ca[None, :] - d[..., 2] * sa[None, :]
+        ax = d[..., 2] * ca[None, :] + d[..., 0] * sa[None, :]
+        sth = lat / jnp.maximum(r, 1e-12)
+        cth = ax / jnp.maximum(r, 1e-12)
+        return r, sth, cth
+
+    r_tx, sth_tx, cth_tx = geom(pv, jnp.asarray(nv_az, jnp.float32))
+    r_rx, sth_rx, cth_rx = geom(pn, jnp.asarray(nn_az, jnp.float32))
+    w_tx = amp.astype(jnp.float32)[:, None] / jnp.maximum(r_tx, 1e-6)
+    w_rx = 1.0 / jnp.maximum(r_rx, 1e-6)
+    if baffle == "soft":
+        w_tx = w_tx * jnp.maximum(cth_tx, 0.0)
+        w_rx = w_rx * jnp.maximum(cth_rx, 0.0)
+    q1 = (dq * r_rx).T
+    w1 = w_rx.T
+    s1 = (widths[1] * sl * sth_rx).T
+    return q1, w1, s1, dq * r_tx, w_tx, widths[0] * sl * sth_tx
+
+
+def simus_spectrum_pallas(ps, amp, pn, nn_az, pv, nv_az, widths, *,
+                          k0: int, F: int, T: int, fs: float, c0: float,
+                          baffle: str = "soft", precision: str = "highest",
+                          SC: int = 512, interpret: bool = False):
+    """Fused-engine analog of :func:`qups_tpu.ops.simus._simus_spectrum`:
+    geometry + rectangular-element sinc directivity spectrum X[k, n, e]
+    for bins [k0, k0+F) as device-resident complex64 (F, N, E)."""
+    # fs / (T c0) doubles as the phase slope per unit bin (/2 pi) AND the
+    # sinc directivity slope per unit bin
+    sl = np.float32(fs / (T * c0))
+    q1, w1, s1, q2, w2, s2 = _simus_prologue(
+        jnp.asarray(ps, jnp.float32), jnp.asarray(amp, jnp.float32),
+        jnp.asarray(pn, jnp.float32), jnp.asarray(nn_az, jnp.float32),
+        jnp.asarray(pv, jnp.float32), jnp.asarray(nv_az, jnp.float32),
+        jnp.asarray(widths, jnp.float32), jnp.float32(sl),
+        jnp.float32(sl), baffle=baffle)
+    import os
+    SC = int(os.environ.get("QUPS_GF_SC", SC))
+    S = q1.shape[1]
+    SC = min(SC, -(-S // 128) * 128)
+    Np = -(-q1.shape[0] // 8) * 8
+    Mp = -(-q2.shape[1] // 128) * 128
+    FB = int(max(1, min(16, (2 * 2**20) // (2 * Np * Mp * 4))))
+    G = _gf_call(q1, w1, q2, w2, s1, s2, F=F, FB=FB, SC=SC, k0=k0,
+                 bf16=(precision == "bf16"), interpret=interpret)
+    return jax.jit(lambda g: jax.lax.complex(g[..., 0], g[..., 1]))(G)

@@ -124,7 +124,7 @@ def _simus_synth(Xs, spec_ris, *, T: int, k0s):
 
 def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
               T: int, fs: float, c0: float, baffle: str = "soft",
-              precision: str = "highest"):
+              precision: str = "highest", engine: str = "auto"):
     """Frequency-domain FSA synthesis.
 
     Args:
@@ -137,6 +137,10 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
       bin_idx (F0,): rfft bin indices of the selected frequencies.
       T: output samples; fs: sampling rate; c0: sound speed;
       baffle: 'soft' multiplies the obliquity cos(th); 'hard' omits it.
+      engine: 'auto' | 'xla' | 'pallas' — 'pallas' runs the per-bin
+        phasor+directivity GEMMs in the fused VMEM-resident kernel
+        (:func:`qups_tpu.ops.greens_freq_pallas.simus_spectrum_pallas`);
+        'auto' picks it on TPU.
 
     Returns: real (T, N, E) FSA traces (rfft synthesis).
     """
@@ -146,6 +150,8 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
     spec = np.asarray(spec, np.complex64)[order]
     if bin_idx.size == 0:
         return jnp.zeros((T, np.shape(pn)[0], np.shape(pv)[0]), jnp.float32)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    use_pallas = engine == "pallas" or (engine == "auto" and not on_cpu)
     # contiguous runs (short gaps absorbed as zero spectrum): sparse /
     # multi-lobe selections never pay GEMMs across dead bands
     Xs, spec_ris, k0s = [], [], []
@@ -156,11 +162,20 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
         spec_h[bin_idx[sel] - k0] = spec[sel]
         spec_ris.append(jnp.asarray(
             np.stack([spec_h.real, spec_h.imag], -1).astype(np.float32)))
-        Xs.append(_simus_spectrum(
-            jnp.asarray(ps, jnp.float32), jnp.asarray(amp, jnp.float32),
-            jnp.asarray(pn, jnp.float32), jnp.asarray(nn_az, jnp.float32),
-            jnp.asarray(pv, jnp.float32), jnp.asarray(nv_az, jnp.float32),
-            jnp.asarray(widths, jnp.float32), k0=int(k0), F=int(F), T=T,
-            fs=float(fs), c0=float(c0), baffle=baffle, precision=precision))
+        if use_pallas:
+            from .greens_freq_pallas import simus_spectrum_pallas
+            X = simus_spectrum_pallas(
+                ps, amp, pn, nn_az, pv, nv_az, widths, k0=int(k0),
+                F=int(F), T=T, fs=float(fs), c0=float(c0), baffle=baffle,
+                precision=precision, interpret=on_cpu)
+        else:
+            X = _simus_spectrum(
+                jnp.asarray(ps, jnp.float32), jnp.asarray(amp, jnp.float32),
+                jnp.asarray(pn, jnp.float32), jnp.asarray(nn_az, jnp.float32),
+                jnp.asarray(pv, jnp.float32), jnp.asarray(nv_az, jnp.float32),
+                jnp.asarray(widths, jnp.float32), k0=int(k0), F=int(F), T=T,
+                fs=float(fs), c0=float(c0), baffle=baffle,
+                precision=precision)
+        Xs.append(X)
         k0s.append(int(k0))
     return _simus_synth(tuple(Xs), tuple(spec_ris), T=T, k0s=tuple(k0s))

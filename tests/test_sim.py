@@ -263,3 +263,36 @@ def test_simus_directivity():
     a_on = np.abs(np.asarray(us.simus(on).data)).max()
     a_off = np.abs(np.asarray(us.simus(off).data)).max()
     assert a_off < 0.6 * a_on, (a_on, a_off)
+
+
+def test_simus_pallas_engine_matches_xla():
+    """The fused Pallas engine (per-bin sinc directivity in-kernel)
+    matches the XLA scan engine (interpret mode on the CPU mesh)."""
+    from qups_tpu.ops.simus import simus_fsa
+    rng = np.random.default_rng(11)
+    S, N, E, T, fs, c0 = 9, 5, 3, 256, 10e6, 1540.0
+    ps = np.stack([rng.uniform(-2e-3, 2e-3, S), np.zeros(S),
+                   rng.uniform(8e-3, 12e-3, S)], -1).astype(np.float32)
+    amp = rng.uniform(0.5, 2.0, S).astype(np.float32)
+    pn = np.stack([np.linspace(-2e-3, 2e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    pv = pn[:E].copy()
+    az = np.zeros(N, np.float32)
+    bins = np.arange(12, 40, dtype=np.int32)
+    spec = (rng.standard_normal(bins.size)
+            + 1j * rng.standard_normal(bins.size)).astype(np.complex64)
+    widths = np.array([0.25e-3, 0.25e-3])
+    kw = dict(T=T, fs=fs, c0=c0)
+    want = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E], widths, spec,
+                                bins, engine="xla", **kw))
+    got = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E], widths, spec,
+                               bins, engine="pallas", **kw))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-4, rel
+    # hard baffle (no obliquity) through the fused engine as well
+    wanth = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E], widths, spec,
+                                 bins, engine="xla", baffle="hard", **kw))
+    goth = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E], widths, spec,
+                                bins, engine="pallas", baffle="hard", **kw))
+    relh = np.linalg.norm(goth - wanth) / np.linalg.norm(wanth)
+    assert relh < 2e-4, relh
