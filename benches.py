@@ -109,8 +109,14 @@ def bench_greens():
         kw = dict(T=T, s0=s0, t0k=-K / 2 / fs, fs=fs, cinv=1 / c0, R0=1e-3)
         on_tpu = jax.devices()[0].platform != "cpu"
         # 'freq' = the MXU per-bin GEMM path (the TPU default); 'pallas'
-        # the VPU splat kernel; 'splat' the XLA path (CPU only)
+        # the VPU splat kernel; 'splat' the XLA path (CPU only).
+        # QUPS_BENCH_IMPL restricts to one impl — interleaving impls in a
+        # single process distorts tunnel timings by >10x (NOTES.md); solo
+        # per-impl processes are the trustworthy mode.
         impls = ("freq", "pallas") if on_tpu else ("freq", "splat")
+        only = os.environ.get("QUPS_BENCH_IMPL")
+        if only:
+            impls = tuple(i for i in impls if i == only)
         for impl in impls:
             try:
                 def run():

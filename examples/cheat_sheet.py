@@ -39,6 +39,12 @@ us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq_pw, scan=scan, fs=25e6)
 # ---------------------------------------------------------------- simulation
 chd = us.greens(scat)                   # Green's-function sim + focusTx
 print("ChannelData:", chd.data.shape, "fs =", chd.fs)
+# large diffuse clouds: bf16 phasor GEMMs (~4x MXU rate, ~0.2% rel err)
+_ = us.greens(scat, precision="bf16")
+
+# frequency-domain point sim w/ element directivity (the MUST analog)
+chd_s = us.simus(scat)
+print("simus:", chd_s.data.shape)
 
 # transmit pressure-field map (calc_hp analog)
 pmax = us.replace(seq=seq_fc).calc_hp()

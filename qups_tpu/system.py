@@ -158,14 +158,24 @@ class UltrasoundSystem:
         wv = dataclasses.replace(wv, fs=fsk)
         kern = np.asarray(wv.samples)
 
-        # time bounds from exact geometry (reference uses transducer-bound
-        # corners, ``UltrasoundSystem.m:566-615``)
+        # time bounds from conservative box-to-box geometry (the reference
+        # uses transducer-bound corners, ``UltrasoundSystem.m:566-615``) —
+        # O(S + N) host work; the exact O(S*N) distance matrix costs
+        # seconds of host time per call at S ~ 1e5
         ps = scat.pos  # (3, S)
-        r_rx = np.linalg.norm(ps.T[:, None, :] - pn.reshape(-1, 3)[None], axis=-1)
-        r_tx = np.linalg.norm(ps.T[:, None, :] - pv.reshape(-1, 3)[None], axis=-1)
-        tau = (r_rx.min(1) + r_tx.min(1), r_rx.max(1) + r_tx.max(1))
-        tmin = tau[0].min() / c0 + wv.t0 - wv.duration
-        tmax = tau[1].max() / c0 + wv.tend
+
+        def rbox(pe):
+            pe = pe.reshape(-1, 3)
+            pslo, pshi = ps.T.min(axis=0), ps.T.max(axis=0)
+            pelo, pehi = pe.min(axis=0), pe.max(axis=0)
+            gap = np.maximum(0.0, np.maximum(pelo - pshi, pslo - pehi))
+            span = np.maximum(pehi - pslo, pshi - pelo)
+            return np.linalg.norm(gap), np.linalg.norm(span)
+
+        rx_lo, rx_hi = rbox(pn)
+        tx_lo, tx_hi = rbox(pv)
+        tmin = (rx_lo + tx_lo) / c0 + wv.t0 - wv.duration
+        tmax = (rx_hi + tx_hi) / c0 + wv.tend
         n0 = math.floor(tmin * fs)
         ne = math.ceil(tmax * fs)
         T = ne - n0 + 1
@@ -275,10 +285,20 @@ class UltrasoundSystem:
         pn = self.rx.positions().T
         pv = self.tx.positions().T
         ps = scat.pos
-        r_rx = np.linalg.norm(ps.T[:, None, :] - pn[None], axis=-1)
-        r_tx = np.linalg.norm(ps.T[:, None, :] - pv[None], axis=-1)
-        tmin = (r_rx.min() + r_tx.min()) / c0 + wv.t0 - wv.duration
-        tmax = (r_rx.max() + r_tx.max()) / c0 + wv.tend
+
+        # conservative box-to-box distance bounds: O(S + N) host work vs
+        # the exact O(S*N) matrix (seconds of host time at S ~ 1e5)
+        def rbox(pe):
+            pslo, pshi = ps.T.min(axis=0), ps.T.max(axis=0)
+            pelo, pehi = pe.min(axis=0), pe.max(axis=0)
+            gap = np.maximum(0.0, np.maximum(pelo - pshi, pslo - pehi))
+            span = np.maximum(pehi - pslo, pshi - pelo)
+            return np.linalg.norm(gap), np.linalg.norm(span)
+
+        rx_lo, rx_hi = rbox(pn)
+        tx_lo, tx_hi = rbox(pv)
+        tmin = (rx_lo + tx_lo) / c0 + wv.t0 - wv.duration
+        tmax = (rx_hi + tx_hi) / c0 + wv.tend
         n0 = math.floor(tmin * fs)
         T = int(math.ceil(tmax * fs)) - n0 + 1
         s0 = n0 / fs
