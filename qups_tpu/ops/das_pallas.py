@@ -698,6 +698,25 @@ def _group_boxes(prs, Np8):
                      ez.min(1), ez.max(1)], -1).astype(np.float32)
 
 
+_ALLFAST_CACHE: dict = {}
+
+
+def plan_allfast_cached(boxes, gbox, pvs, M, **kw):
+    """Memoized :func:`plan_allfast` — repeated eager ``system.DAS`` calls
+    on a fixed geometry re-prove the same plan (~120 ms host at the full
+    config); the operands hash in well under a millisecond."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for a in (boxes, gbox, pvs):
+        h.update(np.ascontiguousarray(a).tobytes())
+    key = (h.hexdigest(), M, tuple(sorted(kw.items())))
+    if key not in _ALLFAST_CACHE:
+        if len(_ALLFAST_CACHE) > 64:
+            _ALLFAST_CACHE.clear()
+        _ALLFAST_CACHE[key] = plan_allfast(boxes, gbox, pvs, M, **kw)
+    return _ALLFAST_CACHE[key]
+
+
 def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
                  W=128, safety=2):
     """Host-side proof that EVERY (tile, rx-group, transmit) tap range fits
@@ -1182,8 +1201,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                   and np.all(pvs[1] == 0))
     boxes = _tile_boxes(pzs, pxs, pys)
     gbox = _group_boxes(prs, Np8)
-    allfast = plan_allfast(boxes, gbox, pvs, M, fs=fs, tx_model=tx_model,
-                           planar=planar, T=Tp, pair=(precision == "bf16pair"))
+    allfast = plan_allfast_cached(boxes, gbox, pvs, M, fs=fs,
+                                  tx_model=tx_model, planar=planar, T=Tp,
+                                  pair=(precision == "bf16pair"))
 
     nch = 2 if (cplx or fmod != 0.0) else 1
     itemsize = 2 if precision == "bf16" else 4

@@ -217,6 +217,7 @@ def freq_gemm_pallas(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int,
     Np = -(-q1.shape[0] // 8) * 8
     Mp = -(-q2.shape[1] // 128) * 128
     FB = int(max(1, min(32, (4 * 2**20) // (2 * Np * Mp * 4))))
+    FB = int(os.environ.get("QUPS_GF_FB", FB))  # perf-sweep knob
     return _gf_call(q1, w1, q2, w2, F=F, FB=FB, SC=SC, k0=k0,
                     bf16=(precision == "bf16"), interpret=interpret)
 
