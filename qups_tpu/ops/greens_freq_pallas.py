@@ -213,10 +213,12 @@ def freq_gemm_pallas(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int,
     SC = int(os.environ.get("QUPS_GF_SC", SC))  # perf-sweep knob
     S = q1.shape[1]  # rx side is (N, S)
     SC = min(SC, -(-S // 128) * 128)  # lane dim of the (N, SC) blocks
-    # bin-block size from the VMEM budget for the (FB, 2, Np, Mp) block
+    # bin-block size from the VMEM budget for the (FB, 2, Np, Mp) block —
+    # measured at S=1e5 x 128x128 (bf16): FB=32 0.86 s, FB=64 0.54 s,
+    # FB=128 0.63 s
     Np = -(-q1.shape[0] // 8) * 8
     Mp = -(-q2.shape[1] // 128) * 128
-    FB = int(max(1, min(32, (4 * 2**20) // (2 * Np * Mp * 4))))
+    FB = int(max(1, min(64, (16 * 2**20) // (2 * Np * Mp * 4))))
     FB = int(os.environ.get("QUPS_GF_FB", FB))  # perf-sweep knob
     return _gf_call(q1, w1, q2, w2, F=F, FB=FB, SC=SC, k0=k0,
                     bf16=(precision == "bf16"), interpret=interpret)
