@@ -116,7 +116,11 @@ def bench_greens():
         impls = ("freq", "pallas") if on_tpu else ("freq", "splat")
         only = os.environ.get("QUPS_BENCH_IMPL")
         if only:
-            impls = tuple(i for i in impls if i == only)
+            if only not in impls:
+                raise SystemExit(
+                    f"QUPS_BENCH_IMPL={only!r} is not available on this "
+                    f"platform (choices: {impls})")
+            impls = (only,)
         for impl in impls:
             try:
                 def run():

@@ -708,7 +708,11 @@ def plan_allfast_cached(boxes, gbox, pvs, M, **kw):
     import hashlib
     h = hashlib.blake2b(digest_size=16)
     for a in (boxes, gbox, pvs):
-        h.update(np.ascontiguousarray(a).tobytes())
+        a = np.ascontiguousarray(a)
+        # shape/dtype delimiters: concatenated raw bytes alone would let
+        # different row splits of the same bytes collide to one key
+        h.update(repr((a.shape, a.dtype.str)).encode())
+        h.update(a.tobytes())
     key = (h.hexdigest(), M, tuple(sorted(kw.items())))
     if key not in _ALLFAST_CACHE:
         if len(_ALLFAST_CACHE) > 64:

@@ -273,23 +273,14 @@ def _host_plan(kern, ps, pn, pv, *, T, s0, t0k, fs, cinv, R0, fsr, rtol,
     K = kern.shape[0]
 
     # ---- FFT length from conservative host-side deposit bounds ----
-    # box-to-box interval arithmetic (the das_pallas planner's trick):
-    # O(S + E) host work for conservative [min, max] distances — the exact
-    # per-pair reduction is O(S*E) with multi-hundred-MB f64 temps and was
-    # measured at 19 s of HOST time per greens call at S=65536 x 128.
-    # Conservative is correct here: the lower bound under-, the upper
-    # over-estimates, and L only rounds up to the next power of two.
-    def rbounds(pe):
-        pe = pe.reshape(-1, 3).astype(np.float64)
-        pslo = ps.min(axis=0).astype(np.float64)
-        pshi = ps.max(axis=0).astype(np.float64)
-        pelo, pehi = pe.min(axis=0), pe.max(axis=0)
-        gap = np.maximum(0.0, np.maximum(pelo - pshi, pslo - pehi))
-        span = np.maximum(pehi - pslo, pshi - pelo)
-        return float(np.linalg.norm(gap)), float(np.linalg.norm(span))
-
-    r1lo, r1hi = rbounds(pn)
-    r2lo, r2hi = rbounds(pv)
+    # box-to-box interval arithmetic (see utils.maths.box_rbounds):
+    # O(S + E) host work — the exact per-pair reduction is O(S*E) with
+    # multi-hundred-MB f64 temps and was measured at 19 s of HOST time
+    # per greens call at S=65536 x 128. Conservative is correct here:
+    # L only rounds up to the next power of two.
+    from ..utils.maths import box_rbounds
+    r1lo, r1hi = box_rbounds(ps, pn)
+    r2lo, r2hi = box_rbounds(ps, pv)
     dc = (t0k - s0) * fs
     cinv = float(np.asarray(cinv).reshape(()))
     dmin = cinv * (r1lo + r2lo) * fs + dc

@@ -220,6 +220,7 @@ def freq_gemm_pallas(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int,
     Mp = -(-q2.shape[1] // 128) * 128
     FB = int(max(1, min(64, (16 * 2**20) // (2 * Np * Mp * 4))))
     FB = int(os.environ.get("QUPS_GF_FB", FB))  # perf-sweep knob
+    FB = max(1, min(FB, F))  # narrow bands: don't compute padded bins
     return _gf_call(q1, w1, q2, w2, F=F, FB=FB, SC=SC, k0=k0,
                     bf16=(precision == "bf16"), interpret=interpret)
 
@@ -278,6 +279,8 @@ def simus_spectrum_pallas(ps, amp, pn, nn_az, pv, nv_az, widths, *,
     Np = -(-q1.shape[0] // 8) * 8
     Mp = -(-q2.shape[1] // 128) * 128
     FB = int(max(1, min(16, (2 * 2**20) // (2 * Np * Mp * 4))))
+    FB = max(1, min(FB, F))  # narrow bands: don't compute padded bins
     G = _gf_call(q1, w1, q2, w2, s1, s2, F=F, FB=FB, SC=SC, k0=k0,
                  bf16=(precision == "bf16"), interpret=interpret)
-    return jax.jit(lambda g: jax.lax.complex(g[..., 0], g[..., 1]))(G)
+    from ..utils.cpx import cjoin
+    return cjoin(G[..., 0], G[..., 1])

@@ -46,7 +46,8 @@ def _simus_spectrum(ps, amp, pn, nn_az, pv, nv_az, widths, *, k0: int,
     """
     ps = ps.astype(jnp.float32)
     amp = amp.astype(jnp.float32)
-    prec = _PRECS[precision]
+    gemm16 = precision == "bf16"  # same contract as greens_freq's engine
+    prec = _PRECS["highest" if gemm16 else precision]
     B = max(1, min(B, F))
 
     def geom(pe, az):
@@ -91,7 +92,8 @@ def _simus_spectrum(ps, amp, pn, nn_az, pv, nv_az, widths, *, k0: int,
         return jnp.sinc(s_rx * kf), jnp.sinc(s_tx * kf)
 
     return block_gemm_scan(E_rx, E_tx, d_rx, d_tx, F=F, B=B, prec=prec,
-                           k0=k0, weights=weights)[:F]  # (F, N, E) c64
+                           k0=k0, weights=weights,
+                           gemm16=gemm16)[:F]  # (F, N, E) c64
 
 
 def _bin_runs(bin_idx, merge_gap: int = 32):

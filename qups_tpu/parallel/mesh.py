@@ -291,6 +291,9 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
                       precision=precision)
     psn, pnn, pvn = plan["ps"], plan["pn"], plan["pv"]
     single_sub = pnn.shape[1] == 1 and pvn.shape[1] == 1
+    if engine == "pallas" and not single_sub:
+        raise ValueError("engine='pallas' supports single sub-element"
+                         " geometry only (element_subdivisions=(1, 1))")
     on_cpu = jax.devices()[0].platform == "cpu"
     use_pallas = engine == "pallas" or (
         engine == "auto" and single_sub and not on_cpu)

@@ -11,6 +11,7 @@ parameter changes never trigger recompiles; shapes do.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from dataclasses import dataclass
 from typing import Optional, Tuple, Union
@@ -26,6 +27,35 @@ from .core.seq import Sequence
 from .core.xdc import Transducer, TransducerArray, TransducerConvex, TransducerMatrix
 from .ops.das import das, das_lut, delay_tables
 from .ops.greens import greens_dense, greens_splat
+from .utils.maths import box_rbounds
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "t0", "pad", "method"))
+def _ri_focus(xri, xri2, t2, w, *, fs: float, t0: float, pad: int,
+              method: str):
+    """Module-level jitted complex-simulation post: combine ri pair(s)
+    into complex traces and apply the focusTx resampling — everything
+    stays inside ONE program so no device complex crosses an eager-op
+    boundary (utils/cpx contract). Module-level so repeated simulations
+    with the same shapes/statics reuse the compiled program (a fresh
+    per-call ``@jax.jit`` closure retraces every call — multi-second on
+    this backend's remote-build toolchain).
+
+    ``xri2``: optional second ri pair contributing ``1j * x2`` (complex
+    amplitudes through a real-pass simulator)."""
+    x = xri[..., 0] + 1j * xri[..., 1]
+    if xri2 is not None:
+        x = x + 1j * (xri2[..., 0] + 1j * xri2[..., 1])
+    chd = ChannelData(data=x, fs=fs, t0=t0)
+    if pad:
+        chd = chd.zeropad(0, pad)
+    z = chd.sample2sep(chd.time, t2, method=method, w=w, sdim=2)
+    return jnp.moveaxis(z[:, :, 0], -1, 2)  # (T', N, M', F...)
+
+
+_RI_JOIN1 = jax.jit(lambda a: a[..., 0] + 1j * a[..., 1])
+_RI_JOIN2 = jax.jit(lambda a, b: (a[..., 0] + 1j * a[..., 1])
+                    + 1j * (b[..., 0] + 1j * b[..., 1]))
 
 
 @dataclass(frozen=True)
@@ -163,17 +193,8 @@ class UltrasoundSystem:
         # O(S + N) host work; the exact O(S*N) distance matrix costs
         # seconds of host time per call at S ~ 1e5
         ps = scat.pos  # (3, S)
-
-        def rbox(pe):
-            pe = pe.reshape(-1, 3)
-            pslo, pshi = ps.T.min(axis=0), ps.T.max(axis=0)
-            pelo, pehi = pe.min(axis=0), pe.max(axis=0)
-            gap = np.maximum(0.0, np.maximum(pelo - pshi, pslo - pehi))
-            span = np.maximum(pehi - pslo, pshi - pelo)
-            return np.linalg.norm(gap), np.linalg.norm(span)
-
-        rx_lo, rx_hi = rbox(pn)
-        tx_lo, tx_hi = rbox(pv)
+        rx_lo, rx_hi = box_rbounds(ps.T, pn)
+        tx_lo, tx_hi = box_rbounds(ps.T, pv)
         tmin = (rx_lo + tx_lo) / c0 + wv.t0 - wv.duration
         tmax = (rx_hi + tx_hi) / c0 + wv.tend
         n0 = math.floor(tmin * fs)
@@ -193,22 +214,18 @@ class UltrasoundSystem:
             x = greens_freq(kern, ps.T, amp, pn, pv, out="auto", **kw)
             if np.iscomplexobj(kern) or np.iscomplexobj(amp):
                 if x.ndim == 4 and x.shape[-1] == 2:  # ri pair (TPU)
-                    seq = self.seq
-
-                    @jax.jit
-                    def _post(xri):
-                        chd = ChannelData(
-                            data=xri[..., 0] + 1j * xri[..., 1], fs=fs,
-                            t0=s0)
-                        chd = self.focusTx(chd, seq, method=method)
-                        # device-resident complex output is legal on this
-                        # backend; only transfers are not (utils/cpx.py)
-                        return chd.data, jnp.real(
-                            jnp.asarray(chd.t0, jnp.float32))
-
-                    data, t0v = _post(x)
-                    return ChannelData(data=data, fs=fs,
-                                       t0=np.asarray(t0v).reshape(-1))
+                    # ONE jitted program combines ri -> complex and
+                    # focuses (device complex never crosses an eager
+                    # boundary); _ri_focus is module-level so repeat
+                    # sims reuse the compiled program
+                    plan = self._focus_plan(fs, 3, self.seq)
+                    if plan is None:
+                        return ChannelData(data=_RI_JOIN1(x), fs=fs, t0=s0)
+                    t2, w, dt0, pad = plan
+                    data = _ri_focus(x, None, t2, w, fs=fs,
+                                     t0=float(s0 + dt0), pad=int(pad),
+                                     method=method)
+                    return ChannelData(data=data, fs=fs, t0=s0 + dt0)
             chd = ChannelData(data=x, fs=fs, t0=s0)
             return self.focusTx(chd, self.seq, method=method)
 
@@ -229,23 +246,14 @@ class UltrasoundSystem:
                 x2 = greens_tiled(cz, ps.T, np.imag(az), pn, pv, out="ri",
                                   **kw) if np.any(np.imag(az)) else None
 
-                seq = self.seq
-
-                @jax.jit
-                def _post(x1, x2):
-                    x = x1[..., 0] + 1j * x1[..., 1]
-                    if x2 is not None:
-                        x = x + 1j * (x2[..., 0] + 1j * x2[..., 1])
-                    chd = ChannelData(data=x, fs=fs, t0=s0)
-                    chd = self.focusTx(chd, seq, method=method)
-                    # device-resident complex output is legal; only
-                    # transfers are not (utils/cpx.py)
-                    return chd.data, jnp.real(
-                        jnp.asarray(chd.t0, jnp.float32))
-
-                data, t0v = _post(x1, x2)
-                return ChannelData(data=data, fs=fs,
-                                   t0=np.asarray(t0v).reshape(-1))
+                plan = self._focus_plan(fs, 3, self.seq)
+                if plan is None:
+                    data = _RI_JOIN1(x1) if x2 is None else _RI_JOIN2(x1, x2)
+                    return ChannelData(data=data, fs=fs, t0=s0)
+                t2, w, dt0, pad = plan
+                data = _ri_focus(x1, x2, t2, w, fs=fs, t0=float(s0 + dt0),
+                                 pad=int(pad), method=method)
+                return ChannelData(data=data, fs=fs, t0=s0 + dt0)
             x = greens_tiled(kern, ps.T, amp, pn, pv, **kw)
             chd = ChannelData(data=x, fs=fs, t0=s0)
             return self.focusTx(chd, self.seq, method=method)
@@ -288,15 +296,8 @@ class UltrasoundSystem:
 
         # conservative box-to-box distance bounds: O(S + N) host work vs
         # the exact O(S*N) matrix (seconds of host time at S ~ 1e5)
-        def rbox(pe):
-            pslo, pshi = ps.T.min(axis=0), ps.T.max(axis=0)
-            pelo, pehi = pe.min(axis=0), pe.max(axis=0)
-            gap = np.maximum(0.0, np.maximum(pelo - pshi, pslo - pehi))
-            span = np.maximum(pehi - pslo, pshi - pelo)
-            return np.linalg.norm(gap), np.linalg.norm(span)
-
-        rx_lo, rx_hi = rbox(pn)
-        tx_lo, tx_hi = rbox(pv)
+        rx_lo, rx_hi = box_rbounds(ps.T, pn)
+        tx_lo, tx_hi = box_rbounds(ps.T, pv)
         tmin = (rx_lo + tx_lo) / c0 + wv.t0 - wv.duration
         tmax = (rx_hi + tx_hi) / c0 + wv.tend
         n0 = math.floor(tmin * fs)
@@ -325,37 +326,46 @@ class UltrasoundSystem:
         return self.focusTx(chd, self.seq)
 
     # ---------------------------------------------------- transmit synthesis
+    def _focus_plan(self, fs: float, ndim: int, seq: Sequence,
+                    buffer: int = 0):
+        """Host-side planning for :meth:`focusTx`: ``None`` for the true-
+        FSA identity, else ``(t2, w, dt0, pad)`` — the shaped delay /
+        apodization tensors for ``sample2sep``, the t0 shift, and the
+        zero-padding (``UltrasoundSystem.m:3457-3465``). Shared by the
+        eager path and the jitted ri post (:func:`_ri_focus`)."""
+        tau = -seq.delays(self.tx)          # (M, M')
+        apd = seq.apodization(self.tx)      # (M, M')
+        if seq.type == "FSA" and not np.count_nonzero(tau) \
+                and np.array_equal(apd, np.eye(self.tx.numel)):
+            return None  # true FSA: identity
+
+        # resample only within the window where data exists
+        mask = apd.astype(bool) | np.zeros_like(tau, bool)
+        nmin = math.floor(np.min(tau[mask]) * fs)
+        nmax = math.ceil(np.max(tau[mask]) * fs)
+        tau = tau - nmin / fs
+        # the synthesized-transmit axis M' goes on a FREE trailing dim
+        # past the data's ndim (the reference swaps to dim D,
+        # ``focusTx :3465``) so frame dims F... broadcast through
+        # untouched, then it is moved back to the transmit axis
+        nd = max(ndim, 3)
+        M, Mp = tau.shape
+        t2 = -tau.reshape((1, 1, M) + (1,) * (nd - 3) + (Mp,))
+        w = apd.reshape((1, 1, M) + (1,) * (nd - 3) + (Mp,))
+        return t2, w, nmin / fs, (nmax - nmin) + buffer
+
     def focusTx(self, chd: ChannelData, seq: Optional[Sequence] = None,
                 method: str = "cubic", buffer: int = 0) -> ChannelData:
         """Synthesize transmits from FSA data: delay-and-sum *across
         transmits* (``UltrasoundSystem.focusTx``,
         ``UltrasoundSystem.m:3374-3503``)."""
         seq = seq or self.seq
-        tau = -seq.delays(self.tx)          # (M, M')
-        apd = seq.apodization(self.tx)      # (M, M')
-
-        if seq.type == "FSA" and not np.count_nonzero(tau) \
-                and np.array_equal(apd, np.eye(self.tx.numel)):
-            return chd  # true FSA: identity
-
-        # resample only within the window where data exists
-        # (``UltrasoundSystem.m:3457-3463``)
-        mask = apd.astype(bool) | np.zeros_like(tau, bool)
-        nmin = math.floor(np.min(tau[mask]) * chd.fs)
-        nmax = math.ceil(np.max(tau[mask]) * chd.fs)
-        chd = chd.replace(t0=jnp.asarray(chd.t0) + nmin / chd.fs)
-        tau = tau - nmin / chd.fs
-        chd = chd.zeropad(0, (nmax - nmin) + buffer)
-
-        # sample at time + delays, weighted, summed over the old tx dim.
-        # The synthesized-transmit axis M' goes on a FREE trailing dim past
-        # the data's ndim (the reference swaps to dim D, ``focusTx :3465``)
-        # so frame dims F... broadcast through untouched, then it is moved
-        # back to the transmit axis after the sum.
-        nd = max(chd.data.ndim, 3)
-        M, Mp = tau.shape
-        t2 = -tau.reshape((1, 1, M) + (1,) * (nd - 3) + (Mp,))
-        w = apd.reshape((1, 1, M) + (1,) * (nd - 3) + (Mp,))
+        plan = self._focus_plan(chd.fs, chd.data.ndim, seq, buffer)
+        if plan is None:
+            return chd
+        t2, w, dt0, pad = plan
+        chd = chd.replace(t0=jnp.asarray(chd.t0) + dt0)
+        chd = chd.zeropad(0, pad)
         z = chd.sample2sep(chd.time, t2, method=method, w=w, sdim=2)
         z = jnp.moveaxis(z[:, :, 0], -1, 2)  # (T', N, M', F...)
         return chd.replace(data=z)

@@ -17,6 +17,7 @@ Helpers here convert between the two on either side of the boundary.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,23 +83,16 @@ def cexp(theta):
     return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
 
 
-def _join_jit():
-    """Module-level cached jit of ri_join-style combine (a fresh
-    ``jax.jit(lambda ...)`` per call would recompile every call — a
-    multi-second cost on this backend's remote-build toolchain)."""
-    global _JOIN
-    try:
-        return _JOIN
-    except NameError:
-        import jax
-
-        _JOIN = jax.jit(lambda a, b: a + 1j * b)
-        return _JOIN
+# module-level jit: a fresh ``jax.jit(lambda ...)`` per call would miss the
+# jit cache and recompile every call — a multi-second cost on this
+# backend's remote-build toolchain (jit itself is lazy; defining it at
+# import costs nothing)
+_JOIN = jax.jit(lambda a, b: a + 1j * b)
 
 
 def cjoin(re, im):
     """Combine device-resident real/imag parts into complex (cached jit)."""
-    return _join_jit()(re, im)
+    return _JOIN(re, im)
 
 
 def to_device(x):

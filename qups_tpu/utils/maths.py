@@ -78,3 +78,24 @@ def next_pow2(n: int) -> int:
     while p < n:
         p <<= 1
     return p
+
+
+def box_rbounds(pa, pb):
+    """Conservative ``(min, max)`` Euclidean distance between two point
+    sets via their axis-aligned bounding boxes — O(len(a) + len(b)) host
+    numpy, vs the exact O(a*b) distance matrix (seconds of host time and
+    multi-hundred-MB temps at ~1e5 x 128 points). The lower bound
+    under-estimates and the upper over-estimates, which is the safe
+    direction for FFT-length / trace-window planning.
+
+    ``pa``/``pb``: (num, 3) point arrays.
+    """
+    import numpy as np
+
+    pa = np.asarray(pa, np.float64).reshape(-1, 3)
+    pb = np.asarray(pb, np.float64).reshape(-1, 3)
+    alo, ahi = pa.min(axis=0), pa.max(axis=0)
+    blo, bhi = pb.min(axis=0), pb.max(axis=0)
+    gap = np.maximum(0.0, np.maximum(blo - ahi, alo - bhi))
+    span = np.maximum(bhi - alo, ahi - blo)
+    return float(np.linalg.norm(gap)), float(np.linalg.norm(span))
