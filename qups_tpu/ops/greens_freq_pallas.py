@@ -279,6 +279,7 @@ def simus_spectrum_pallas(ps, amp, pn, nn_az, pv, nv_az, widths, *,
     Np = -(-q1.shape[0] // 8) * 8
     Mp = -(-q2.shape[1] // 128) * 128
     FB = int(max(1, min(16, (2 * 2**20) // (2 * Np * Mp * 4))))
+    FB = int(os.environ.get("QUPS_GF_FB", FB))  # perf-sweep knob
     FB = max(1, min(FB, F))  # narrow bands: don't compute padded bins
     G = _gf_call(q1, w1, q2, w2, s1, s2, F=F, FB=FB, SC=SC, k0=k0,
                  bf16=(precision == "bf16"), interpret=interpret)
