@@ -1120,7 +1120,14 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     if im_shape is None:
         im_shape = (I, 1, 1)
     I1, I2, I3 = im_shape
-    assert I3 == 1, "das_tiled supports planar scans (I3 == 1)"
+    if I3 != 1:
+        # volumetric scan: flatten the trailing axes C-order — with an
+        # iso-depth-major order (cartesian 'ZXY', polar 'RAY') every
+        # 128-lane row stays iso-depth, so the tile window planning is
+        # unchanged (boxes are computed from the true 3-D pixel coords;
+        # the kernel's planar=False geometry handles y)
+        I2, I3 = I2 * I3, 1
+        im_shape = (I1, I2, I3)
     I1p = -(-I1 // 8) * 8
     I2p = -(-I2 // 128) * 128
     grid2 = pi.reshape(I1, I2, 3)

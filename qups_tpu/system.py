@@ -427,7 +427,8 @@ class UltrasoundSystem:
             pallas = kernel == "pallas" or (
                 kernel == "auto" and fused_ok and not (keep_rx and keep_tx)
                 and cinv.ndim == 0 and chd.data.ndim in (3, 4)
-                and self.scan.shape[2] == 1 and method == "linear" and on_tpu)
+                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
+                and method == "linear" and on_tpu)
             if not pallas:
                 # the XLA path consumes dense broadcastable apodizations:
                 # materialize Fused at full M once, slice per block below
@@ -469,7 +470,9 @@ class UltrasoundSystem:
         eligible = (
             fused_ok and not (keep_rx and keep_tx)
             and cinv.ndim == 0 and chd.data.ndim in (3, 4)
-            and self.scan.shape[2] == 1
+            # iso-depth-major flatten (volumetric scans flatten the
+            # trailing axes into the kernel's 128-lane rows)
+            and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
             and method == "linear"
             and on_tpu
         )

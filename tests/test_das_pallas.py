@@ -271,3 +271,33 @@ def test_noallfast_ablation_parity():
     finally:
         dp._ABLATE = old
         jax.clear_caches()
+
+
+def test_volumetric_3d_scan():
+    """Volumetric (I3 > 1) image with a matrix probe: the wrapper flattens
+    the trailing axes into iso-depth 128-lane rows and the kernel's 3-D
+    (planar=False) geometry handles the y extent."""
+    T, N, M = 256, 16, 2
+    x = RNG.standard_normal((T, N, M)).astype(np.float32)
+    I1, I2, I3 = 8, 16, 8  # Z x X x Y volume
+    zs = np.linspace(5e-3, 30e-3, I1)
+    xs = np.linspace(-6e-3, 6e-3, I2)
+    ys = np.linspace(-6e-3, 6e-3, I3)
+    Z, X, Y = np.meshgrid(zs, xs, ys, indexing="ij")  # C-order 'ZXY'
+    pi = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+    # 4x4 matrix probe
+    ex, ey = np.meshgrid(np.linspace(-3e-3, 3e-3, 4),
+                         np.linspace(-3e-3, 3e-3, 4), indexing="ij")
+    pr = np.stack([ex.ravel(), ey.ravel(), np.zeros(N)],
+                  -1).astype(np.float32)
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.tile(np.float32([0, 0, 1]), (M, 1))
+    t0 = np.zeros(M, np.float32)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear")).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(I1, I2, I3),
+                               interpret=True)).squeeze()
+    scale = np.abs(ref).max()
+    assert scale > 0
+    assert np.abs(got - ref).max() / scale < 1e-4
