@@ -994,7 +994,8 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
     t0 = np.broadcast_to(np.asarray(t0, np.float32).reshape(-1), (M,)).copy()
     cinv = float(np.asarray(cinv).reshape(()))
     I1, I2, I3 = im_shape
-    assert I3 == 1
+    if I3 != 1:  # volumetric: iso-depth-major C-order flatten (das_tiled)
+        I2, I3 = I2 * I3, 1
     I1p = -(-I1 // 8) * 8
     I2p = -(-I2 // 128) * 128
     grid2 = pi.reshape(I1, I2, 3)
