@@ -158,7 +158,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             MC: int, NC: int, F: int, keep_rx: bool, keep_tx: bool,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool,
             pair: bool = False, allfast: bool = False,
-            interp_mode: bool = False):
+            interp_mode: bool = False, lut: bool = False):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -170,16 +170,33 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
     the scalar core from these boxes (conservative interval arithmetic,
     exact pixel boxes): replacing the in-kernel vector min/max reductions
     removed the vector->scalar round-trip that serialized the inner loop
-    (measured -37% kernel time at the full trace size)."""
+    (measured -37% kernel time at the full trace size).
+
+    ``lut`` mode (bring-your-own-delays: bfDAS/bfDASLUT/bfEikonal): the
+    per-pixel delays come from LUT TILES instead of geometry —
+    refs order: taur (VMEM (NC, 8, 128) seconds), taut (VMEM
+    (MC, 8, 128)), tv (SMEM (1, Mpad) per-tx t0), x/accin/out as above;
+    ``boxes_ref`` holds per-(row-stripe, rx-group) LUT bounds
+    (RB, G, 2 = [lo, hi] seconds) and ``gbox_ref`` per-(stripe, tx-chunk)
+    union bounds (RB, MTc, 2) — host-reduced from the actual tables, so
+    the scalar window chain is two adds per (g, c). Apodization and fmod
+    remodulation are geometry-free and unsupported here (callers
+    validate)."""
     k = 0
-    pz_ref = refs[k]; k += 1
-    px_ref = refs[k]; k += 1
-    py_ref = refs[k]; k += 1
-    lat_ref = None
-    if has_lat:
-        lat_ref = refs[k]; k += 1
-    pr_ref = refs[k]; k += 1
-    pv_ref = refs[k]; k += 1
+    if lut:
+        taur_ref = refs[k]; k += 1
+        taut_ref = refs[k]; k += 1
+        tv_ref = refs[k]; k += 1
+        pz_ref = px_ref = py_ref = lat_ref = pr_ref = pv_ref = None
+    else:
+        pz_ref = refs[k]; k += 1
+        px_ref = refs[k]; k += 1
+        py_ref = refs[k]; k += 1
+        lat_ref = None
+        if has_lat:
+            lat_ref = refs[k]; k += 1
+        pr_ref = refs[k]; k += 1
+        pv_ref = refs[k]; k += 1
     nch = 2 if iq else 1
     x_refs = refs[k:k + nch]; k += nch
     acc_refs = refs[k:k + nch]; k += nch
@@ -190,12 +207,13 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
     mtc = pl.program_id(goff + 1)
     rb = pl.program_id(goff + 2)
     cb = pl.program_id(goff + 3)
-    zlo = boxes_ref[rb, cb, 0]
-    zhi = boxes_ref[rb, cb, 1]
-    xbl = boxes_ref[rb, cb, 2]
-    xbh = boxes_ref[rb, cb, 3]
-    ybl = boxes_ref[rb, cb, 4]
-    ybh = boxes_ref[rb, cb, 5]
+    if not lut:
+        zlo = boxes_ref[rb, cb, 0]
+        zhi = boxes_ref[rb, cb, 1]
+        xbl = boxes_ref[rb, cb, 2]
+        xbh = boxes_ref[rb, cb, 3]
+        ybl = boxes_ref[rb, cb, 4]
+        ybh = boxes_ref[rb, cb, 5]
 
     def igap(alo, ahi, blo, bhi):
         """Scalar distance between intervals [alo,ahi], [blo,bhi] (0 if
@@ -206,9 +224,9 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         """Scalar max |a - b| over the two intervals."""
         return jnp.maximum(ahi - blo, bhi - alo)
 
-    pz = pz_ref[:]
-    px = px_ref[:]
-    py = py_ref[:]
+    pz = pz_ref[:] if not lut else None
+    px = px_ref[:] if not lut else None
+    py = py_ref[:] if not lut else None
     lat = lat_ref[:] if has_lat else None
 
     def tx_geom(m):
@@ -244,7 +262,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
     # per-chunk transmit geometry, hoisted out of the rx-group loop (dv is
     # rx-independent; MC is small and static, so the stack lives in vregs —
     # selected by a where-chain since Mosaic lacks value dynamic_slice)
-    geoms = [tx_geom(mtc * MC + c) for c in range(MC)]
+    geoms = [tx_geom(mtc * MC + c) for c in range(MC)] if not lut else None
 
     def tx_bounds(c):
         """Scalar-core transmit-path window bounds for (tile, transmit c):
@@ -311,7 +329,17 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         # pre-shift by t0 and scale to samples (± the f32-skew margin)
         return ((dvlo - t0m) * fs - 2.0, (dvhi - t0m) * fs + 2.0)
 
-    txb = [tx_bounds(c) for c in range(MC)]
+    if lut:
+        # per-(stripe, tx-chunk) union bounds, host-reduced from the LUT
+        # (lo/hi interleaved on the 2nd axis: a trailing size-2 axis gets
+        # lane-padded to 128 in SMEM — 512 KB per prefetch array!)
+        t0c = gbox_ref[rb, 2 * mtc]
+        t1c = gbox_ref[rb, 2 * mtc + 1]
+        txb = [((t0c - tv_ref[0, mtc * MC + c]) * fs - 2.0,
+                (t1c - tv_ref[0, mtc * MC + c]) * fs + 2.0)
+               for c in range(MC)]
+    else:
+        txb = [tx_bounds(c) for c in range(MC)]
 
     def select_c(c, items):
         if isinstance(c, int):  # static transmit lane (keep_tx path)
@@ -332,58 +360,73 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         ``take_along_axis`` each — 8x fewer gather nodes keeps both
         Mosaic's compile and the inner loop fast."""
         n8 = ncc * NC + g * 8  # global rx index of the group start
-        drs = []
-        wrs = []
-        for r in range(8):
-            n = n8 + r
-            ex = pr_ref[0, n]
-            ez = pr_ref[2, n]
-            dx_ = px - ex
-            dz_ = pz - ez
-            if planar:
-                dy_ = None
-                dr = jnp.sqrt(dx_ * dx_ + dz_ * dz_)
-            else:
-                dy_ = py - pr_ref[1, n]
-                dr = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
-            drs.append(dr)
-            wr = None
-            for kind, prm in rx_apods:
-                w = _rx_apod_weight(kind, dict(prm), px, pz, py,
-                                    dx_, dy_, dz_, dr, pr_ref, n, planar)
-                wr = w if wr is None else wr * w
-            wrs.append(wr)
-        # pre-scale by the sample rate once per GROUP (amortized over the
-        # MC transmits of the chunk): TI = DRF + dvF is then 2 vector ops
-        DRF = jnp.concatenate(drs, axis=0) * fs  # (64, 128) rx path, in samples
-        WR = jnp.concatenate(wrs, axis=0) if rx_apods else None
-
-        # scalar-core receive-distance bounds for this (tile, group):
-        # box-to-box interval arithmetic, amortized over the MC transmits
-        gg = ncc * (NC // 8) + g
-        exlo = gbox_ref[gg, 0]
-        exhi = gbox_ref[gg, 1]
-        ezlo = gbox_ref[gg, 4]
-        ezhi = gbox_ref[gg, 5]
-        gx = igap(xbl, xbh, exlo, exhi)
-        sx = ispan(xbl, xbh, exlo, exhi)
-        gz = igap(zlo, zhi, ezlo, ezhi)
-        sz = ispan(zlo, zhi, ezlo, ezhi)
-        if planar:
-            drlo = jnp.sqrt(gx * gx + gz * gz) * fs
-            drhi = jnp.sqrt(sx * sx + sz * sz) * fs
+        if lut:
+            # per-pixel receive delays come straight from the LUT tile
+            DRF = jnp.concatenate(
+                [taur_ref[g * 8 + r] for r in range(8)], axis=0) * fs
+            WR = None
+            gg = ncc * (NC // 8) + g
+            drlo = boxes_ref[rb, 2 * gg] * fs
+            drhi = boxes_ref[rb, 2 * gg + 1] * fs
         else:
-            eylo = gbox_ref[gg, 2]
-            eyhi = gbox_ref[gg, 3]
-            gy = igap(ybl, ybh, eylo, eyhi)
-            sy = ispan(ybl, ybh, eylo, eyhi)
-            drlo = jnp.sqrt(gx * gx + gy * gy + gz * gz) * fs
-            drhi = jnp.sqrt(sx * sx + sy * sy + sz * sz) * fs
+            drs = []
+            wrs = []
+            for r in range(8):
+                n = n8 + r
+                ex = pr_ref[0, n]
+                ez = pr_ref[2, n]
+                dx_ = px - ex
+                dz_ = pz - ez
+                if planar:
+                    dy_ = None
+                    dr = jnp.sqrt(dx_ * dx_ + dz_ * dz_)
+                else:
+                    dy_ = py - pr_ref[1, n]
+                    dr = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+                drs.append(dr)
+                wr = None
+                for kind, prm in rx_apods:
+                    w = _rx_apod_weight(kind, dict(prm), px, pz, py,
+                                        dx_, dy_, dz_, dr, pr_ref, n, planar)
+                    wr = w if wr is None else wr * w
+                wrs.append(wr)
+            # pre-scale by the sample rate once per GROUP (amortized over
+            # the MC transmits): TI = DRF + dvF is then 2 vector ops
+            DRF = jnp.concatenate(drs, axis=0) * fs  # (64, 128) in samples
+            WR = jnp.concatenate(wrs, axis=0) if rx_apods else None
+
+            # scalar-core receive-distance bounds for this (tile, group):
+            # box-to-box interval arithmetic, amortized over the MC
+            # transmits of the chunk
+            gg = ncc * (NC // 8) + g
+            exlo = gbox_ref[gg, 0]
+            exhi = gbox_ref[gg, 1]
+            ezlo = gbox_ref[gg, 4]
+            ezhi = gbox_ref[gg, 5]
+            gx = igap(xbl, xbh, exlo, exhi)
+            sx = ispan(xbl, xbh, exlo, exhi)
+            gz = igap(zlo, zhi, ezlo, ezhi)
+            sz = ispan(zlo, zhi, ezlo, ezhi)
+            if planar:
+                drlo = jnp.sqrt(gx * gx + gz * gz) * fs
+                drhi = jnp.sqrt(sx * sx + sz * sz) * fs
+            else:
+                eylo = gbox_ref[gg, 2]
+                eyhi = gbox_ref[gg, 3]
+                gy = igap(ybl, ybh, eylo, eyhi)
+                sy = ispan(ybl, ybh, eylo, eyhi)
+                drlo = jnp.sqrt(gx * gx + gy * gy + gz * gz) * fs
+                drhi = jnp.sqrt(sx * sx + sy * sy + sz * sz) * fs
 
         def cbody(c, accs64):
-            dv = select_c(c, [d for d, _, _ in geoms])
-            t0m = pv_ref[6, mtc * MC + c]  # scalar, cheaper than a chain
-            dvF = (dv - t0m) * fs  # (8, 128): 1/8-cost per-transmit part
+            if lut:
+                assert isinstance(c, int), "lut mode requires MC <= 8"
+                t0m = tv_ref[0, mtc * MC + c]
+                dvF = (taut_ref[c] - t0m) * fs  # (8, 128) per-tx LUT tile
+            else:
+                dv = select_c(c, [d for d, _, _ in geoms])
+                t0m = pv_ref[6, mtc * MC + c]  # scalar, cheap
+                dvF = (dv - t0m) * fs  # (8, 128): 1/8-cost per-tx part
             dvF64 = jnp.broadcast_to(dvF[None], (8, 8, 128)).reshape(64, 128)
             TI = dvF64 + DRF
             I0F = jnp.floor(TI)
@@ -945,6 +988,215 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     )(boxes, gbox, pz, px, py, *((lat,) if has_lat else ()), pr, pv,
       *xs, *accs)
     return out if nch > 1 else (out,)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fs", "fmod", "keep_rx", "keep_tx", "MC", "NC", "interpret", "pair",
+    "allfast"))
+def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
+                  keep_rx=False, keep_tx=False, MC, NC, interpret=False,
+                  pair=False, allfast=False):
+    """LUT-mode pallas_call: delay tables streamed as per-tile blocks.
+
+    rxb (RB, G, 2) / txb (RB, MTc, 2): per-row-stripe LUT bounds (scalar
+    prefetch); taur (N, I1p, I2p) / taut (M, I1p, I2p): per-pixel delay
+    tables [s]; tv (1, Mpad): per-transmit t0 [s] (SMEM)."""
+    RB = taur.shape[1] // 8
+    CB = taur.shape[2] // 128
+    nch = len(xs)
+    iq = nch == 2
+    M, N, T = xs[0].shape[-3], xs[0].shape[-2], xs[0].shape[-1]
+    NCc = N // NC
+    MTc = M // MC
+
+    kern = functools.partial(
+        _kernel, N=N, T=T, W=128, fs=fs, tx_model="lut", planar=True,
+        iq=iq, fmod=fmod, MC=MC, NC=NC, F=1, keep_rx=keep_rx,
+        keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
+        pair=pair, allfast=allfast, interp_mode=interpret, lut=True)
+
+    grid = (NCc, MTc, RB, CB)
+    tile = pl.BlockSpec((8, 128), lambda ncc, mtc, rb, cb, *_: (rb, cb),
+                        memory_space=pltpu.VMEM)
+    taur_spec = pl.BlockSpec((NC, 8, 128),
+                             lambda ncc, mtc, rb, cb, *_: (ncc, rb, cb),
+                             memory_space=pltpu.VMEM)
+    taut_spec = pl.BlockSpec((MC, 8, 128),
+                             lambda ncc, mtc, rb, cb, *_: (mtc, rb, cb),
+                             memory_space=pltpu.VMEM)
+    trace = pl.BlockSpec((MC, NC, T),
+                         lambda ncc, mtc, rb, cb, *_: (mtc, ncc, 0),
+                         memory_space=pltpu.VMEM)
+    I1p, I2p = taur.shape[1], taur.shape[2]
+    if keep_rx:
+        ospec = pl.BlockSpec((NC, 8, 128),
+                             lambda ncc, mtc, rb, cb, *_: (ncc, rb, cb),
+                             memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((N, I1p, I2p), jnp.float32)
+    elif keep_tx:
+        ospec = pl.BlockSpec((MC, 8, 128),
+                             lambda ncc, mtc, rb, cb, *_: (mtc, rb, cb),
+                             memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((M, I1p, I2p), jnp.float32)
+    else:
+        ospec = tile
+        oshape = jax.ShapeDtypeStruct((I1p, I2p), jnp.float32)
+
+    in_specs = [taur_spec, taut_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM)]  # tv (1, Mpad)
+    in_specs += [trace] * nch
+    in_specs += [ospec] * nch  # aliased accumulator inputs
+    n_lead = 2 + len(in_specs) - nch
+    aliases = {n_lead + ch: ch for ch in range(nch)}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=tuple([oshape] * nch) if nch > 1 else oshape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(rxb, txb, taur, taut, tv, *xs, *accs)
+    return out if nch > 1 else (out,)
+
+
+def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
+                  im_shape: Optional[Tuple[int, ...]] = None,
+                  out: str = "complex", keep_rx: bool = False,
+                  keep_tx: bool = False, fmod: float = 0.0,
+                  interpret: bool = False, precision: str = "f32"):
+    """Fast Pallas LUT delay-and-sum — bring-your-own-delays
+    (``bfDASLUT`` / ``bfDAS`` / ``bfEikonal``: ``kern/das_spec.m`` with
+    explicit tables; same contract as :func:`qups_tpu.ops.das.das_lut`
+    for the linear-interp, no-apod path).
+
+    ``x (T, N, M)`` real or complex; ``tau_rx (I, N)`` / ``tau_tx (I, M)``
+    delay tables [s]; ``t0`` scalar or (M,) per-transmit start times. The
+    trace windows are planned from host-reduced per-row-stripe bounds of
+    the actual tables, so arbitrary (e.g. eikonal, heterogeneous-medium)
+    delays work — wide per-stripe delay spreads fall back to the
+    multi-window loop arm automatically.
+    """
+    if keep_rx and keep_tx:
+        raise ValueError("das_lut_tiled keeps at most one of rx/tx")
+    if precision not in ("f32", "bf16pair"):
+        raise ValueError(f"unknown precision {precision!r}")
+    x_in = x
+    cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype",
+                                                          np.float32))))
+    T, N, M = x.shape[:3]
+    if np.ndim(x) > 3:
+        raise ValueError("das_lut_tiled: frame dims not supported; loop "
+                         "frames or use qups_tpu.ops.das.das_lut")
+    tau_rx = np.asarray(tau_rx, np.float32)
+    tau_tx = np.asarray(tau_tx, np.float32)
+    t0 = np.broadcast_to(np.asarray(t0, np.float32).reshape(-1), (M,)).copy()
+    I = tau_rx.shape[0]
+    if im_shape is None:
+        im_shape = (I, 1, 1)
+    I1, I2, I3 = im_shape
+    if I3 != 1:  # volumetric: iso-depth-major C-order flatten
+        I2, I3 = I2 * I3, 1
+    I1p = -(-I1 // 8) * 8
+    I2p = -(-I2 // 128) * 128
+    Np8 = -(-N // 8) * 8
+    Tp = -(-T // 128) * 128
+
+    def table(tab, E):  # (I, E) -> (E, I1p, I2p) edge-padded
+        th = tab.T.reshape(tab.shape[1], I1, I2)
+        th = np.pad(th, ((0, 0), (0, I1p - I1), (0, I2p - I2)), mode="edge")
+        if E > tab.shape[1]:  # padded channels: edge values (traces are 0)
+            th = np.concatenate(
+                [th, np.repeat(th[-1:], E - tab.shape[1], 0)], 0)
+        return np.ascontiguousarray(th, np.float32)
+
+    taur = table(tau_rx, Np8)
+    taut = table(tau_tx, M)
+    RB = I1p // 8
+    G = Np8 // 8
+    # per-row-stripe LUT bounds (host): rx per 8-group, tx per chunk union
+    MC, NC = _choose_chunks(M, Np8, Tp, 2 if (cplx or fmod != 0.0) else 1)
+    if MC > 8:
+        MC = 8  # lut mode unrolls the transmit chunk (static indexing)
+    MTc = M // MC
+    # lo/hi INTERLEAVED on the 2nd axis — (RB, 2*G); a trailing size-2
+    # axis would be lane-padded to 128 in SMEM (512 KB per prefetch array
+    # -> smem OOM at medium size)
+    r4 = taur.reshape(G, 8, RB, 8, I2p)
+    rlo, rhi = r4.min(axis=(1, 3, 4)).T, r4.max(axis=(1, 3, 4)).T  # (RB, G)
+    rxb = np.stack([rlo, rhi], axis=-1).reshape(RB, 2 * G).astype(np.float32)
+    t4 = taut.reshape(MTc, MC, RB, 8, I2p)
+    tlo, thi = t4.min(axis=(1, 3, 4)).T, t4.max(axis=(1, 3, 4)).T  # (RB, MTc)
+    txb = np.stack([tlo, thi], axis=-1).reshape(RB, 2 * MTc).astype(np.float32)
+    Mpad = -(-M // 128) * 128
+    tv = np.zeros((1, Mpad), np.float32)
+    tv[0, :M] = t0
+
+    pair = precision == "bf16pair"
+    # allfast proof: t0 cancels between lo and hi, so the span is just
+    # (rx span + tx-chunk span) * fs + the +-2 margins (+1 pair tap)
+    span = ((rhi - rlo)[:, :, None]
+            + (thi - tlo)[:, None, :]) * np.float32(fs)
+    tapext = 4 + 2 + (0 if pair else 1)
+    allfast = bool(span.max() + tapext < 128 - 2)
+
+    def prep_real(xr):
+        if Tp != T or Np8 != N:
+            xr = jnp.pad(xr, [(0, Tp - T), (0, Np8 - N), (0, 0)])
+        xr = jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
+        if pair:
+            xr = _pack_pairs(xr)
+        return xr
+
+    def run(xr, xi=None):
+        xs = (xr,) if xi is None else (xr, xi)
+        keep_n = (Np8,) if keep_rx else ((M,) if keep_tx else ())
+        oshape = keep_n + (I1p, I2p)
+        accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
+        outs = _das_lut_call(
+            jnp.asarray(rxb), jnp.asarray(txb), jnp.asarray(taur),
+            jnp.asarray(taut), jnp.asarray(tv), xs, accs, fs=float(fs),
+            fmod=float(fmod), keep_rx=keep_rx, keep_tx=keep_tx, MC=MC,
+            NC=NC, interpret=interpret, pair=pair, allfast=allfast)
+        res = []
+        for o in outs:
+            if keep_rx:
+                o = jnp.moveaxis(o[:N, :I1, :I2], 0, 2)
+                o = o.reshape((I, N, 1))
+            elif keep_tx:
+                o = jnp.moveaxis(o[:M, :I1, :I2], 0, 2)
+                o = o.reshape((I, 1, M))
+            else:
+                o = o[:I1, :I2].reshape((I, 1, 1))
+            res.append(o)
+        return res
+
+    def pack_out(res):
+        if len(res) == 2:
+            if out == "ri":
+                return jnp.stack(res, axis=-1)
+            return (res[0] + 1j * res[1]).astype(jnp.complex64)
+        if out == "ri":
+            return jnp.stack([res[0], jnp.zeros_like(res[0])], axis=-1)
+        return res[0]
+
+    if cplx:
+        if isinstance(x_in, np.ndarray) or not isinstance(x_in, jnp.ndarray):
+            xh = np.asarray(x_in)
+            return pack_out(run(prep_real(jnp.asarray(xh.real, jnp.float32)),
+                                prep_real(jnp.asarray(xh.imag, jnp.float32))))
+        xre, xim = jax.jit(lambda v: (jnp.real(v).astype(jnp.float32),
+                                      jnp.imag(v).astype(jnp.float32)))(x_in)
+        return pack_out(run(prep_real(xre), prep_real(xim)))
+    xr = prep_real(jnp.asarray(x, jnp.float32))
+    if fmod != 0.0:
+        return pack_out(run(xr, jnp.zeros_like(xr)))
+    return pack_out(run(xr))
 
 
 def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):

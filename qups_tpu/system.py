@@ -538,15 +538,38 @@ class UltrasoundSystem:
 
     def bfDASLUT(self, chd: ChannelData, tau_rx, tau_tx, apod=(),
                  fmod: float = 0.0, keep_tx: bool = False,
-                 keep_rx: bool = False, method: str = "cubic"):
+                 keep_rx: bool = False, method: str = "cubic",
+                 kernel: str = "auto", out: str = "auto"):
         """Beamform from arbitrary rx/tx delay tables — the "bring your own
         delays" API (``UltrasoundSystem.bfDASLUT``,
-        ``UltrasoundSystem.m:4476-4673``)."""
+        ``UltrasoundSystem.m:4476-4673``).
+
+        On TPU the linear-interp / no-apod / single-frame path rides the
+        Pallas LUT kernel (``das_lut_tiled``: delay tables streamed as
+        per-tile blocks, trace windows planned from host-reduced stripe
+        bounds of the actual tables); everything else uses the XLA
+        ``das_lut`` path. ``kernel``: 'auto' | 'pallas' | 'xla'."""
         t0 = chd.t0_host
-        img = das_lut(chd.data, tau_rx, tau_tx, t0, fs=float(chd.fs),
-                      apod=apod, fmod=float(fmod), keep_rx=keep_rx,
-                      keep_tx=keep_tx, method=method,
-                      im_shape=tuple(self.scan.shape))
+        apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        eligible = (not apod_t and not (keep_rx and keep_tx)
+                    and chd.data.ndim == 3 and method == "linear"
+                    and np.ndim(t0) <= 1
+                    and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
+                    and on_tpu)
+        if kernel == "pallas" or (kernel == "auto" and eligible):
+            from .ops.das_pallas import das_lut_tiled
+            if out == "auto":
+                out = "ri" if on_tpu else "complex"
+            img = das_lut_tiled(chd.data, tau_rx, tau_tx, t0,
+                                fs=float(chd.fs), fmod=float(fmod),
+                                keep_rx=keep_rx, keep_tx=keep_tx,
+                                im_shape=tuple(self.scan.shape), out=out)
+        else:
+            img = das_lut(chd.data, tau_rx, tau_tx, t0, fs=float(chd.fs),
+                          apod=apod_t, fmod=float(fmod), keep_rx=keep_rx,
+                          keep_tx=keep_tx, method=method,
+                          im_shape=tuple(self.scan.shape))
         return img.reshape(self.scan.shape + img.shape[1:])
 
 

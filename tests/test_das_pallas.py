@@ -301,3 +301,53 @@ def test_volumetric_3d_scan():
     scale = np.abs(ref).max()
     assert scale > 0
     assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_lut_matches_das_lut():
+    """LUT-mode Pallas kernel vs the XLA das_lut oracle: geometric and
+    perturbed (eikonal-like) delay tables, summed / keep_rx / keep_tx."""
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    T, N, M, I1, I2 = 256, 16, 4, 16, 128
+    x, pi, pr, pv, nv, t0 = problem(T=T, N=N, M=M, I1=I1, I2=I2)
+    c0 = 1540.0
+    tau_rx = np.linalg.norm(pi[:, None, :] - pr[None], axis=-1) / c0
+    tau_tx = np.einsum("ik,mk->im", pi, nv) / c0
+    # smooth per-pixel perturbation (a heterogeneous-medium analog)
+    tau_rx = tau_rx * (1.0 + 0.02 * np.sin(pi[:, :1] * 300.0))
+    kw = dict(fs=4e6)
+    for keep in ("sum", "rx", "tx"):
+        ref = np.asarray(das_lut(x, tau_rx, tau_tx, t0, method="linear",
+                                 keep_rx=keep == "rx", keep_tx=keep == "tx",
+                                 **kw))
+        got = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0,
+                                       im_shape=(I1, I2, 1),
+                                       keep_rx=keep == "rx",
+                                       keep_tx=keep == "tx",
+                                       interpret=True, **kw))
+        scale = np.abs(ref).max()
+        assert scale > 0
+        assert np.abs(got - ref).max() / scale < 1e-4, keep
+
+
+def test_lut_wide_spread_falls_to_window_loop():
+    """Delay tables whose per-stripe spread exceeds one window must still
+    be exact (the multi-window loop arm)."""
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    T, N, M, I1, I2 = 512, 8, 2, 8, 128
+    x, pi, pr, pv, nv, t0 = problem(T=T, N=N, M=M, I1=I1, I2=I2)
+    c0 = 1540.0
+    tau_rx = np.linalg.norm(pi[:, None, :] - pr[None], axis=-1) / c0
+    tau_tx = np.einsum("ik,mk->im", pi, nv) / c0
+    # a sawtooth across the lateral axis spreads each stripe > 128 samples
+    saw = ((np.arange(I1 * I2) % I2) / I2 * 280.0 / 4e6).astype(np.float32)
+    tau_rx = tau_rx + saw[:, None]
+    ref = np.asarray(das_lut(x, tau_rx, tau_tx, t0, method="linear",
+                             fs=4e6))
+    got = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0,
+                                   im_shape=(I1, I2, 1), interpret=True,
+                                   fs=4e6))
+    scale = np.abs(ref).max()
+    assert scale > 0
+    assert np.abs(got - ref).max() / scale < 1e-4
