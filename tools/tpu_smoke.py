@@ -42,7 +42,20 @@ def main():
 
     def daslut():
         tau_rx, tau_tx = us.das_delay_tables()
-        dl(us.bfDASLUT(state["chd"], tau_rx, tau_tx))
+        dl(us.bfDASLUT(state["chd"], tau_rx, tau_tx, method="linear"))
+
+    def das_vol():
+        # matrix probe + 3-D scan through the Pallas fast path
+        mat = q.TransducerMatrix(numd=(4, 4), pitch2=(0.4e-3, 0.4e-3),
+                                 fc=3e6)
+        seq3 = q.Sequence(type="FSA", numpulse=16, c0=1540.0)
+        scan3 = q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                y=np.linspace(-2e-3, 2e-3, 8),
+                                z=np.linspace(18e-3, 24e-3, 8))
+        us3 = q.UltrasoundSystem(tx=mat, rx=mat, seq=seq3, scan=scan3,
+                                 fs=12e6)
+        chd3 = us3.greens(scat)
+        dl(us3.DAS(chd3, method="linear"))
 
     def migration():
         seq_pw = q.SequenceRadial(type="PW", angles=[0.0], c0=1540.0)
@@ -95,6 +108,7 @@ def main():
         ("DAS(bsize)",
          lambda: dl(us.DAS(state["chd"], method="linear", bsize=4))),
         ("DAS(cubic/xla)", lambda: dl(us.DAS(state["chd"], kernel="xla"))),
+        ("DAS(volumetric)", das_vol),
         ("bfDAS", lambda: dl(us.bfDAS(state["chd"]))),
         ("bfDASLUT", daslut),
         ("bfAdjoint", lambda: dl(us.bfAdjoint(state["chd"]))),
