@@ -690,11 +690,13 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         for g in range(G):
             accs64 = rx_group(g, tuple(z64 for _ in range(nch)))
             for ch in range(nch):
+                # one (8, 8, 128) slice write per group, not 8 row writes
                 band = accs64[ch].reshape(8, 8, 128)
-                for r in range(8):
-                    row = g * 8 + r
-                    oset(out_refs[ch], oref(acc_refs[ch], row) + band[r],
-                         row)
+                sl = slice(g * 8, g * 8 + 8)
+                if F > 1:
+                    out_refs[ch][0, sl] = acc_refs[ch][0, sl] + band
+                else:
+                    out_refs[ch][sl] = acc_refs[ch][sl] + band
     elif keep_tx:
         for c in range(MC):
             def gbody(g, accs64, c=c):
