@@ -149,7 +149,7 @@ def _splat_tiled(lo, nc, scat, pn, ofs, pv, *, Gtime: int, CS: int,
             # scat stays HBM-resident: the kernel streams chunk windows
             # itself with double-buffered DMA (dynamic per-(m,t) trip
             # count — no padded CHUNKS grid dim, no pl.when-skipped steps)
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, 128), lambda nb, m, t, *_: (0, nb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda nb, m, t, *_: (0, nb),

@@ -325,6 +325,58 @@ class UltrasoundSystem:
         chd = ChannelData(data=x, fs=fs, t0=s0)
         return self.focusTx(chd, self.seq)
 
+    def calc_scat_all(self, scat: Scatterers,
+                      element_subdivisions: Tuple[int, int] = (1, 1),
+                      **kw) -> ChannelData:
+        """FieldII ``calc_scat_all``-equivalent: one linear-scattering
+        simulation of ALL tx-element x rx-element pairs (FSA), then
+        :meth:`focusTx` applies the Sequence
+        (``UltrasoundSystem.calc_scat_all``,
+        ``UltrasoundSystem.m:1668-1804``). By linear superposition this is
+        exactly :meth:`greens`; the method exists so the FieldII interop
+        API surface carries over verbatim. Extra kwargs pass to
+        :meth:`greens` (``impl``, ``method``, ``precision``, ...)."""
+        return self.greens(scat, element_subdivisions, **kw)
+
+    def calc_scat_multi(self, scat: Scatterers,
+                        element_subdivisions: Tuple[int, int] = (1, 1),
+                        bsize: Optional[int] = None, method: str = "cubic",
+                        **kw) -> ChannelData:
+        """FieldII ``calc_scat_multi``-equivalent: the per-transmit
+        simulation with the Sequence's physical delays/apodization at the
+        transmit aperture (``UltrasoundSystem.calc_scat_multi``,
+        ``UltrasoundSystem.m:1805-2082``). In a linear medium the
+        per-transmit response equals the FSA response synthesized per
+        transmit, so the native path runs ONE FSA sim and folds the
+        Sequence per transmit block: ``bsize`` transmits at a time — the
+        memory knob matching the reference's parfor/job-over-transmits —
+        or all at once in a single fused jit when ``None``.
+
+        All blocks share one focus plan (common t0 shift and zero-pad), so
+        blocked and unblocked results are identical."""
+        kw["method"] = method
+        if self.seq.type == "FSA":
+            return self.greens(scat, element_subdivisions, **kw)
+        fsa = Sequence(type="FSA", c0=self.seq.c0, pulse=self.seq.pulse,
+                       numpulse=self.tx.numel)
+        chd = self.replace(seq=fsa).greens(scat, element_subdivisions, **kw)
+        plan = self._focus_plan(chd.fs, chd.data.ndim, self.seq)
+        if plan is None:  # identity sequence
+            return chd
+        t2, w, dt0, pad = plan
+        Mp = t2.shape[-1]
+        b = int(bsize) if bsize else Mp
+        if b >= Mp:
+            return self.focusTx(chd, self.seq, method=method)
+        chd = chd.replace(t0=jnp.asarray(chd.t0) + dt0)
+        chd = chd.zeropad(0, pad)
+        outs = []
+        for i in range(0, Mp, b):
+            z = chd.sample2sep(chd.time, t2[..., i:i + b], method=method,
+                               w=w[..., i:i + b], sdim=2)
+            outs.append(jnp.moveaxis(z[:, :, 0], -1, 2))
+        return chd.replace(data=jnp.concatenate(outs, axis=2))
+
     # ---------------------------------------------------- transmit synthesis
     def _focus_plan(self, fs: float, ndim: int, seq: Sequence,
                     buffer: int = 0):

@@ -417,8 +417,8 @@ def test_medium_sampled_offgrid():
     # off-grid query points (between samples) — nearest-neighbor lookup
     q1 = q.ScanCartesian(x=[0.4e-3], y=[0.0], z=[0.4e-3])   # near z=0.5mm row? -> 1500 region
     q2 = q.ScanCartesian(x=[0.0], y=[0.0], z=[3.4e-3])      # deep -> 1600
-    assert np.isclose(float(med.props(q1, "c")), 1500.0)
-    assert np.isclose(float(med.props(q2, "c")), 1600.0)
+    assert np.isclose(np.asarray(med.props(q1, "c")).item(), 1500.0)
+    assert np.isclose(np.asarray(med.props(q2, "c")).item(), 1600.0)
 
 
 def test_dict2obj_nested_scan_roundtrip():

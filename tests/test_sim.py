@@ -296,3 +296,34 @@ def test_simus_pallas_engine_matches_xla():
                                 bins, engine="pallas", baffle="hard", **kw))
     relh = np.linalg.norm(goth - wanth) / np.linalg.norm(wanth)
     assert relh < 2e-4, relh
+
+
+def test_calc_scat_all_is_greens():
+    """calc_scat_all (FieldII API parity) == greens: one FSA sim then
+    focusTx (``UltrasoundSystem.m:1668-1804``)."""
+    us = make_us(numel=8)
+    scat = q.Scatterers(pos=[[1e-3], [0.0], [28e-3]], c0=1540.0)
+    a = np.asarray(us.calc_scat_all(scat, impl="splat").data)
+    b = np.asarray(us.greens(scat, impl="splat").data)
+    np.testing.assert_allclose(a, b)
+
+
+def test_calc_scat_multi_blocked_matches_unblocked():
+    """calc_scat_multi per-transmit blocks (bsize) reproduce the fused
+    result exactly — shared focus plan, common t0/pad
+    (``UltrasoundSystem.m:1805-2082``)."""
+    th = np.radians([-5.0, 0.0, 5.0, 10.0])
+    pw = q.Sequence(type="PW",
+                    focus=np.stack([np.sin(th), 0 * th, np.cos(th)]),
+                    c0=1540.0)
+    us = make_us(seq=pw, numel=8)
+    scat = q.Scatterers(pos=[[1e-3, -2e-3], [0, 0], [28e-3, 31e-3]],
+                        c0=1540.0)
+    full = us.calc_scat_multi(scat, impl="splat")
+    blk = us.calc_scat_multi(scat, impl="splat", bsize=1)
+    assert blk.data.shape == full.data.shape == (full.T, 8, 4)
+    t0f = np.asarray(full.t0, np.float64).reshape(-1)
+    t0b = np.asarray(blk.t0, np.float64).reshape(-1)
+    np.testing.assert_allclose(t0b, t0f)
+    np.testing.assert_allclose(np.asarray(blk.data),
+                               np.asarray(full.data), rtol=0, atol=1e-6)
