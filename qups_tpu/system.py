@@ -426,13 +426,20 @@ class UltrasoundSystem:
     def DAS(self, chd: ChannelData, apod=(), fmod: float = 0.0,
             c0: Optional[Union[float, np.ndarray]] = None,
             keep_tx: bool = False, keep_rx: bool = False,
-            method: str = "cubic", kernel: str = "auto", out: str = "auto",
+            method: str = "auto", kernel: str = "auto", out: str = "auto",
             precision: str = "f32", bsize: Optional[int] = None):
         """Compute-optimized delay-and-sum beamformer
         (``UltrasoundSystem.DAS``, ``UltrasoundSystem.m:3172-3372``).
 
         Returns the image shaped ``(*scan.shape, N', M', *F)`` where the rx/tx
         dims are kept (N/M) or summed (1) per the flags.
+
+        ``method``: 'nearest' | 'linear' | 'cubic' | 'lanczos3' | 'auto'.
+        'auto' (default) picks the backend-best sampler: 'linear' when the
+        call rides the Pallas fast path (the kernel is linear-only, like
+        the reference's OpenCL variant), 'cubic' (the reference default)
+        everywhere else. An explicit method is always honored — requesting
+        'cubic' on TPU takes the ~100x slower XLA path and warns.
 
         ``kernel``: 'auto' uses the fused Pallas TPU kernel when eligible
         (TPU backend, planar scan, scalar sound speed, no apodization,
@@ -467,6 +474,14 @@ class UltrasoundSystem:
             cinv = cinv.reshape(-1)
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
+        if method == "auto":
+            fast = kernel in ("auto", "pallas") \
+                and jax.devices()[0].platform not in ("cpu",) \
+                and all(isinstance(a, Fused) for a in apod_t) \
+                and not (keep_rx and keep_tx) and cinv.ndim == 0 \
+                and chd.data.ndim in (3, 4) \
+                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
+            method = "linear" if fast else "cubic"
         if bsize is not None and chd.M > bsize:
             # out-of-core transmit streaming: slice everything per-tx on
             # host, recurse per block with bsize disabled
@@ -581,7 +596,7 @@ class UltrasoundSystem:
 
     def bfDAS(self, chd: ChannelData, apod=(), fmod: float = 0.0,
               c0: Optional[float] = None, keep_tx: bool = False,
-              keep_rx: bool = False, method: str = "cubic"):
+              keep_rx: bool = False, method: str = "auto"):
         """Generic delay-and-sum via delay tables
         (``UltrasoundSystem.bfDAS``, ``UltrasoundSystem.m:4334-4474``)."""
         tau_rx, tau_tx = self.das_delay_tables(c0=c0)
@@ -590,7 +605,7 @@ class UltrasoundSystem:
 
     def bfDASLUT(self, chd: ChannelData, tau_rx, tau_tx, apod=(),
                  fmod: float = 0.0, keep_tx: bool = False,
-                 keep_rx: bool = False, method: str = "cubic",
+                 keep_rx: bool = False, method: str = "auto",
                  kernel: str = "auto", out: str = "auto"):
         """Beamform from arbitrary rx/tx delay tables — the "bring your own
         delays" API (``UltrasoundSystem.bfDASLUT``,
@@ -600,15 +615,24 @@ class UltrasoundSystem:
         Pallas LUT kernel (``das_lut_tiled``: delay tables streamed as
         per-tile blocks, trace windows planned from host-reduced stripe
         bounds of the actual tables); everything else uses the XLA
-        ``das_lut`` path. ``kernel``: 'auto' | 'pallas' | 'xla'."""
+        ``das_lut`` path. ``kernel``: 'auto' | 'pallas' | 'xla'.
+        ``method='auto'`` picks 'linear' when the call rides the Pallas
+        LUT kernel, 'cubic' (the reference default) otherwise; explicit
+        methods are always honored."""
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
         on_tpu = jax.devices()[0].platform not in ("cpu",)
-        eligible = (not apod_t and not (keep_rx and keep_tx)
-                    and chd.data.ndim == 3 and method == "linear"
-                    and np.ndim(t0) <= 1
-                    and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
-                    and on_tpu)
+        fast = (not apod_t and not (keep_rx and keep_tx)
+                and chd.data.ndim == 3 and np.ndim(t0) <= 1
+                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
+                and on_tpu)
+        if method == "auto":
+            method = "linear" if fast and kernel in ("auto", "pallas") \
+                else "cubic"
+        if kernel == "pallas" and method != "linear":
+            raise ValueError(
+                f"kernel='pallas' supports method='linear' only, got {method!r}")
+        eligible = fast and method == "linear"
         if kernel == "pallas" or (kernel == "auto" and eligible):
             from .ops.das_pallas import das_lut_tiled
             if out == "auto":
@@ -1166,7 +1190,7 @@ def _eikonal_tables(us, medium, cgrd: ScanCartesian, workers=None):
 
 def _bf_eikonal(us, chd, medium, cgrd: Optional[ScanCartesian] = None,
                 apod=(), fmod: float = 0.0, keep_tx: bool = False,
-                keep_rx: bool = False, method: str = "cubic", workers=None):
+                keep_rx: bool = False, method: str = "auto", workers=None):
     """Delay-and-sum with eikonal travel times through a heterogeneous
     Medium (``UltrasoundSystem.bfEikonal``,
     ``src/UltrasoundSystem.m:4052-4332``) on 2-D or 3-D grids; any sequence
