@@ -183,3 +183,20 @@ def test_focus_tx_frame_dims():
         out1 = us.focusTx(chd1, seqf)
         assert np.allclose(np.asarray(out.data[..., f]),
                            np.asarray(out1.data), atol=1e-4)
+
+
+def test_das_method_auto_resolves_to_cubic_off_tpu():
+    """method='auto' (the default) must resolve to the reference default
+    (cubic) off the Pallas fast path, so accuracy off-TPU is unchanged."""
+    xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=3e6)
+    seq = q.Sequence(type="FSA", numpulse=8, c0=1540.0)
+    scan = q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                           z=np.linspace(27e-3, 31e-3, 8))
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=12e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [29e-3]], c0=1540.0)
+    chd = us.greens(scat, impl="splat")
+    a = np.asarray(us.DAS(chd))                   # method='auto'
+    b = np.asarray(us.DAS(chd, method="cubic"))   # explicit reference default
+    np.testing.assert_allclose(a, b)
+    c = np.asarray(us.DAS(chd, method="linear"))
+    assert np.abs(a - c).max() > 0  # and auto is NOT silently linear here
