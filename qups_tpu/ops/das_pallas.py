@@ -153,12 +153,26 @@ def _tx_apod_weight(kind, prm, lat, pz, px, pv_ref, m):
     raise ValueError(kind)
 
 
+def _method_exts(method: str, pair: bool):
+    """(lo_ext, hi_ext) window-bound extensions in samples for a sampler:
+    how far the gather lanes extend below the tap base / above the planned
+    hi index. linear gathers at [base, base+1] (pair: one packed gather at
+    base); 4-tap methods gather at [base-1, base+2] (pair: two packed
+    gathers at base-1 and base+1)."""
+    if method in ("cubic", "lanczos3"):
+        return 1, (1 if pair else 2)
+    if method == "nearest":
+        return 0, 0
+    return 0, (0 if pair else 1)
+
+
 def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             tx_model: str, planar: bool, iq: bool, fmod: float,
             MC: int, NC: int, F: int, keep_rx: bool, keep_tx: bool,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool,
             pair: bool = False, allfast: bool = False,
-            interp_mode: bool = False, lut: bool = False):
+            interp_mode: bool = False, lut: bool = False,
+            method: str = "linear", vmax: float = 0.0):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -432,11 +446,58 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             I0F = jnp.floor(TI)
             U = TI - I0F
             Ki = I0F.astype(jnp.int32)
-            # valid <=> both taps in [0, T-1] <=> 0 <= Ki <= T-2, as ONE
-            # unsigned compare (negative Ki wraps huge). Matches the
-            # reference's whole-sample bounds check (``interpd.cu:84``).
-            VAL = Ki.astype(jnp.uint32) <= jnp.uint32(T - 2)
-            TIS = jnp.clip(Ki, 0, T - 2)
+            four = method in ("cubic", "lanczos3")
+            if method == "nearest":
+                # round-half-even to match jnp.round on the XLA path;
+                # valid domain is the tau-level 0 <= tau <= T_true-1
+                # (vmax = T_true), matching ops/interp._taps exactly
+                Kn = jax.lax.round(
+                    TI, jax.lax.RoundingMethod.TO_NEAREST_EVEN
+                ).astype(jnp.int32)
+                VAL = (TI >= 0.0) & (TI <= vmax - 1.0)
+                TIS = jnp.clip(Kn, 0, T - 2)
+                raw_w = (None,)  # weight 1 (mask/apods applied below)
+            elif four:
+                # 4-tap samplers: the caller edge-replicated one sample at
+                # each trace end and shifted t0 by -1/fs, so TI here is the
+                # true fractional index + 1 and taps [Ki-1, Ki+2] reproduce
+                # the XLA path's clamp-replicated edge taps exactly. Valid
+                # domain: 1 <= TI <= vmax (= true T, i.e. tau <= T-1).
+                VAL = (TI >= 1.0) & (TI <= vmax)
+                TIS = jnp.clip(Ki, 1, T - 3)
+                if method == "cubic":
+                    # Catmull-Rom (``interpd.cu:89-113``; ops/interp._taps)
+                    raw_w = (0.5 * (U * (-1.0 + U * (2.0 - U))),
+                             0.5 * (2.0 + U * U * (-5.0 + 3.0 * U)),
+                             0.5 * (U * (1.0 + U * (4.0 - 3.0 * U))),
+                             0.5 * (U * U * (U - 1.0)))
+                else:
+                    # Lanczos-3 (a=2): w(v) = 2 sin(pi v) sin(pi v/2)/(pi v)^2
+                    # at v = U+1, U, U-1, U-2 — folded onto two base sins
+                    # via shift identities (sin(pi(U±k)) = ±sin(pi U), etc.)
+                    pu = jnp.float32(np.pi) * U
+                    s1 = jnp.sin(pu)
+                    s2 = jnp.sin(0.5 * pu)
+                    c2 = jnp.cos(0.5 * pu)
+                    pi2 = jnp.float32(np.pi * np.pi)
+                    safe = jnp.where(U == 0.0, 1.0, U)
+                    w0c = jnp.where(
+                        U == 0.0, 1.0,
+                        2.0 * s1 * s2 / (pi2 * safe * safe))
+                    up1 = U + 1.0
+                    um1 = U - 1.0
+                    um2 = U - 2.0
+                    raw_w = (-2.0 * s1 * c2 / (pi2 * up1 * up1),
+                             w0c,
+                             2.0 * s1 * c2 / (pi2 * um1 * um1),
+                             -2.0 * s1 * s2 / (pi2 * um2 * um2))
+            else:
+                # valid <=> both taps in [0, T-1] <=> 0 <= Ki <= T-2, as ONE
+                # unsigned compare (negative Ki wraps huge). Matches the
+                # reference's whole-sample bounds check (``interpd.cu:84``).
+                VAL = Ki.astype(jnp.uint32) <= jnp.uint32(T - 2)
+                TIS = jnp.clip(Ki, 0, T - 2)
+                raw_w = (1.0 - U, U)
             WTm = None  # multiplicative weight (apods), for the fused mix
             if WR is not None or tx_apods:
                 WT = jnp.where(VAL, 1.0, 0.0)
@@ -447,12 +508,13 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                     WT = WT * jnp.broadcast_to(tw[None],
                                                (8, 8, 128)).reshape(64, 128)
                 WTm = WT
-                W1 = U * WT
-                W0 = WT - W1
+                WS = tuple(WT if w is None else w * WT for w in raw_w)
             else:
-                # fold the mask directly into the two tap weights
-                W1 = jnp.where(VAL, U, 0.0)
-                W0 = jnp.where(VAL, 1.0 - U, 0.0)
+                # fold the mask directly into the tap weights
+                WS = tuple(jnp.where(VAL, 1.0 if w is None else w, 0.0)
+                           for w in raw_w)
+            if not four and method != "nearest":
+                W0, W1 = WS  # legacy names for the linear fast/slow arms
             # scalar-core window range for THIS (group, transmit): the
             # group's receive bounds + the hoisted per-(tile, transmit)
             # one-way bounds (see tx_bounds; ±2-sample margin absorbs f32
@@ -475,23 +537,29 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             if "fixedwin" in _ABLATE:  # probe: scalar planning chain cost
                 lo_t = jnp.float32(0.0)
                 hi_t = jnp.float32(64.0)
-            lo_i = jnp.clip(lo_t.astype(jnp.int32), 0, T - 2)
+            lo_ext, hi_ext = _method_exts(method, pair)
+            lo_i = jnp.clip(lo_t.astype(jnp.int32) - lo_ext, 0, T - 2)
             hi_i = jnp.clip(hi_t.astype(jnp.int32) + 1, 0, T - 2)
             ws0 = lo_i
             q0 = lo_i >> 7
-            tap_hi = hi_i if pair else hi_i + 1
+            tap_hi = jnp.minimum(hi_i + hi_ext, T - 1)
             Jact = (tap_hi >> 7) - q0 + 1
             # loop-invariant gather state, hoisted out of jbody: the lane
             # index within ANY aligned window is TIS % W, and tap0's
             # window id is TIS // W — per window only ONE compare
-            # (window-id == q0 + j) remains
-            l0 = TIS & (W - 1)
-            w0id = TIS >> 7
+            # (window-id == q0 + j) remains. 4-tap methods track the two
+            # gather lanes TIS-1 / TIS+1 (pair) or all four (f32).
             assert W == 128
-            if not pair:
-                TIS1 = TIS + 1
-                l1 = TIS1 & (W - 1)
-                w1id = TIS1 >> 7
+            four = method in ("cubic", "lanczos3")
+            if four:
+                glanes = (TIS - 1, TIS + 1) if pair \
+                    else (TIS - 1, TIS, TIS + 1, TIS + 2)
+            elif method == "nearest":
+                glanes = (TIS,)
+            else:
+                glanes = (TIS,) if pair else (TIS, TIS + 1)
+            lids = tuple(t & (W - 1) for t in glanes)
+            wids = tuple(t >> 7 for t in glanes)
 
             def slab_at(q):
                 ws = pl.multiple_of(q * W, W)
@@ -550,6 +618,38 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                         v = jnp.where(sel, v0, v1)
                     srep = jnp.broadcast_to(v[:, None, :],
                                             (8, 8, W)).reshape(64, W)
+                    if method != "linear":
+                        # generic tap sweep (nearest / cubic / lanczos3):
+                        # pair mode covers taps [k-1, k] and [k+1, k+2]
+                        # with ONE packed gather each — 4 cubic taps ride
+                        # 2 gathers, the TPU analog of the reference's
+                        # half2 4-tap path (``interpd.cu:89-113``)
+                        acc = None
+                        if pair:
+                            if four:
+                                pairs = ((LJ - 1, WS[0], WS[1]),
+                                         (LJ + 1, WS[2], WS[3]))
+                            else:  # nearest: lo half only
+                                pairs = ((LJ, WS[0], None),)
+                            for lq, wlo, whi in pairs:
+                                gi = jnp.take_along_axis(srep, lq, axis=1)
+                                glo = jax.lax.bitcast_convert_type(
+                                    gi << 16, jnp.float32)
+                                t = glo * wlo
+                                if whi is not None:
+                                    ghi = jax.lax.bitcast_convert_type(
+                                        gi & jnp.int32(-65536), jnp.float32)
+                                    t = t + ghi * whi
+                                acc = t if acc is None else acc + t
+                        else:
+                            offs = (-1, 0, 1, 2) if four else (0,)
+                            for k, off in enumerate(offs):
+                                gk = jnp.take_along_axis(srep, LJ + off,
+                                                         axis=1)
+                                t = gk * WS[k]
+                                acc = t if acc is None else acc + t
+                        new[ch] = new[ch] + acc
+                        continue
                     if "nogather" in _ABLATE:
                         g0 = g1 = (jax.lax.bitcast_convert_type(
                             srep, jnp.float32) if pair else srep)
@@ -582,6 +682,46 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
 
             def jbody(j, part):
                 slabs = slab_at(q0 + j)
+                if method != "linear":
+                    # generic per-gather window masks: each gather lane has
+                    # its own window id; a gather contributes only in its
+                    # matching window j
+                    if pair:
+                        # packed gather q covers taps (2q, 2q+1) of the
+                        # 4-tap stencil (or the single nearest tap)
+                        tapw = [(WS[2 * q], WS[2 * q + 1] if four else None)
+                                for q in range(len(glanes))]
+                    else:
+                        tapw = [(WS[q], None) for q in range(len(glanes))]
+                    masked = [
+                        (lids[q],
+                         jnp.where(wids[q] == q0 + j, tapw[q][0], 0.0),
+                         (jnp.where(wids[q] == q0 + j, tapw[q][1], 0.0)
+                          if tapw[q][1] is not None else None))
+                        for q in range(len(glanes))]
+                    if "noloop" in _ABLATE:
+                        return part
+                    new = list(part)
+                    for ch in range(nch):
+                        srep = jnp.broadcast_to(slabs[ch][:, None, :],
+                                                (8, 8, W)).reshape(64, W)
+                        acc = None
+                        for lq, alo, ahi in masked:
+                            gq = jnp.take_along_axis(srep, lq, axis=1)
+                            if pair:
+                                glo = jax.lax.bitcast_convert_type(
+                                    gq << 16, jnp.float32)
+                                t = glo * alo
+                                if ahi is not None:
+                                    ghi = jax.lax.bitcast_convert_type(
+                                        gq & jnp.int32(-65536), jnp.float32)
+                                    t = t + ghi * ahi
+                            else:
+                                t = gq * alo
+                            acc = t if acc is None else acc + t
+                        new[ch] = new[ch] + acc
+                    return tuple(new)
+                l0, w0id = lids[0], wids[0]
                 m0 = w0id == q0 + j
                 if "nomask" in _ABLATE:
                     a0, a1 = W0, W1
@@ -596,6 +736,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                     # straddles a window boundary
                     a1 = jnp.where(m0, W1, 0.0)
                 else:
+                    l1, w1id = lids[1], wids[1]
                     m1 = w1id == q0 + j
                     a0 = jnp.where(m0, W0, 0.0)
                     a1 = jnp.where(m1, W1, 0.0)
@@ -651,8 +792,10 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 z64 = jnp.zeros((64, 128), jnp.float32)
                 part = sweep(tuple(z64 for _ in range(nch)))
                 # rotate by the remodulation phasor exp(2j pi fmod tau)
-                # (``bf.cu:117``; constant over j -> applies to partials)
-                ph = (2.0 * np.pi * fmod / fs) * TI
+                # (``bf.cu:117``; constant over j -> applies to partials).
+                # 4-tap methods run on the +1-shifted index (edge-replicated
+                # trace pad) — un-shift for the true tau.
+                ph = (2.0 * np.pi * fmod / fs) * (TI - 1.0 if four else TI)
                 cph = jnp.cos(ph)
                 sph = jnp.sin(ph)
                 tre, tim = part
@@ -780,7 +923,7 @@ def plan_allfast_cached(boxes, gbox, pvs, M, **kw):
 
 
 def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
-                 W=128, safety=2):
+                 W=128, safety=2, method="linear"):
     """Host-side proof that EVERY (tile, rx-group, transmit) tap range fits
     one W-lane window, mirroring the kernel's scalar-core interval math in
     f32. When true, the kernel compiles the unaligned single-window 'fast'
@@ -852,6 +995,7 @@ def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
             dvhi = np.where(rdhi <= 0, -rlo, rhi)
 
     # combine per (tile, group, tx) in tile chunks to bound memory
+    lo_ext, hi_ext = _method_exts(method, pair)
     TB = B.shape[0]
     step = max(1, 2 ** 24 // max(1, drlo.shape[1] * M))
     for i0 in range(0, TB, step):
@@ -860,9 +1004,9 @@ def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
             - f32(2)
         hi_t = drhi[s, :, None] + (dvhi[s, None, :] - t0m[None]) * f32(fs) \
             + f32(2)
-        lo_i = np.clip(lo_t.astype(np.int32), 0, T - 2)
+        lo_i = np.clip(lo_t.astype(np.int32) - lo_ext, 0, T - 2)
         hi_i = np.clip(hi_t.astype(np.int32) + 1, 0, T - 2)
-        tap_hi = hi_i if pair else hi_i + 1
+        tap_hi = np.minimum(hi_i + hi_ext, T - 1)
         if int((tap_hi - lo_i).max()) >= W - safety:
             return False
     return True
@@ -882,11 +1026,12 @@ def _pack_pairs(xr):
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
-    "tx_apods", "MC", "NC", "interpret", "pair", "allfast"))
+    "tx_apods", "MC", "NC", "interpret", "pair", "allfast", "method",
+    "vmax"))
 def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
               tx_model, planar, fmod, keep_rx, keep_tx=False, rx_apods,
               tx_apods, MC, NC, interpret=False, pair=False,
-              allfast=False):
+              allfast=False, method="linear", vmax=0.0):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once)."""
     RB = pz.shape[0] // 8
@@ -905,7 +1050,8 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
-        has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret)
+        has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret,
+        method=method, vmax=vmax)
 
     grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
 
@@ -994,10 +1140,10 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "fmod", "keep_rx", "keep_tx", "MC", "NC", "interpret", "pair",
-    "allfast"))
+    "allfast", "method", "vmax"))
 def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
                   keep_rx=False, keep_tx=False, MC, NC, interpret=False,
-                  pair=False, allfast=False):
+                  pair=False, allfast=False, method="linear", vmax=0.0):
     """LUT-mode pallas_call: delay tables streamed as per-tile blocks.
 
     rxb (RB, G, 2) / txb (RB, MTc, 2): per-row-stripe LUT bounds (scalar
@@ -1015,7 +1161,8 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         _kernel, N=N, T=T, W=128, fs=fs, tx_model="lut", planar=True,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=1, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
-        pair=pair, allfast=allfast, interp_mode=interpret, lut=True)
+        pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
+        method=method, vmax=vmax)
 
     grid = (NCc, MTc, RB, CB)
     tile = pl.BlockSpec((8, 128), lambda ncc, mtc, rb, cb, *_: (rb, cb),
@@ -1067,11 +1214,79 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     return out if nch > 1 else (out,)
 
 
+def prep_lut_sharded(tau_rx, tau_tx, t0, *, fs: float, T: int,
+                     im_shape: Tuple[int, int, int], nrx: int = 1,
+                     ntx: int = 1, method: str = "linear",
+                     pair: bool = False, nch: int = 1):
+    """Host-side prep for the shard_map-composed LUT kernel: per-shard
+    delay-table tiles + window bounds, stacked along leading mesh axes
+    (rx tables -> 'rx', tx tables -> 'tx'). The trace tensor must be
+    padded to (Tp', Nsh*nrx, Msh*ntx) by the caller (4-tap methods expect
+    one edge-replicated sample at each end of the time axis first)."""
+    four = method in ("cubic", "lanczos3")
+    tau_rx = np.asarray(tau_rx, np.float32)
+    tau_tx = np.asarray(tau_tx, np.float32)
+    N, M = tau_rx.shape[1], tau_tx.shape[1]
+    t0 = np.broadcast_to(np.asarray(t0, np.float32).reshape(-1), (M,)).copy()
+    if four:
+        t0 = t0 - np.float32(1.0) / np.float32(fs)
+    I1, I2, I3 = im_shape
+    if I3 != 1:
+        I2, I3 = I2 * I3, 1
+    I1p = -(-I1 // 8) * 8
+    I2p = -(-I2 // 128) * 128
+    Nsh = -(-N // (nrx * 8)) * 8
+    Msh = -(-M // ntx)
+    Tp = -(-(T + (2 if four else 0)) // 128) * 128
+
+    def table(tab, E):  # (I, e) -> (E, I1p, I2p) edge-padded
+        th = tab.T.reshape(tab.shape[1], I1, I2)
+        th = np.pad(th, ((0, 0), (0, I1p - I1), (0, I2p - I2)), mode="edge")
+        if E > tab.shape[1]:
+            th = np.concatenate(
+                [th, np.repeat(th[-1:], E - tab.shape[1], 0)], 0)
+        return np.ascontiguousarray(th, np.float32)
+
+    taur = table(tau_rx, Nsh * nrx).reshape(nrx, Nsh, I1p, I2p)
+    taut = table(tau_tx, Msh * ntx).reshape(ntx, Msh, I1p, I2p)
+    t0_pad = np.concatenate([t0, np.repeat(t0[-1:], Msh * ntx - M)])
+
+    MC, NC = _choose_chunks(Msh, Nsh, Tp, nch)
+    if MC > 8:
+        MC = 8  # lut mode unrolls the transmit chunk (static indexing)
+    MTc = Msh // MC
+    RB = I1p // 8
+    G = Nsh // 8
+    r5 = taur.reshape(nrx, G, 8, RB, 8, I2p)
+    rlo = np.moveaxis(r5.min(axis=(2, 4, 5)), 1, 2)  # (nrx, RB, G)
+    rhi = np.moveaxis(r5.max(axis=(2, 4, 5)), 1, 2)
+    rxb = np.stack([rlo, rhi], axis=-1).reshape(nrx, RB, 2 * G)
+    t5 = taut.reshape(ntx, MTc, MC, RB, 8, I2p)
+    tlo = np.moveaxis(t5.min(axis=(2, 4, 5)), 1, 2)  # (ntx, RB, MTc)
+    thi = np.moveaxis(t5.max(axis=(2, 4, 5)), 1, 2)
+    txb = np.stack([tlo, thi], axis=-1).reshape(ntx, RB, 2 * MTc)
+    Mpad = -(-Msh // 128) * 128
+    tv = np.zeros((ntx, 1, Mpad), np.float32)
+    for j in range(ntx):
+        tv[j, 0, :Msh] = t0_pad[j * Msh:(j + 1) * Msh]
+
+    lo_ext, hi_ext = _method_exts(method, pair)
+    span = ((rhi - rlo).max() + (thi - tlo).max()) * np.float32(fs)
+    allfast = bool(span + 4 + 2 + lo_ext + hi_ext < 128 - 2)
+    arrays = dict(taur=taur, taut=taut,
+                  rxb=rxb.astype(np.float32), txb=txb.astype(np.float32),
+                  tv=tv)
+    statics = dict(MC=MC, NC=NC, Tp=Tp, Nsh=Nsh, Msh=Msh, I1p=I1p,
+                   I2p=I2p, allfast=allfast, vmax=float(T), method=method)
+    return arrays, statics
+
+
 def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
                   im_shape: Optional[Tuple[int, ...]] = None,
                   out: str = "complex", keep_rx: bool = False,
                   keep_tx: bool = False, fmod: float = 0.0,
-                  interpret: bool = False, precision: str = "f32"):
+                  method: str = "linear", interpret: bool = False,
+                  precision: str = "f32"):
     """Fast Pallas LUT delay-and-sum — bring-your-own-delays
     (``bfDASLUT`` / ``bfDAS`` / ``bfEikonal``: ``kern/das_spec.m`` with
     explicit tables; same contract as :func:`qups_tpu.ops.das.das_lut`
@@ -1088,6 +1303,9 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
         raise ValueError("das_lut_tiled keeps at most one of rx/tx")
     if precision not in ("f32", "bf16pair"):
         raise ValueError(f"unknown precision {precision!r}")
+    if method not in ("nearest", "linear", "cubic", "lanczos3"):
+        raise ValueError(f"unknown method {method!r}")
+    four = method in ("cubic", "lanczos3")
     x_in = x
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype",
                                                           np.float32))))
@@ -1107,7 +1325,10 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     I1p = -(-I1 // 8) * 8
     I2p = -(-I2 // 128) * 128
     Np8 = -(-N // 8) * 8
-    Tp = -(-T // 128) * 128
+    Tp = -(-(T + (2 if four else 0)) // 128) * 128
+    if four:
+        # +1-shifted index over an edge-replicated trace (see das_tiled)
+        t0 = t0 - np.float32(1.0) / np.float32(fs)
 
     def table(tab, E):  # (I, E) -> (E, I1p, I2p) edge-padded
         th = tab.T.reshape(tab.shape[1], I1, I2)
@@ -1141,15 +1362,20 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
 
     pair = precision == "bf16pair"
     # allfast proof: t0 cancels between lo and hi, so the span is just
-    # (rx span + tx-chunk span) * fs + the +-2 margins (+1 pair tap)
+    # (rx span + tx-chunk span) * fs + the +-2 margins + the method's
+    # tap extents below/above the base lane
+    lo_ext, hi_ext = _method_exts(method, pair)
     span = ((rhi - rlo)[:, :, None]
             + (thi - tlo)[:, None, :]) * np.float32(fs)
-    tapext = 4 + 2 + (0 if pair else 1)
+    tapext = 4 + 2 + lo_ext + hi_ext
     allfast = bool(span.max() + tapext < 128 - 2)
 
     def prep_real(xr):
-        if Tp != T or Np8 != N:
-            xr = jnp.pad(xr, [(0, Tp - T), (0, Np8 - N), (0, 0)])
+        if four:  # edge-replicate one sample each end
+            xr = jnp.concatenate([xr[:1], xr, xr[-1:]], axis=0)
+        Te = xr.shape[0]
+        if Tp != Te or Np8 != N:
+            xr = jnp.pad(xr, [(0, Tp - Te), (0, Np8 - N), (0, 0)])
         xr = jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
         if pair:
             xr = _pack_pairs(xr)
@@ -1164,7 +1390,8 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
             jnp.asarray(rxb), jnp.asarray(txb), jnp.asarray(taur),
             jnp.asarray(taut), jnp.asarray(tv), xs, accs, fs=float(fs),
             fmod=float(fmod), keep_rx=keep_rx, keep_tx=keep_tx, MC=MC,
-            NC=NC, interpret=interpret, pair=pair, allfast=allfast)
+            NC=NC, interpret=interpret, pair=pair, allfast=allfast,
+            method=method, vmax=float(T))
         res = []
         for o in outs:
             if keep_rx:
@@ -1201,6 +1428,43 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     return pack_out(run(xr))
 
 
+def _split_fused(apod, cinv, lat_spatial: bool):
+    """Split :class:`Fused` apodization descriptors into the kernel's
+    static (rx_apods, tx_apods) tuples + the per-transmit lateral array.
+    Scale-dependent params (Dmax, parallelogram bounds) are folded into the
+    cinv-scaled geometry space. Returns
+    ``(rx_apods, tx_apods, lat_tx, lat_needed)``."""
+    rx_apods = []
+    tx_apods = []
+    lat_tx = None
+    lat_needed = False
+    for a in apod:
+        p = a.p
+        if a.kind in ("aperture_growth", "acceptance_angle"):
+            prm = {k: float(v) for k, v in p.items()
+                   if isinstance(v, (int, float))}
+            if a.kind == "aperture_growth" and "Dmax" in prm and lat_spatial:
+                prm["Dmax"] = prm["Dmax"] * cinv  # scaled-geometry space
+            rx_apods.append((a.kind, tuple(sorted(prm.items()))))
+        elif a.kind in ("tx_scanline", "tx_multiline", "tx_parallelogram"):
+            lat_needed = a.kind != "tx_parallelogram"
+            prm = {}
+            lt = p.get("lat_tx")
+            if lt is not None:
+                lat_tx = np.asarray(lt, np.float32)
+            if a.kind == "tx_scanline":
+                prm["tol"] = float(p["tol"])
+            if a.kind == "tx_multiline":
+                prm["dlat"] = float(p["dlat"])
+            if a.kind == "tx_parallelogram":
+                prm["xlo"] = float(p["xlo"]) * cinv
+                prm["xhi"] = float(p["xhi"]) * cinv
+            tx_apods.append((a.kind, tuple(sorted(prm.items()))))
+        else:
+            raise ValueError(f"unknown fused apodization {a.kind!r}")
+    return tuple(rx_apods), tuple(tx_apods), lat_tx, lat_needed
+
+
 def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):
     """Pick (MC, NC) trace-chunk sizes within the VMEM budget
     (double-buffered). The full-size sweep under the single-window fast
@@ -1228,16 +1492,20 @@ def _choose_chunks(M, N, T, nch, vmem_budget=8 * 2**20, itemsize=4):
 
 def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
                  tx_model: str, im_shape: Tuple[int, int, int],
-                 nrx: int = 1, ntx: int = 1):
+                 nrx: int = 1, ntx: int = 1, method: str = "linear",
+                 pair: bool = False, apod=(), orientations=None,
+                 lat=None, nch: int = 1):
     """Host-side prep for the shard_map-composed kernel: per-(rx-shard,
     tx-shard) packed geometry + per-stripe window counts, stacked along
     leading mesh axes so they shard with ``P('rx', ...)`` / ``P('tx', ...)``.
 
-    Returns ``(arrays, statics)`` where arrays = dict(pz, px, py, prs
-    (nrx, 8, 128k), pvs (ntx, 8, 128k), boxes (RB, CB, 6), gboxes
-    (nrx, G, 6)) and statics = dict(planar, MC, NC, Tp, Nsh, Msh). The
-    trace tensor must be padded to (Tp, Nsh*nrx, Msh*ntx) by the caller
-    (zero rows are inert).
+    Returns ``(arrays, statics)`` where arrays = dict(pz, px, py, [lat],
+    prs (nrx, 8, 128k), pvs (ntx, 8, 128k), boxes (RB, CB, 6), gboxes
+    (nrx, G, 6)) and statics = dict(planar, MC, NC, Tp, Nsh, Msh,
+    rx_apods, tx_apods, ...). The trace tensor must be padded to
+    (Tp', Nsh*nrx, Msh*ntx) by the caller (zero rows are inert;
+    Tp' = Tp, with 4-tap methods expecting one edge-replicated sample at
+    each end of the time axis before the zero padding — see das_tiled).
     """
     pi = np.asarray(pi, np.float32)
     pr_np = np.asarray(pr, np.float32)
@@ -1246,6 +1514,9 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
     N = pr_np.shape[0]
     M = pv_np.shape[0]
     t0 = np.broadcast_to(np.asarray(t0, np.float32).reshape(-1), (M,)).copy()
+    four = method in ("cubic", "lanczos3")
+    if four:  # +1-shifted index over the edge-replicated trace
+        t0 = t0 - np.float32(1.0) / np.float32(fs)
     cinv = float(np.asarray(cinv).reshape(()))
     I1, I2, I3 = im_shape
     if I3 != 1:  # volumetric: iso-depth-major C-order flatten (das_tiled)
@@ -1259,28 +1530,48 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
     px = np.ascontiguousarray(gpad[:, :, 0]) * sc
     py = np.ascontiguousarray(gpad[:, :, 1]) * sc
 
+    rx_apods, tx_apods, lat_tx, lat_needed = _split_fused(
+        apod, cinv, lat_spatial=lat is None)
+
     # shard sizes (rx padded to 8-multiples per shard)
     Nsh = -(-N // (nrx * 8)) * 8
     Msh = -(-M // ntx)
-    Tp = -(-T // 128) * 128
+    Tp = -(-(T + (2 if four else 0)) // 128) * 128
     Npad = -(-Nsh // 128) * 128
     Mpad = -(-Msh // 128) * 128
+
+    if orientations is not None:
+        saz = np.asarray(orientations[0], np.float32)
+        caz = np.asarray(orientations[1], np.float32)
+    else:
+        saz = np.zeros(N, np.float32)
+        caz = np.ones(N, np.float32)
 
     prs = np.zeros((nrx, 8, Npad), np.float32)
     pvs = np.zeros((ntx, 8, Mpad), np.float32)
     pr_pad = np.concatenate([pr_np, np.repeat(pr_np[-1:], Nsh * nrx - N, 0)])
+    saz_pad = np.concatenate([saz, np.repeat(saz[-1:], Nsh * nrx - N)])
+    caz_pad = np.concatenate([caz, np.repeat(caz[-1:], Nsh * nrx - N)])
     pv_pad = np.concatenate([pv_np, np.repeat(pv_np[-1:], Msh * ntx - M, 0)])
     nv_pad = np.concatenate([nv_np, np.repeat(nv_np[-1:], Msh * ntx - M, 0)])
     t0_pad = np.concatenate([t0, np.repeat(t0[-1:], Msh * ntx - M)])
+    if lat_tx is not None:
+        lat_tx = lat_tx * (sc if lat is None else 1.0)
+        lat_pad = np.concatenate([lat_tx,
+                                  np.repeat(lat_tx[-1:], Msh * ntx - M)])
     for i in range(nrx):
-        blk = pr_pad[i * Nsh:(i + 1) * Nsh]
+        sl = slice(i * Nsh, (i + 1) * Nsh)
+        blk = pr_pad[sl]
         prs[i, 0, :Nsh] = blk[:, 0] * sc
         prs[i, 1, :Nsh] = blk[:, 1] * sc
         prs[i, 2, :Nsh] = blk[:, 2] * sc
-        for rrow in range(3):
+        # element normals from azimuth + az sin/cos (das_tiled's prk rows)
+        prs[i, 3, :Nsh] = saz_pad[sl]
+        prs[i, 5, :Nsh] = caz_pad[sl]
+        prs[i, 6, :Nsh] = saz_pad[sl]
+        prs[i, 7, :Nsh] = caz_pad[sl]
+        for rrow in range(8):
             prs[i, rrow, Nsh:] = prs[i, rrow, Nsh - 1]
-        prs[i, 5] = 1.0
-        prs[i, 7] = 1.0
     for j in range(ntx):
         blk = pv_pad[j * Msh:(j + 1) * Msh]
         pvs[j, 0, :Msh] = blk[:, 0] * sc
@@ -1291,21 +1582,33 @@ def prep_sharded(pi, pr, pv, nv, t0, cinv, *, fs: float, T: int,
         pvs[j, 4, :Msh] = nblk[:, 1]
         pvs[j, 5, :Msh] = nblk[:, 2]
         pvs[j, 6, :Msh] = t0_pad[j * Msh:(j + 1) * Msh]
+        if lat_tx is not None:
+            pvs[j, 7, :Msh] = lat_pad[j * Msh:(j + 1) * Msh]
     planar = bool(np.all(py == 0) and np.all(prs[:, 1] == 0)
                   and np.all(pvs[:, 1] == 0))
     boxes = _tile_boxes(pz.astype(np.float32), px.astype(np.float32),
                         py.astype(np.float32))
     gboxes = np.stack([_group_boxes(prs[i], Nsh) for i in range(nrx)])
-    MC, NC = _choose_chunks(Msh, Nsh, Tp, 1)
+    MC, NC = _choose_chunks(Msh, Nsh, Tp, nch)
     allfast = all(
         plan_allfast(boxes, gboxes[i], pvs[j], Msh, fs=fs,
-                     tx_model=tx_model, planar=planar, T=Tp, pair=False)
+                     tx_model=tx_model, planar=planar, T=Tp, pair=pair,
+                     method=method)
         for i in range(nrx) for j in range(ntx))
+    lat_tile = None
+    if lat_needed or tx_apods:
+        if lat is None:
+            lat_tile = px  # pixel x in scaled space (px is already scaled)
+        else:
+            lt = np.asarray(lat, np.float32).reshape(I1, I2)
+            lat_tile = np.pad(lt, ((0, I1p - I1), (0, I2p - I2)),
+                              mode="edge")
     arrays = dict(pz=pz.astype(np.float32), px=px.astype(np.float32),
                   py=py.astype(np.float32), prs=prs, pvs=pvs, boxes=boxes,
-                  gboxes=gboxes)
+                  gboxes=gboxes, lat=lat_tile)
     statics = dict(planar=planar, MC=MC, NC=NC, Tp=Tp, Nsh=Nsh, Msh=Msh,
-                   I1p=I1p, I2p=I2p, allfast=allfast)
+                   I1p=I1p, I2p=I2p, allfast=allfast, rx_apods=rx_apods,
+                   tx_apods=tx_apods, vmax=float(T), method=method)
     return arrays, statics
 
 
@@ -1317,7 +1620,15 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
               interpret: bool = False,
               orientations: Optional[np.ndarray] = None,
               precision: str = "f32"):
-    """Fast Pallas DAS (linear interp; summed or keep_rx output).
+    """Fast Pallas DAS (summed, keep_rx, or keep_tx output).
+
+    ``method``: 'nearest' | 'linear' | 'cubic' | 'lanczos3' — all four
+    reference samplers (``interpd.cu:68-167``) run in-kernel. The 4-tap
+    methods (cubic Catmull-Rom is the reference default) gather taps
+    [k-1, k+2]; in ``bf16pair`` mode the 4 taps ride exactly TWO packed
+    gathers (pairs at lanes k-1 and k+1). Edge taps are clamp-replicated
+    and the valid domain is ``0 <= tau <= T-1``, matching the XLA path
+    (:func:`qups_tpu.ops.interp.interp1`) to f32 rounding.
 
     Same contract as :func:`qups_tpu.ops.das.das` for the common path:
     ``x (T, N, M[, F])`` real or complex; pixels ``pi (I, 3)`` ordered so
@@ -1341,10 +1652,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     sin, cos] of the rx elements for convex-aware aperture growth (default
     planar: az = 0).
     """
-    if method != "linear":
-        raise ValueError(
-            f"das_tiled implements linear interpolation only, got {method!r};"
-            " use qups_tpu.ops.das.das for other methods")
+    if method not in ("nearest", "linear", "cubic", "lanczos3"):
+        raise ValueError(f"unknown method {method!r}")
     if keep_rx and keep_tx:
         raise ValueError("das_tiled keeps at most one of rx/tx; use"
                          " qups_tpu.ops.das.das for the BF (keep both) mode")
@@ -1369,6 +1678,12 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     T, N, M = x.shape[:3]
     Fn = x.shape[3] if np.ndim(x) >= 4 else None
     t0 = np.broadcast_to(np.asarray(t0, np.float32).reshape(-1), (M,)).copy()
+    four = method in ("cubic", "lanczos3")
+    if four:
+        # 4-tap samplers run on a +1-shifted index over an edge-replicated
+        # trace (one pad sample each end): taps [Ki-1, Ki+2] stay in-bounds
+        # AND reproduce the XLA path's clamped edge taps exactly
+        t0 = t0 - np.float32(1.0) / np.float32(fs)
     cinv = float(np.asarray(cinv).reshape(()))
     I = pi.shape[0]
 
@@ -1392,35 +1707,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     py = np.ascontiguousarray(gpad[:, :, 1])
 
     # ---- split fused apods by side, prepare their operands ----
-    rx_apods = []
-    tx_apods = []
-    lat_tx = None
-    lat_needed = False
-    lat_spatial = lat is None
-    for a in apod:
-        p = a.p
-        if a.kind in ("aperture_growth", "acceptance_angle"):
-            prm = {k: float(v) for k, v in p.items()
-                   if isinstance(v, (int, float))}
-            if a.kind == "aperture_growth" and "Dmax" in prm and lat_spatial:
-                prm["Dmax"] = prm["Dmax"] * cinv  # scaled-geometry space
-            rx_apods.append((a.kind, tuple(sorted(prm.items()))))
-        elif a.kind in ("tx_scanline", "tx_multiline", "tx_parallelogram"):
-            lat_needed = a.kind != "tx_parallelogram"
-            prm = {}
-            lt = p.get("lat_tx")
-            if lt is not None:
-                lat_tx = np.asarray(lt, np.float32)
-            if a.kind == "tx_scanline":
-                prm["tol"] = float(p["tol"])
-            if a.kind == "tx_multiline":
-                prm["dlat"] = float(p["dlat"])
-            if a.kind == "tx_parallelogram":
-                prm["xlo"] = float(p["xlo"]) * cinv
-                prm["xhi"] = float(p["xhi"]) * cinv
-            tx_apods.append((a.kind, tuple(sorted(prm.items()))))
-        else:
-            raise ValueError(f"unknown fused apodization {a.kind!r}")
+    rx_apods, tx_apods, lat_tx, lat_needed = _split_fused(
+        apod, cinv, lat_spatial=lat is None)
+    rx_apods, tx_apods = list(rx_apods), list(tx_apods)
 
     # pack rx params (8, Npad): [x, y, z, nx, ny, nz, sin_az, cos_az]
     Npad = -(-N // 128) * 128
@@ -1474,7 +1763,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             lt = np.asarray(lat, np.float32).reshape(I1, I2)
             lat_tile = np.pad(lt, ((0, I1p - I1), (0, I2p - I2)), mode="edge")
 
-    Tp = -(-T // 128) * 128
+    Tp = -(-(T + (2 if four else 0)) // 128) * 128
     Np8 = -(-N // 8) * 8
     planar = bool(np.all(pys == 0) and np.all(prs[1] == 0)
                   and np.all(pvs[1] == 0))
@@ -1482,7 +1771,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     gbox = _group_boxes(prs, Np8)
     allfast = plan_allfast_cached(boxes, gbox, pvs, M, fs=fs,
                                   tx_model=tx_model, planar=planar, T=Tp,
-                                  pair=(precision == "bf16pair"))
+                                  pair=(precision == "bf16pair"),
+                                  method=method)
 
     nch = 2 if (cplx or fmod != 0.0) else 1
     itemsize = 2 if precision == "bf16" else 4
@@ -1490,8 +1780,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
     def prep_real(xr):
         """(T, N, M[, F]) -> (F?, M, Np8, Tp) padded."""
-        if Tp != T or Np8 != N:
-            padc = [(0, Tp - T), (0, Np8 - N)] + [(0, 0)] * (xr.ndim - 2)
+        if four:  # edge-replicate one sample each end (see above)
+            xr = jnp.concatenate([xr[:1], xr, xr[-1:]], axis=0)
+        Te = xr.shape[0]
+        if Tp != Te or Np8 != N:
+            padc = [(0, Tp - Te), (0, Np8 - N)] + [(0, 0)] * (xr.ndim - 2)
             xr = jnp.pad(xr, padc)
         if precision == "bf16":
             xr = xr.astype(jnp.bfloat16)
@@ -1516,7 +1809,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             tx_model=tx_model, planar=planar, fmod=float(fmod),
             keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
-            pair=(precision == "bf16pair"), allfast=allfast)
+            pair=(precision == "bf16pair"), allfast=allfast,
+            method=method, vmax=float(T))
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:

@@ -351,3 +351,65 @@ def test_lut_wide_spread_falls_to_window_loop():
     scale = np.abs(ref).max()
     assert scale > 0
     assert np.abs(got - ref).max() / scale < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# all-four-samplers parity (VERDICT r2 #1): nearest / linear / cubic /
+# lanczos3 in-kernel, vs the XLA reference samplers (ops/interp._taps).
+# The 4-tap methods run on a +1-shifted index over an edge-replicated trace
+# so clamped edge taps match ops.interp exactly.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("method", ["nearest", "cubic", "lanczos3"])
+def test_methods_geometry(method):
+    x, pi, pr, pv, nv, t0 = problem()
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method=method)).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", method=method,
+                               im_shape=(16, 128, 1),
+                               interpret=True)).squeeze()
+    tol = 1e-3 if method == "lanczos3" else 1e-4  # folded-trig rounding
+    assert np.abs(got - ref).max() / np.abs(ref).max() < tol
+
+
+@pytest.mark.parametrize("method", ["cubic", "lanczos3"])
+def test_methods_pair_precision(method):
+    # 4 taps ride TWO packed-pair gathers (lanes k-1 and k+1)
+    x, pi, pr, pv, nv, t0 = problem()
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method=method)).squeeze()
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", method=method,
+                               im_shape=(16, 128, 1),
+                               precision="bf16pair",
+                               interpret=True)).squeeze()
+    # bf16 taps: ~8-bit mantissa on the raw samples
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_cubic_keep_rx_and_fmod():
+    x, pi, pr, pv, nv, t0 = problem(cplx=True)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="cubic", fmod=2e5,
+                         keep_rx=True))
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", method="cubic", fmod=2e5,
+                               im_shape=(16, 128, 1), keep_rx=True,
+                               interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("method", ["nearest", "cubic", "lanczos3"])
+def test_methods_lut(method):
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    x, pi, pr, pv, nv, t0 = problem()
+    tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
+              / 1540.0).astype(np.float32)
+    tau_tx = (pi @ nv.T / 1540.0).astype(np.float32)
+    ref = np.asarray(das_lut(x, tau_rx, tau_tx, t0, fs=4e6,
+                             method=method)).squeeze()
+    got = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0, fs=4e6,
+                                   method=method, interpret=True)).squeeze()
+    tol = 1e-3 if method == "lanczos3" else 1e-4
+    assert np.abs(got - ref).max() / np.abs(ref).max() < tol
