@@ -112,9 +112,11 @@ def block_gemm_scan(E1, E2, d1, d2, *, F: int, B: int, prec, k0: int = 0,
 
 
 @partial(jax.jit,
-         static_argnames=("L", "k0", "F", "R0", "fsr", "precision", "B"))
+         static_argnames=("L", "k0", "F", "R0", "fsr", "precision", "B",
+                          "att"))
 def _freq_gemm(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int, R0: float,
-               fsr: float, precision: str = "highest", B: int = 8):
+               fsr: float, precision: str = "highest", B: int = 8,
+               att: float = 0.0):
     """Geometry spectrum G_k[n, m] for bins k0..k0+F as an ri pair.
 
     Bins are processed in blocks of ``B``: each scan step extends the
@@ -151,10 +153,21 @@ def _freq_gemm(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int, R0: float,
         a = -k * phc * r
         return jax.lax.complex(w * jnp.cos(a), w * jnp.sin(a))
 
+    if att != 0.0:
+        # frequency-linear attenuation exp(-a(f) r) with a = att * k [Np/m]
+        # per rfft bin index k (``Scatterers.alpha0`` [dB/cm/MHz] — the
+        # MUST/SIMUS absorption model, ``src/Scatterers.m:14-84``). Linear-
+        # in-k decay rides the SAME multiplicative recurrence as the
+        # phase: the per-bin delta gains magnitude exp(-att r).
+        w1 = w1 * jnp.exp(-att * float(k0) * r1)
+        w2 = w2 * jnp.exp(-att * float(k0) * r2)
+        d1 = phasor(r1, jnp.exp(-att * r1), 1.0)
+        d2 = phasor(r2, jnp.exp(-att * r2), 1.0)
+    else:
+        d1 = phasor(r1, jnp.ones_like(r1), 1.0)
+        d2 = phasor(r2, jnp.ones_like(r2), 1.0)
     E1 = phasor(r1, w1, float(k0))
     E2 = phasor(r2, w2, float(k0))
-    d1 = phasor(r1, jnp.ones_like(r1), 1.0)
-    d2 = phasor(r2, jnp.ones_like(r2), 1.0)
 
     X = block_gemm_scan(E1, E2, d1, d2, F=F, B=B, prec=prec,
                         subsum=True, gemm16=gemm16)[:F]
@@ -176,11 +189,21 @@ def _synth(G, kf, *, L: int, k0: int, T: int):
     return jnp.fft.irfft(full, n=L, axis=0)[:T]
 
 
+_DB_PER_NP = 20.0 / np.log(10.0)  # 8.6859 dB per neper
+
+
+def alpha_np_per_bin(alpha0: float, fs: float, L: int) -> float:
+    """Convert ``alpha0`` [dB/cm/MHz] (frequency-linear absorption, the
+    MUST/``Scatterers.alpha0`` convention, ``src/Scatterers.m:14-84``) to
+    nepers/meter PER rfft BIN INDEX of an L-point transform at rate fs."""
+    return float(alpha0) * 100.0 / _DB_PER_NP * (fs / L) / 1e6
+
+
 def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
                 fs: float, cinv, R0: float, fsr: float = 1.0,
                 rtol: float = 1e-6, precision: str = "highest",
                 out: str = "auto", slab: int = 131072,
-                engine: str = "auto"):
+                engine: str = "auto", alpha0: float = 0.0):
     """Frequency-domain FSA Green's-function simulation.
 
     Same contract as :func:`qups_tpu.ops.greens.greens_splat` — ``kern``
@@ -198,6 +221,11 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     phasors, ~10x the XLA engine at large S; single sub-element geometry
     only. 'auto' picks it on TPU when eligible.
 
+    ``alpha0``: frequency-linear absorption [dB/cm/MHz] applied per bin as
+    ``exp(-a(f) (r1 + r2))`` over both propagation legs — the MUST/SIMUS
+    attenuation model (``src/Scatterers.m:14-84``). Attenuated runs use
+    the XLA engine (the fused Pallas recurrence is phase-only).
+
     Returns (T, N, M) f32 for real kern+amp; otherwise complex64 for
     ``out='complex'`` or the boundary-safe ri pair (T, N, M, 2) (default on
     TPU via 'auto').
@@ -212,18 +240,22 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     # carries (the tall-array analog; cf. greens_tiled's SLAB)
     SLAB = slab
 
+    att = alpha_np_per_bin(alpha0, fs, plan["L"]) if alpha0 else 0.0
     single_sub = pn.shape[1] == 1 and pv.shape[1] == 1
     if engine == "pallas" and not single_sub:
         raise ValueError("engine='pallas' supports single sub-element"
                          " geometry only (element_subdivisions=(1, 1))")
+    if engine == "pallas" and att:
+        raise ValueError("engine='pallas' does not support attenuation"
+                         " (alpha0 != 0); use engine='xla'")
     on_cpu = jax.devices()[0].platform == "cpu"
     use_pallas = engine == "pallas" or (
-        engine == "auto" and single_sub and not on_cpu)
+        engine == "auto" and single_sub and not on_cpu and not att)
     if use_pallas:
         from .greens_freq_pallas import freq_gemm_pallas
         gemm = partial(freq_gemm_pallas, interpret=on_cpu)
     else:
-        gemm = _freq_gemm
+        gemm = partial(_freq_gemm, att=att)
 
     def gpass(a_real):
         a_real = np.asarray(a_real, np.float32)

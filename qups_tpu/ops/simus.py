@@ -32,11 +32,11 @@ _PRECS = {
 
 
 @partial(jax.jit, static_argnames=("k0", "F", "T", "fs", "c0", "baffle",
-                                   "B", "precision"))
+                                   "B", "precision", "att"))
 def _simus_spectrum(ps, amp, pn, nn_az, pv, nv_az, widths, *, k0: int,
                     F: int, T: int, fs: float, c0: float,
                     baffle: str = "soft", B: int = 8,
-                    precision: str = "highest"):
+                    precision: str = "highest", att: float = 0.0):
     """Geometry+directivity spectrum X[k, n, e] for one contiguous bin run
     [k0, k0+F) — device-resident complex output (legal on this backend;
     only transfers are restricted).
@@ -76,10 +76,19 @@ def _simus_spectrum(ps, amp, pn, nn_az, pv, nv_az, widths, *, k0: int,
         a = -k * dph * r
         return jax.lax.complex(w * jnp.cos(a), w * jnp.sin(a))
 
+    if att != 0.0:
+        # frequency-linear absorption exp(-att k r) over both legs — the
+        # MUST attenuation model (``Scatterers.alpha0``); rides the same
+        # multiplicative recurrence as the phase (see greens_freq)
+        w_rx = w_rx * jnp.exp(-att * float(k0) * r_rx)
+        w_tx = w_tx * jnp.exp(-att * float(k0) * r_tx)
+        d_rx = phasor(r_rx, jnp.exp(-att * r_rx), 1.0)
+        d_tx = phasor(r_tx, jnp.exp(-att * r_tx), 1.0)
+    else:
+        d_rx = phasor(r_rx, jnp.ones_like(r_rx), 1.0)
+        d_tx = phasor(r_tx, jnp.ones_like(r_tx), 1.0)
     E_rx = phasor(r_rx, w_rx, float(k0))
     E_tx = phasor(r_tx, w_tx, float(k0))
-    d_rx = phasor(r_rx, jnp.ones_like(r_rx), 1.0)
-    d_tx = phasor(r_tx, jnp.ones_like(r_tx), 1.0)
 
     # sinc directivity arguments per unit bin index: w_el * k * fs * sth /
     # (T c0) — no recurrence exists, so the shared engine evaluates it as
@@ -126,7 +135,8 @@ def _simus_synth(Xs, spec_ris, *, T: int, k0s):
 
 def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
               T: int, fs: float, c0: float, baffle: str = "soft",
-              precision: str = "highest", engine: str = "auto"):
+              precision: str = "highest", engine: str = "auto",
+              alpha0: float = 0.0):
     """Frequency-domain FSA synthesis.
 
     Args:
@@ -143,17 +153,26 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
         phasor+directivity GEMMs in the fused VMEM-resident kernel
         (:func:`qups_tpu.ops.greens_freq_pallas.simus_spectrum_pallas`);
         'auto' picks it on TPU.
+      alpha0: frequency-linear absorption [dB/cm/MHz] applied per bin over
+        both propagation legs (the MUST model, ``Scatterers.alpha0``).
+        Attenuated runs use the XLA engine.
 
     Returns: real (T, N, E) FSA traces (rfft synthesis).
     """
+    from .greens_freq import alpha_np_per_bin
     bin_idx = np.asarray(bin_idx, np.int64)
     order = np.argsort(bin_idx)
     bin_idx = bin_idx[order]
     spec = np.asarray(spec, np.complex64)[order]
     if bin_idx.size == 0:
         return jnp.zeros((T, np.shape(pn)[0], np.shape(pv)[0]), jnp.float32)
+    att = alpha_np_per_bin(alpha0, fs, T) if alpha0 else 0.0
+    if engine == "pallas" and att:
+        raise ValueError("engine='pallas' does not support attenuation"
+                         " (alpha0 != 0); use engine='xla'")
     on_cpu = jax.devices()[0].platform == "cpu"
-    use_pallas = engine == "pallas" or (engine == "auto" and not on_cpu)
+    use_pallas = engine == "pallas" or (engine == "auto" and not on_cpu
+                                        and not att)
     # contiguous runs (short gaps absorbed as zero spectrum): sparse /
     # multi-lobe selections never pay GEMMs across dead bands
     Xs, spec_ris, k0s = [], [], []
@@ -177,7 +196,7 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
                 jnp.asarray(pv, jnp.float32), jnp.asarray(nv_az, jnp.float32),
                 jnp.asarray(widths, jnp.float32), k0=int(k0), F=int(F), T=T,
                 fs=float(fs), c0=float(c0), baffle=baffle,
-                precision=precision)
+                precision=precision, att=att)
         Xs.append(X)
         k0s.append(int(k0))
     return _simus_synth(tuple(Xs), tuple(spec_ris), T=T, k0s=tuple(k0s))

@@ -184,3 +184,49 @@ def test_bf16_gemm_parity():
                                  precision="bf16", **kw))
     rel = np.linalg.norm(x16 - x32) / np.linalg.norm(x32)
     assert rel < 5e-3, rel
+
+
+def test_attenuation_analytic():
+    """Scatterers.alpha0 absorption (VERDICT r2 #7): a single scatterer's
+    echo amplitude drops by exp(-a(fc) * 2r) for a narrowband pulse —
+    the analytic MUST model (``src/Scatterers.m:14-84``)."""
+    fs, c0, fc = 40e6, 1500.0, 5e6
+    r = 20e-3
+    K = 121
+    t = np.arange(K) / fs
+    kern = (np.sin(2 * np.pi * fc * t)
+            * np.hanning(K)).astype(np.float32)  # narrowband tone at fc
+    ps = np.array([[0.0, 0.0, r]], np.float32)
+    amp = np.ones(1, np.float32)
+    pn = np.zeros((1, 1, 3), np.float32)
+    pv = np.zeros((1, 1, 3), np.float32)
+    T = int((2 * r / c0) * fs) + K + 64
+    kw = dict(T=T, s0=0.0, t0k=0.0, fs=fs, cinv=1 / c0, R0=1e-3,
+              out="complex", engine="xla")
+    x0 = np.asarray(greens_freq(kern, ps, amp, pn, pv, **kw)).ravel()
+    alpha0 = 0.5  # dB/cm/MHz
+    x1 = np.asarray(greens_freq(kern, ps, amp, pn, pv, alpha0=alpha0,
+                                **kw)).ravel()
+    ratio = np.abs(x1).max() / np.abs(x0).max()
+    # analytic: 10^(-alpha0 * f_MHz * 2r_cm / 20)
+    expect = 10.0 ** (-alpha0 * (fc / 1e6) * (2 * r * 100) / 20.0)
+    assert abs(ratio - expect) / expect < 0.03
+    # and alpha0=0 is bit-identical to the unattenuated path
+    x2 = np.asarray(greens_freq(kern, ps, amp, pn, pv, alpha0=0.0,
+                                **kw)).ravel()
+    np.testing.assert_array_equal(x0, x2)
+
+
+def test_attenuation_via_scatterers():
+    """system.greens consumes Scatterers.alpha0 through the freq engine."""
+    import qups_tpu as q
+    xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=5e6)
+    seq = q.Sequence(type="FSA", numpulse=4, c0=1500.0)
+    scan = q.ScanCartesian(x=np.linspace(-1e-3, 1e-3, 4),
+                           z=np.linspace(19e-3, 21e-3, 4))
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=40e6)
+    s0 = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1500.0)
+    s1 = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1500.0, alpha0=0.5)
+    a = np.abs(np.asarray(us.greens(s0, impl="freq").data)).max()
+    b = np.abs(np.asarray(us.greens(s1, impl="freq").data)).max()
+    assert b < 0.6 * a  # ~ -10 dB at 5 MHz x 4 cm round trip
