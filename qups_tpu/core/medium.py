@@ -66,10 +66,12 @@ class Medium:
     @staticmethod
     def Sampled(scan, c: Optional[np.ndarray] = None, rho: Optional[np.ndarray] = None,
                 bona: Optional[np.ndarray] = None, alpha: Optional[np.ndarray] = None,
-                **ambient) -> "Medium":
+                method: str = "cubic", **ambient) -> "Medium":
         """Medium defined by gridded property arrays on ``scan``
         (``Medium.Sampled``, ``Medium.m:465``); samples are looked up by
-        nearest-neighbor interpolation at query positions."""
+        gridded interpolation at query positions — cubic by default, like
+        the reference's gridded interpolants (``method``: 'nearest' |
+        'linear' | 'cubic')."""
         med = Medium(**ambient)
         arrays = {k: np.asarray(v, dtype=np.float64)
                   for k, v in (("c", c), ("rho", rho), ("bona", bona), ("alpha", alpha))
@@ -81,18 +83,18 @@ class Medium:
 
         def lookup(P):
             # map cartesian positions onto the source grid's data axes
-            # (supports cartesian source scans; nearest neighbor)
             from .scan import ScanCartesian
+            from ..utils.maths import gridded_interp
             assert isinstance(scan, ScanCartesian), "Sampled requires a cartesian scan"
             comp = {"X": P[0], "Y": P[1], "Z": P[2]}
-            idx = []
+            fis = []
             for dim, c_ in enumerate(order):
                 ax = axes[dim]
                 q = comp[c_]
                 step = ax[1] - ax[0] if ax.size > 1 else 1.0
-                i = np.clip(np.round((q - ax[0]) / step).astype(int), 0, ax.size - 1)
-                idx.append(i)
-            return {k: v[tuple(idx)] for k, v in arrays.items()}
+                fis.append((q - ax[0]) / step)
+            return {k: gridded_interp(v, fis, method=method)
+                    for k, v in arrays.items()}
 
         region = (lambda P: np.ones(P.shape[1:], dtype=bool), lookup)
         return dataclasses.replace(med, pertreg=med.pertreg + (region,))

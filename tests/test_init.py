@@ -402,8 +402,9 @@ def test_scan_generic_trans_function():
 
 
 def test_medium_sampled_offgrid():
-    """Medium.Sampled: queries OFF the defining grid snap to the nearest
-    sample; queries outside fall back to ambient."""
+    """Medium.Sampled: method='nearest' snaps off-grid queries to the
+    nearest sample; the default cubic interpolates smoothly (the
+    reference's gridded-interpolant behavior, ``Medium.m:465``)."""
     import qups_tpu as q
 
     grid = q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 5), y=[0.0],
@@ -413,12 +414,18 @@ def test_medium_sampled_offgrid():
     sl = [slice(None)] * 3
     sl[zdim] = slice(3, None)
     cmap[tuple(sl)] = 1600.0  # deep layer
-    med = q.Medium.Sampled(grid, c=cmap, c0=1540.0)
-    # off-grid query points (between samples) — nearest-neighbor lookup
-    q1 = q.ScanCartesian(x=[0.4e-3], y=[0.0], z=[0.4e-3])   # near z=0.5mm row? -> 1500 region
+    med_n = q.Medium.Sampled(grid, c=cmap, c0=1540.0, method="nearest")
+    q1 = q.ScanCartesian(x=[0.4e-3], y=[0.0], z=[0.4e-3])   # shallow -> 1500
     q2 = q.ScanCartesian(x=[0.0], y=[0.0], z=[3.4e-3])      # deep -> 1600
-    assert np.isclose(np.asarray(med.props(q1, "c")).item(), 1500.0)
-    assert np.isclose(np.asarray(med.props(q2, "c")).item(), 1600.0)
+    assert np.isclose(np.asarray(med_n.props(q1, "c")).item(), 1500.0)
+    assert np.isclose(np.asarray(med_n.props(q2, "c")).item(), 1600.0)
+    # cubic (default): exact on grid nodes, smooth between
+    med_c = q.Medium.Sampled(grid, c=cmap, c0=1540.0)
+    qn = q.ScanCartesian(x=[0.0], y=[0.0], z=[1e-3])  # exactly a grid node
+    assert np.isclose(np.asarray(med_c.props(qn, "c")).item(), 1500.0)
+    v = np.asarray(med_c.props(q2, "c")).item()
+    assert 1490.0 < v < 1620.0  # smooth ramp across the layer (CR overshoot ok)
+    assert not np.isclose(v, 1500.0) and not np.isclose(v, 1600.0)
 
 
 def test_dict2obj_nested_scan_roundtrip():
