@@ -1,5 +1,7 @@
 from .mesh import (make_mesh, das_sharded, das_sharded_pallas,
-                   greens_sharded, greens_freq_sharded)
+                   das_lut_sharded_pallas, greens_sharded,
+                   greens_freq_sharded)
 
 __all__ = ["make_mesh", "das_sharded", "das_sharded_pallas",
-           "greens_sharded", "greens_freq_sharded"]
+           "das_lut_sharded_pallas", "greens_sharded",
+           "greens_freq_sharded"]

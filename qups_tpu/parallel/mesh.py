@@ -161,73 +161,276 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
                        fs: float, tx_model: str = "virtual",
                        im_shape=None, interpret: bool = False,
-                       precision: str = "f32"):
+                       precision: str = "f32", method: str = "linear",
+                       apod=(), orientations=None, lat=None,
+                       keep_rx: bool = False, keep_tx: bool = False,
+                       fmod: float = 0.0, out: str = "auto"):
     """Sharded DAS riding the fused Pallas kernel per shard.
 
-    The channel data ``x (T, N, M)`` (real f32) is sharded rx->'rx',
-    tx->'tx'; each device runs :func:`qups_tpu.ops.das_pallas._das_call` on
-    its (rx, tx) trace block against the full (replicated) pixel grid, and
-    the partial images are ``psum``-reduced over both axes — the multi-chip
-    composition of the single-chip hot path (BASELINE scaling metric).
-    Host-side geometry packing + window planning happen per shard
-    (``prep_sharded``), stacked on the mesh axes.
+    The channel data ``x (T, N, M[, F])`` (real or complex) is sharded
+    rx->'rx', tx->'tx' (frames->'frame' when present); each device runs
+    :func:`qups_tpu.ops.das_pallas._das_call` on its trace block against
+    the full (replicated) pixel grid, and the partial images are
+    ``psum``-reduced over the summed axes — the multi-chip composition of
+    the single-chip hot path (BASELINE scaling metric). Host-side geometry
+    packing + window planning happen per shard (``prep_sharded``), stacked
+    on the mesh axes.
 
-    ``precision='bf16pair'`` packs each shard's traces into bf16 tap-pair
-    lanes on-device before the kernel (the single-chip hot-path trace
-    mode): ~2x fewer gather bits per sum, ~0.2% max rel err.
+    Full fast-path feature set (parity with :func:`das_tiled`): all four
+    samplers (``method``), fused-geometry apodization descriptors
+    (``apod``: :class:`~qups_tpu.ops.das_pallas.Fused`), ``keep_rx``
+    (coherence imaging — the kept axis stays rx-sharded and is gathered
+    on return) / ``keep_tx``, IQ data with in-kernel ``fmod``
+    remodulation, and frame batches. ``precision='bf16pair'`` packs each
+    shard's traces into bf16 tap-pair lanes on-device before the kernel.
+
+    Returns (I, 1|N, 1|M[, F]); complex (or ri-stacked ``(..., 2)`` when
+    ``out='ri'`` or on TPU with ``out='auto'``) for IQ/fmod inputs.
     """
     from ..ops.das_pallas import _das_call, _pack_pairs, prep_sharded
 
+    if keep_rx and keep_tx:
+        raise ValueError("das_sharded_pallas keeps at most one of rx/tx")
     shard_map = jax.shard_map
     nrx = mesh.shape.get("rx", 1)
     ntx = mesh.shape.get("tx", 1)
+    have_frame = "frame" in mesh.axis_names and np.ndim(x) >= 4
+    nfr = mesh.shape.get("frame", 1) if have_frame else 1
     pair = precision == "bf16pair"
-    x = jnp.asarray(x, jnp.float32)
-    T, N, M = x.shape
+    cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(
+        x, "dtype", np.float32))))
+    iq = cplx or fmod != 0.0
+    four = method in ("cubic", "lanczos3")
+    T, N, M = np.shape(x)[:3]
+    Fn = np.shape(x)[3] if np.ndim(x) >= 4 else None
     I = np.shape(pi)[0]
     if im_shape is None:
         im_shape = (I, 1, 1)
     arrays, st = prep_sharded(pi, pr, pv, nv, t0, cinv, fs=fs, T=T,
                               tx_model=tx_model, im_shape=tuple(im_shape),
-                              nrx=nrx, ntx=ntx)
+                              nrx=nrx, ntx=ntx, method=method, pair=pair,
+                              apod=apod, orientations=orientations,
+                              lat=lat, nch=2 if iq else 1)
     Tp, Nsh, Msh = st["Tp"], st["Nsh"], st["Msh"]
-    # pad + lay the traces out (M, N, T) so both shard axes lead
-    x = jnp.pad(x, ((0, Tp - T), (0, Nsh * nrx - N), (0, Msh * ntx - M)))
-    xT = jnp.transpose(x, (2, 1, 0))  # (Mp, Np, T)
+    Fp = (-(-Fn // nfr) * nfr) if Fn is not None else None
+
+    def prep_real(xr):
+        """(T, N, M[, F]) -> ([Fp,] Mp, Np, Tp) padded/packed."""
+        if four:  # edge-replicate one sample each end (see das_tiled)
+            xr = jnp.concatenate([xr[:1], xr, xr[-1:]], axis=0)
+        Te = xr.shape[0]
+        padc = [(0, Tp - Te), (0, Nsh * nrx - N), (0, Msh * ntx - M)]
+        padc += [(0, Fp - Fn)] if Fn is not None else []
+        xr = jnp.pad(xr, padc)
+        if Fn is not None:
+            xr = jnp.transpose(xr, (3, 2, 1, 0))  # (Fp, Mp, Np, Tp)
+        else:
+            xr = jnp.transpose(xr, (2, 1, 0))  # (Mp, Np, Tp)
+        return xr
 
     pzj = jnp.asarray(arrays["pz"])
     pxj = jnp.asarray(arrays["px"])
     pyj = jnp.asarray(arrays["py"])
+    latj = jnp.asarray(arrays["lat"]) if arrays["lat"] is not None else None
     MC, NC = st["MC"], st["NC"]
-    planar = st["planar"]
-
     boxesj = jnp.asarray(arrays["boxes"])
+    nch = 2 if iq else 1
 
-    def local(gbox1, pr1, pv1, xl):
-        # xl (Msh, Nsh, T); shard-local pallas launch + cross-chip psum
+    def local(gbox1, pr1, pv1, *xls):
+        # xls: nch shard-local trace blocks ([Fsh,] Msh, Nsh, Tp)
         if pair:
-            xl = _pack_pairs(xl)
-        acc = jnp.zeros((st["I1p"], st["I2p"]), jnp.float32)
-        out = _das_call(boxesj, gbox1[0], pzj, pxj, pyj, None, pr1[0],
-                        pv1[0], (xl,), (acc,), fs=float(fs),
-                        tx_model=tx_model, planar=planar, fmod=0.0,
-                        keep_rx=False, rx_apods=(), tx_apods=(), MC=MC,
-                        NC=NC, interpret=interpret, pair=pair,
-                        allfast=st["allfast"])[0]
-        if "rx" in mesh.axis_names:
-            out = jax.lax.psum(out, "rx")
-        if "tx" in mesh.axis_names:
-            out = jax.lax.psum(out, "tx")
-        return out
+            xls = tuple(_pack_pairs(xl) for xl in xls)
+        Fsh = xls[0].shape[0] if Fn is not None else None
+        keep_n = (Nsh,) if keep_rx else ((Msh,) if keep_tx else ())
+        oshape = ((Fsh,) if Fsh else ()) + keep_n + (st["I1p"], st["I2p"])
+        accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xls)
+        outs = _das_call(boxesj, gbox1[0], pzj, pxj, pyj, latj, pr1[0],
+                         pv1[0], xls, accs, fs=float(fs),
+                         tx_model=tx_model, planar=st["planar"],
+                         fmod=float(fmod), keep_rx=keep_rx, keep_tx=keep_tx,
+                         rx_apods=st["rx_apods"], tx_apods=st["tx_apods"],
+                         MC=MC, NC=NC, interpret=interpret, pair=pair,
+                         allfast=st["allfast"], method=method,
+                         vmax=st["vmax"])
+        res = []
+        for o in outs:
+            if not keep_rx and "rx" in mesh.axis_names:
+                o = jax.lax.psum(o, "rx")
+            if not keep_tx and "tx" in mesh.axis_names:
+                o = jax.lax.psum(o, "tx")
+            res.append(o)
+        return tuple(res) if nch > 1 else res[0]
 
+    fspec = "frame" if have_frame else None
+    xspec = P(fspec, "tx", "rx", None) if Fn is not None \
+        else P("tx", "rx", None)
+    kr = "rx" if keep_rx else None
+    kt = "tx" if keep_tx else None
+    keep_spec = (kr,) if keep_rx else ((kt,) if keep_tx else ())
+    ospec = P(*(((fspec,) if Fn is not None else ()) + keep_spec
+                + (None, None)))
     f = shard_map(local, mesh=mesh,
                   in_specs=(P("rx", None, None), P("rx", None, None),
-                            P("tx", None, None), P("tx", "rx", None)),
-                  out_specs=P(None, None), check_vma=False)
-    img = f(jnp.asarray(arrays["gboxes"]), jnp.asarray(arrays["prs"]),
-            jnp.asarray(arrays["pvs"]), xT)
-    I1, I2, _ = im_shape
-    return img[:I1, :I2].reshape(I, 1, 1)
+                            P("tx", None, None)) + (xspec,) * nch,
+                  out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+                  check_vma=False)
+
+    if cplx:
+        if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
+            xh = np.asarray(x)
+            xs = (prep_real(jnp.asarray(xh.real, jnp.float32)),
+                  prep_real(jnp.asarray(xh.imag, jnp.float32)))
+        else:
+            xre, xim = jax.jit(lambda v: (jnp.real(v).astype(jnp.float32),
+                                          jnp.imag(v).astype(jnp.float32)))(x)
+            xs = (prep_real(xre), prep_real(xim))
+    else:
+        xr = prep_real(jnp.asarray(x, jnp.float32))
+        xs = (xr, jnp.zeros_like(xr)) if iq else (xr,)
+
+    outs = f(jnp.asarray(arrays["gboxes"]), jnp.asarray(arrays["prs"]),
+             jnp.asarray(arrays["pvs"]), *xs)
+    outs = outs if nch > 1 else (outs,)
+    I1, I2, I3 = im_shape
+    I2f = I2 * I3  # volumetric C-order flatten (prep_sharded)
+    res = []
+    for o in outs:
+        if Fn is not None:
+            o = jnp.moveaxis(o, 0, -1)[..., :Fn]  # (..., F)
+        if keep_rx:
+            o = jnp.moveaxis(o[:N, :I1, :I2f], 0, 2)
+            o = o.reshape((I, N, 1) + o.shape[3:])
+        elif keep_tx:
+            o = jnp.moveaxis(o[:M, :I1, :I2f], 0, 2)
+            o = o.reshape((I, 1, M) + o.shape[3:])
+        else:
+            o = o[:I1, :I2f].reshape((I, 1, 1) + o.shape[2:])
+        res.append(o)
+    if nch == 1:
+        return res[0]
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if out == "ri" or (out == "auto" and on_tpu):
+        return jnp.stack(res, axis=-1)
+    return (res[0] + 1j * res[1]).astype(jnp.complex64)
+
+
+def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
+                           im_shape=None, method: str = "linear",
+                           keep_rx: bool = False, keep_tx: bool = False,
+                           fmod: float = 0.0, interpret: bool = False,
+                           precision: str = "f32", out: str = "auto"):
+    """Sharded LUT delay-and-sum riding the Pallas LUT kernel per shard —
+    the multi-chip spine of ``bfDAS``/``bfDASLUT``/``bfEikonal`` (the
+    reference parallelizes exactly these over pool workers,
+    ``UltrasoundSystem.m:4295,:3884``).
+
+    The delay tables shard with their axes: ``tau_rx (I, N)`` -> 'rx',
+    ``tau_tx (I, M)`` -> 'tx'; the traces ``x (T, N, M)`` shard over both.
+    Each device runs :func:`qups_tpu.ops.das_pallas._das_lut_call` on its
+    table/trace block and partial images are psum-reduced over the summed
+    axes (``keep_rx`` output stays rx-sharded). All four samplers.
+    """
+    from ..ops.das_pallas import (_das_lut_call, _pack_pairs,
+                                  prep_lut_sharded)
+
+    if keep_rx and keep_tx:
+        raise ValueError("das_lut_sharded_pallas keeps at most one of rx/tx")
+    shard_map = jax.shard_map
+    nrx = mesh.shape.get("rx", 1)
+    ntx = mesh.shape.get("tx", 1)
+    pair = precision == "bf16pair"
+    cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(
+        x, "dtype", np.float32))))
+    iq = cplx or fmod != 0.0
+    four = method in ("cubic", "lanczos3")
+    T, N, M = np.shape(x)[:3]
+    I = np.shape(tau_rx)[0]
+    if im_shape is None:
+        im_shape = (I, 1, 1)
+    arrays, st = prep_lut_sharded(tau_rx, tau_tx, t0, fs=fs, T=T,
+                                  im_shape=tuple(im_shape), nrx=nrx,
+                                  ntx=ntx, method=method, pair=pair,
+                                  nch=2 if iq else 1)
+    Tp, Nsh, Msh = st["Tp"], st["Nsh"], st["Msh"]
+
+    def prep_real(xr):
+        if four:
+            xr = jnp.concatenate([xr[:1], xr, xr[-1:]], axis=0)
+        Te = xr.shape[0]
+        xr = jnp.pad(xr, [(0, Tp - Te), (0, Nsh * nrx - N),
+                          (0, Msh * ntx - M)])
+        return jnp.transpose(xr, (2, 1, 0))  # (Mp, Np, Tp)
+
+    nch = 2 if iq else 1
+
+    def local(rxb1, txb1, taur1, taut1, tv1, *xls):
+        if pair:
+            xls = tuple(_pack_pairs(xl) for xl in xls)
+        keep_n = (Nsh,) if keep_rx else ((Msh,) if keep_tx else ())
+        oshape = keep_n + (st["I1p"], st["I2p"])
+        accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xls)
+        outs = _das_lut_call(rxb1[0], txb1[0], taur1[0], taut1[0], tv1[0],
+                             xls, accs, fs=float(fs), fmod=float(fmod),
+                             keep_rx=keep_rx, keep_tx=keep_tx,
+                             MC=st["MC"], NC=st["NC"], interpret=interpret,
+                             pair=pair, allfast=st["allfast"],
+                             method=method, vmax=st["vmax"])
+        res = []
+        for o in outs:
+            if not keep_rx and "rx" in mesh.axis_names:
+                o = jax.lax.psum(o, "rx")
+            if not keep_tx and "tx" in mesh.axis_names:
+                o = jax.lax.psum(o, "tx")
+            res.append(o)
+        return tuple(res) if nch > 1 else res[0]
+
+    kr = "rx" if keep_rx else None
+    kt = "tx" if keep_tx else None
+    keep_spec = (kr,) if keep_rx else ((kt,) if keep_tx else ())
+    ospec = P(*(keep_spec + (None, None)))
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P("rx", None, None), P("tx", None, None),
+                            P("rx", None, None, None),
+                            P("tx", None, None, None),
+                            P("tx", None, None))
+                  + (P("tx", "rx", None),) * nch,
+                  out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+                  check_vma=False)
+
+    if cplx:
+        if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
+            xh = np.asarray(x)
+            xs = (prep_real(jnp.asarray(xh.real, jnp.float32)),
+                  prep_real(jnp.asarray(xh.imag, jnp.float32)))
+        else:
+            xre, xim = jax.jit(lambda v: (jnp.real(v).astype(jnp.float32),
+                                          jnp.imag(v).astype(jnp.float32)))(x)
+            xs = (prep_real(xre), prep_real(xim))
+    else:
+        xr = prep_real(jnp.asarray(x, jnp.float32))
+        xs = (xr, jnp.zeros_like(xr)) if iq else (xr,)
+
+    outs = f(jnp.asarray(arrays["rxb"]), jnp.asarray(arrays["txb"]),
+             jnp.asarray(arrays["taur"]), jnp.asarray(arrays["taut"]),
+             jnp.asarray(arrays["tv"]), *xs)
+    outs = outs if nch > 1 else (outs,)
+    I1, I2, I3 = im_shape
+    I2f = I2 * I3
+    res = []
+    for o in outs:
+        if keep_rx:
+            o = jnp.moveaxis(o[:N, :I1, :I2f], 0, 2).reshape(I, N, 1)
+        elif keep_tx:
+            o = jnp.moveaxis(o[:M, :I1, :I2f], 0, 2).reshape(I, 1, M)
+        else:
+            o = o[:I1, :I2f].reshape(I, 1, 1)
+        res.append(o)
+    if nch == 1:
+        return res[0]
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if out == "ri" or (out == "auto" and on_tpu):
+        return jnp.stack(res, axis=-1)
+    return (res[0] + 1j * res[1]).astype(jnp.complex64)
 
 
 def greens_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int, s0: float,
@@ -266,7 +469,7 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
                         s0: float, t0k: float, fs: float, cinv, R0: float,
                         fsr: float = 1.0, rtol: float = 1e-6,
                         precision: str = "highest", out: str = "auto",
-                        engine: str = "auto"):
+                        engine: str = "auto", alpha0: float = 0.0):
     """Sharded frequency-domain Green's-function simulation
     (:mod:`qups_tpu.ops.greens_freq` under ``shard_map``).
 
@@ -282,28 +485,33 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
     :func:`qups_tpu.ops.greens_freq.greens_freq`); 'auto' uses the fused
     Pallas engine on TPU for single sub-element geometry.
     """
+    from functools import partial as _part
+
     from ..ops import greens_freq as _  # noqa: F401 (package init)
-    from ..ops.greens_freq import _freq_gemm, _host_plan, _orchestrate
+    from ..ops.greens_freq import (_freq_gemm, _host_plan, _orchestrate,
+                                   alpha_np_per_bin)
     shard_map = jax.shard_map
 
     plan = _host_plan(kern, ps, pn, pv, T=T, s0=s0, t0k=t0k, fs=fs,
                       cinv=cinv, R0=R0, fsr=fsr, rtol=rtol,
                       precision=precision)
+    att = alpha_np_per_bin(alpha0, fs, plan["L"]) if alpha0 else 0.0
     psn, pnn, pvn = plan["ps"], plan["pn"], plan["pv"]
     single_sub = pnn.shape[1] == 1 and pvn.shape[1] == 1
     if engine == "pallas" and not single_sub:
         raise ValueError("engine='pallas' supports single sub-element"
                          " geometry only (element_subdivisions=(1, 1))")
+    if engine == "pallas" and att:
+        raise ValueError("engine='pallas' does not support attenuation"
+                         " (alpha0 != 0); use engine='xla'")
     on_cpu = jax.devices()[0].platform == "cpu"
     use_pallas = engine == "pallas" or (
-        engine == "auto" and single_sub and not on_cpu)
+        engine == "auto" and single_sub and not on_cpu and not att)
     if use_pallas:
-        from functools import partial as _part
-
         from ..ops.greens_freq_pallas import freq_gemm_pallas
         gemm = _part(freq_gemm_pallas, interpret=on_cpu)
     else:
-        gemm = _freq_gemm
+        gemm = _part(_freq_gemm, att=att)
     ntx = mesh.shape["tx"]
     has_rx = "rx" in mesh.axis_names
     nrx = mesh.shape["rx"] if has_rx else 1
