@@ -129,7 +129,17 @@ def interp1(x, tau, method: str = "cubic", extrap=0.0):
 def interpd(x, tau, method: str = "cubic", extrap=0.0):
     """Broadcasted 1-D interpolation (``kern/interpd.m`` semantics with
     canonical axes): ``x`` (T, *B), ``tau`` (*C) of fractional time indices;
-    output ``broadcast(C, B)``."""
+    output ``broadcast(C, B)``.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import interpd
+        x = np.sin(np.linspace(0, 6.28, 64, dtype=np.float32))[:, None]
+        tau = np.array([[10.5], [20.25]], np.float32)
+        y = np.asarray(interpd(x, tau, method="cubic"))
+        assert y.shape == (2, 1)
+        assert abs(y[0, 0] - np.sin(10.5 * 6.28 / 63)) < 1e-3
+    """
     return interp1(x, tau, method=method, extrap=extrap)
 
 
@@ -192,6 +202,15 @@ def wsinterpd(x, tau, w=None, sdim: Union[int, Sequence[int], None] = None,
     ``x``: (T, *B); ``tau``: fractional indices, broadcastable; ``w``:
     weights broadcastable to the sampled shape; ``sdim``: output dims to sum
     over (after broadcasting). omega is in radians per unit of ``tau``.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import wsinterpd
+        x = np.arange(32, dtype=np.float32)[:, None]     # ramp, 1 channel
+        tau = np.array([[4.0, 6.0]], np.float32)         # (1, 2) delays
+        w = np.array([[0.5, 0.5]], np.float32)
+        y = np.asarray(wsinterpd(x, tau, w=w, sdim=1))   # weighted sum
+        assert abs(y.item() - 5.0) < 1e-5                # (4 + 6) / 2
     """
     v = interp1(x, tau, method=method, extrap=extrap)
     ph = _phase(omega, jnp.asarray(tau),
@@ -221,6 +240,17 @@ def wsinterpd2(x, tau1, tau2, w=None, sdim: Union[int, Sequence[int], None] = No
     per-slice broadcast times the output — O(T*N*M), not O(T*N*M*M').
     Non-separable summed dims (both tensors non-singleton) fall back to the
     dense broadcast.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import wsinterpd, wsinterpd2
+        x = np.random.default_rng(0).standard_normal((32, 3)).astype(np.float32)
+        t1 = np.linspace(2, 8, 5, dtype=np.float32).reshape(5, 1, 1)
+        t2 = np.linspace(0, 1, 3, dtype=np.float32).reshape(1, 3, 1)
+        # separable tau = t1 + t2, summed over the channel dim
+        y2 = np.asarray(wsinterpd2(x[:, :, None], t1, t2, sdim=1))
+        yd = np.asarray(wsinterpd(x[:, :, None], t1 + t2, sdim=1))
+        assert np.allclose(y2, yd, atol=1e-5)
     """
     t1 = jnp.asarray(tau1)
     t2 = jnp.asarray(tau2)

@@ -168,6 +168,22 @@ class UltrasoundSystem:
         'bf16' — bf16 runs the per-bin GEMMs with bf16 phasor inputs and
         f32 accumulation: ~4x the MXU rate at ~0.2% rel error, for large
         diffuse-speckle clouds.
+
+        Example:
+            import numpy as np
+            import qups_tpu as q
+            xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+            us = q.UltrasoundSystem(
+                tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+                scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                     z=np.linspace(18e-3, 22e-3, 8)),
+                fs=12e6)
+            scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+            chd = us.greens(scat)
+            # echo arrives at the round-trip time 2 * 20mm / c0 ~ 26 us
+            t_pk = np.asarray(chd.time)[
+                int(np.abs(np.asarray(chd.data))[:, 0, 0].argmax())]
+            assert abs(t_pk - 2 * 20e-3 / 1540.0) < 1e-6
         """
         fs = float(self.fs)
         fsk = float(fsk or fs)
@@ -206,10 +222,17 @@ class UltrasoundSystem:
             impl = "freq" if jax.devices()[0].platform not in ("cpu",) \
                 else "splat"
 
+        if impl != "freq" and float(scat.alpha0):
+            import warnings
+            warnings.warn(
+                "greens: Scatterers.alpha0 attenuation requires the"
+                f" frequency-domain engine (impl='freq'); impl={impl!r}"
+                " ignores it", stacklevel=2)
         if impl == "freq":
             from .ops.greens_freq import greens_freq
             kw = dict(T=T, s0=s0, t0k=float(wv.t0), fs=fs, cinv=1.0 / c0,
-                      R0=R0, fsr=fsk / fs, rtol=rtol, precision=precision)
+                      R0=R0, fsr=fsk / fs, rtol=rtol, precision=precision,
+                      alpha0=float(scat.alpha0))
             amp = np.asarray(scat.amp)
             x = greens_freq(kern, ps.T, amp, pn, pv, out="auto", **kw)
             if np.iscomplexobj(kern) or np.iscomplexobj(amp):
@@ -279,7 +302,24 @@ class UltrasoundSystem:
         FSA synthesis via per-frequency (N, S) x (S, E) complex GEMMs (see
         :mod:`qups_tpu.ops.simus`), then :meth:`focusTx`. Unlike the
         reference's tone-burst-only external toolbox, any pulse works (it
-        enters through its spectrum)."""
+        enters through its spectrum). ``Scatterers.alpha0`` [dB/cm/MHz]
+        applies frequency-linear absorption over both propagation legs
+        (the MUST model).
+
+        Example:
+            import numpy as np
+            import qups_tpu as q
+            xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+            us = q.UltrasoundSystem(
+                tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+                scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                     z=np.linspace(18e-3, 22e-3, 8)),
+                fs=12e6)
+            scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+            chd = us.simus(scat)
+            assert chd.data.shape[1:3] == (4, 4) and np.isfinite(
+                np.abs(np.asarray(chd.data))).all()
+        """
         from .ops.simus import simus_fsa
 
         fs = float(self.fs)
@@ -321,7 +361,8 @@ class UltrasoundSystem:
                       jnp.asarray([self.tx.width, self.rx.width],
                                   jnp.float32),
                       spec.astype(np.complex64), sel.astype(np.int32),
-                      T=T, fs=fs, c0=c0, baffle=baffle)
+                      T=T, fs=fs, c0=c0, baffle=baffle,
+                      alpha0=float(scat.alpha0))
         chd = ChannelData(data=x, fs=fs, t0=s0)
         return self.focusTx(chd, self.seq)
 
@@ -353,7 +394,24 @@ class UltrasoundSystem:
         or all at once in a single fused jit when ``None``.
 
         All blocks share one focus plan (common t0 shift and zero-pad), so
-        blocked and unblocked results are identical."""
+        blocked and unblocked results are identical.
+
+        Example:
+            import numpy as np
+            import qups_tpu as q
+            xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+            seq = q.SequenceRadial(type="PW", angles=[-5.0, 5.0], c0=1540.0)
+            us = q.UltrasoundSystem(
+                tx=xdc, rx=xdc, seq=seq,
+                scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                     z=np.linspace(18e-3, 22e-3, 8)),
+                fs=12e6)
+            scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+            a = us.calc_scat_multi(scat)            # fused per-tx synthesis
+            b = us.calc_scat_multi(scat, bsize=1)   # blocked == fused
+            assert np.allclose(np.asarray(a.data), np.asarray(b.data),
+                               atol=1e-5)
+        """
         kw["method"] = method
         if self.seq.type == "FSA":
             return self.greens(scat, element_subdivisions, **kw)
@@ -410,7 +468,23 @@ class UltrasoundSystem:
                 method: str = "cubic", buffer: int = 0) -> ChannelData:
         """Synthesize transmits from FSA data: delay-and-sum *across
         transmits* (``UltrasoundSystem.focusTx``,
-        ``UltrasoundSystem.m:3374-3503``)."""
+        ``UltrasoundSystem.m:3374-3503``).
+
+        Example:
+            import numpy as np
+            import qups_tpu as q
+            xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+            us = q.UltrasoundSystem(
+                tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+                scan=q.ScanCartesian(x=[0.0], z=[20e-3]), fs=12e6)
+            rng = np.random.default_rng(0)
+            chd = q.ChannelData(
+                data=rng.standard_normal((64, 4, 4)).astype(np.float32),
+                fs=12e6, t0=0.0)
+            pw = q.SequenceRadial(type="PW", angles=[0.0], c0=1540.0)
+            out = us.focusTx(chd, pw)   # 4 FSA transmits -> 1 plane wave
+            assert out.data.shape[2] == 1
+        """
         seq = seq or self.seq
         plan = self._focus_plan(chd.fs, chd.data.ndim, seq, buffer)
         if plan is None:
@@ -435,16 +509,15 @@ class UltrasoundSystem:
         dims are kept (N/M) or summed (1) per the flags.
 
         ``method``: 'nearest' | 'linear' | 'cubic' | 'lanczos3' | 'auto'.
-        'auto' (default) picks the backend-best sampler: 'linear' when the
-        call rides the Pallas fast path (the kernel is linear-only, like
-        the reference's OpenCL variant), 'cubic' (the reference default)
-        everywhere else. An explicit method is always honored — requesting
-        'cubic' on TPU takes the ~100x slower XLA path and warns.
+        'auto' (default) resolves to 'cubic' — the reference default
+        (``UltrasoundSystem.m:3279``) — which runs in-kernel on the Pallas
+        fast path (all four samplers do; 4-tap methods cost ~20% over
+        linear).
 
         ``kernel``: 'auto' uses the fused Pallas TPU kernel when eligible
-        (TPU backend, planar scan, scalar sound speed, no apodization,
-        summed output, linear interp, no frame dims — the benchmark hot
-        path); 'xla' forces the general scan-over-transmits path; 'pallas'
+        (TPU backend, iso-depth scan order, scalar sound speed, fused or
+        no apodization, at most one kept axis — the benchmark hot path);
+        'xla' forces the general scan-over-transmits path; 'pallas'
         forces the Pallas kernel (mirrors the reference's CUDA-vs-native
         dispatch, ``kern/das_spec.m:184-195``).
 
@@ -465,6 +538,27 @@ class UltrasoundSystem:
         splicing (``UltrasoundSystem.m:3488``, ``ChannelData.tall``,
         ``src/ChannelData.m:457``): device memory stays O(T*N*bsize + I)
         regardless of the total transmit count.
+
+        Example:
+            import numpy as np
+            import qups_tpu as q
+            xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+            us = q.UltrasoundSystem(
+                tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+                scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                     z=np.linspace(18e-3, 22e-3, 8)),
+                fs=12e6)
+            scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+            chd = us.greens(scat)
+            b = us.DAS(chd)                       # summed (I1, I2, I3, 1, 1)
+            brx = us.DAS(chd, keep_rx=True)       # coherence imaging input
+            assert b.shape[:3] == us.scan.shape
+            assert brx.shape[3] == 4
+            # the point target dominates near its true location
+            img = np.abs(np.asarray(b)).squeeze()
+            P = us.scan.positions().reshape(3, -1)
+            k = int(img.reshape(-1).argmax())
+            assert np.linalg.norm(P[:, k] - [0, 0, 20e-3]) < 1.1e-3
         """
         from .ops.das_pallas import Fused, das_tiled
         pv, nv, model = self._tx_geometry()
@@ -475,13 +569,9 @@ class UltrasoundSystem:
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
         if method == "auto":
-            fast = kernel in ("auto", "pallas") \
-                and jax.devices()[0].platform not in ("cpu",) \
-                and all(isinstance(a, Fused) for a in apod_t) \
-                and not (keep_rx and keep_tx) and cinv.ndim == 0 \
-                and chd.data.ndim in (3, 4) \
-                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
-            method = "linear" if fast else "cubic"
+            # the reference default sampler (``UltrasoundSystem.m:3279``);
+            # all four samplers run in-kernel on the Pallas fast path
+            method = "cubic"
         if bsize is not None and chd.M > bsize:
             # out-of-core transmit streaming: slice everything per-tx on
             # host, recurse per block with bsize disabled
@@ -489,13 +579,9 @@ class UltrasoundSystem:
             xh = chd.data if isinstance(chd.data, np.ndarray) \
                 else to_host(chd.data)  # complex-safe device download
             t0b = np.broadcast_to(np.asarray(t0).reshape(-1), (chd.M,))
-            fused_ok = all(isinstance(a, Fused) for a in apod_t)
-            on_tpu = jax.devices()[0].platform not in ("cpu",)
             pallas = kernel == "pallas" or (
-                kernel == "auto" and fused_ok and not (keep_rx and keep_tx)
-                and cinv.ndim == 0 and chd.data.ndim in (3, 4)
-                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
-                and method == "linear" and on_tpu)
+                kernel == "auto" and self._pallas_das_eligible(
+                    chd.data.ndim, apod_t, cinv, keep_rx, keep_tx, method))
             if not pallas:
                 # the XLA path consumes dense broadcastable apodizations:
                 # materialize Fused at full M once, slice per block below
@@ -526,6 +612,24 @@ class UltrasoundSystem:
                                method=method, kernel=kernel, out=out,
                                precision=precision)
 
+    def _pallas_das_eligible(self, data_ndim, apod_t, cinv, keep_rx,
+                             keep_tx, method) -> bool:
+        """THE fused-Pallas-DAS eligibility predicate — single source of
+        truth for ``method='auto'`` resolution, the ``bsize`` block
+        dispatch, and :meth:`_das_block` (the conditions ``das_tiled``
+        supports): TPU backend, fused-geometry (or no) apodization, at
+        most one kept axis, scalar sound speed, (T,N,M[,F]) data,
+        iso-depth-major scan order, and a supported sampler."""
+        from .ops.das_pallas import Fused
+        return (all(isinstance(a, Fused) for a in apod_t)
+                and not (keep_rx and keep_tx)
+                and np.ndim(cinv) == 0 and data_ndim in (3, 4)
+                # iso-depth-major flatten (volumetric scans flatten the
+                # trailing axes into the kernel's 128-lane rows)
+                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
+                and method in ("nearest", "linear", "cubic", "lanczos3")
+                and jax.devices()[0].platform not in ("cpu",))
+
     def _das_block(self, chd: ChannelData, pv, nv, model, cinv, apod_t,
                    *, fmod, keep_tx, keep_rx, method, kernel, out,
                    precision):
@@ -534,18 +638,8 @@ class UltrasoundSystem:
         t0 = chd.t0_host
         fused_ok = all(isinstance(a, Fused) for a in apod_t)
         on_tpu = jax.devices()[0].platform not in ("cpu",)
-        eligible = (
-            fused_ok and not (keep_rx and keep_tx)
-            and cinv.ndim == 0 and chd.data.ndim in (3, 4)
-            # iso-depth-major flatten (volumetric scans flatten the
-            # trailing axes into the kernel's 128-lane rows)
-            and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
-            and method == "linear"
-            and on_tpu
-        )
-        if kernel == "pallas" and method != "linear":
-            raise ValueError(
-                f"kernel='pallas' supports method='linear' only, got {method!r}")
+        eligible = self._pallas_das_eligible(chd.data.ndim, apod_t, cinv,
+                                             keep_rx, keep_tx, method)
         if kernel == "auto" and on_tpu and not eligible:
             import warnings
             warnings.warn(
@@ -569,7 +663,7 @@ class UltrasoundSystem:
                 lat = P.reshape(-1).astype(np.float32)
             img = das_tiled(chd.data, self._pixels(), self.rx.positions().T,
                             pv, nv, t0, cinv, fs=float(chd.fs),
-                            tx_model=model, method="linear", fmod=float(fmod),
+                            tx_model=model, method=method, fmod=float(fmod),
                             im_shape=tuple(self.scan.shape), out=out,
                             apod=apod_t, keep_rx=keep_rx, keep_tx=keep_tx,
                             lat=lat, orientations=ori, precision=precision)
@@ -598,7 +692,25 @@ class UltrasoundSystem:
               c0: Optional[float] = None, keep_tx: bool = False,
               keep_rx: bool = False, method: str = "auto"):
         """Generic delay-and-sum via delay tables
-        (``UltrasoundSystem.bfDAS``, ``UltrasoundSystem.m:4334-4474``)."""
+        (``UltrasoundSystem.bfDAS``, ``UltrasoundSystem.m:4334-4474``).
+
+        Example:
+            import numpy as np
+            import qups_tpu as q
+            xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+            us = q.UltrasoundSystem(
+                tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+                scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                     z=np.linspace(18e-3, 22e-3, 8)),
+                fs=12e6)
+            scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+            chd = us.greens(scat)
+            b1 = np.asarray(us.bfDAS(chd)).squeeze()
+            b2 = np.asarray(us.DAS(chd)).squeeze()  # same geometry, fused
+            c = np.abs(np.vdot(b1, b2)) / (
+                np.linalg.norm(b1) * np.linalg.norm(b2))
+            assert c > 0.99
+        """
         tau_rx, tau_tx = self.das_delay_tables(c0=c0)
         return self.bfDASLUT(chd, tau_rx, tau_tx, apod=apod, fmod=fmod,
                              keep_tx=keep_tx, keep_rx=keep_rx, method=method)
@@ -611,28 +723,40 @@ class UltrasoundSystem:
         delays" API (``UltrasoundSystem.bfDASLUT``,
         ``UltrasoundSystem.m:4476-4673``).
 
-        On TPU the linear-interp / no-apod / single-frame path rides the
-        Pallas LUT kernel (``das_lut_tiled``: delay tables streamed as
-        per-tile blocks, trace windows planned from host-reduced stripe
-        bounds of the actual tables); everything else uses the XLA
-        ``das_lut`` path. ``kernel``: 'auto' | 'pallas' | 'xla'.
-        ``method='auto'`` picks 'linear' when the call rides the Pallas
-        LUT kernel, 'cubic' (the reference default) otherwise; explicit
-        methods are always honored."""
+        On TPU the no-apod / single-frame path rides the Pallas LUT kernel
+        (``das_lut_tiled``: delay tables streamed as per-tile blocks, trace
+        windows planned from host-reduced stripe bounds of the actual
+        tables — all four samplers in-kernel); everything else uses the
+        XLA ``das_lut`` path. ``kernel``: 'auto' | 'pallas' | 'xla'.
+        ``method='auto'`` resolves to 'cubic', the reference default.
+
+        Example:
+            import numpy as np
+            import qups_tpu as q
+            xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+            us = q.UltrasoundSystem(
+                tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+                scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                     z=np.linspace(18e-3, 22e-3, 8)),
+                fs=12e6)
+            scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+            chd = us.greens(scat)
+            # bring-your-own-delays: here the geometric tables, but any
+            # (I, N)/(I, M) tables work (eikonal, calibration, ...)
+            tau_rx, tau_tx = us.das_delay_tables()
+            b = us.bfDASLUT(chd, tau_rx, tau_tx)
+            assert b.shape[:3] == us.scan.shape
+        """
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
         on_tpu = jax.devices()[0].platform not in ("cpu",)
-        fast = (not apod_t and not (keep_rx and keep_tx)
-                and chd.data.ndim == 3 and np.ndim(t0) <= 1
-                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
-                and on_tpu)
         if method == "auto":
-            method = "linear" if fast and kernel in ("auto", "pallas") \
-                else "cubic"
-        if kernel == "pallas" and method != "linear":
-            raise ValueError(
-                f"kernel='pallas' supports method='linear' only, got {method!r}")
-        eligible = fast and method == "linear"
+            method = "cubic"
+        eligible = (not apod_t and not (keep_rx and keep_tx)
+                    and chd.data.ndim == 3 and np.ndim(t0) <= 1
+                    and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
+                    and method in ("nearest", "linear", "cubic", "lanczos3")
+                    and on_tpu)
         if kernel == "pallas" or (kernel == "auto" and eligible):
             from .ops.das_pallas import das_lut_tiled
             if out == "auto":
@@ -640,6 +764,7 @@ class UltrasoundSystem:
             img = das_lut_tiled(chd.data, tau_rx, tau_tx, t0,
                                 fs=float(chd.fs), fmod=float(fmod),
                                 keep_rx=keep_rx, keep_tx=keep_tx,
+                                method=method,
                                 im_shape=tuple(self.scan.shape), out=out)
         else:
             img = das_lut(chd.data, tau_rx, tau_tx, t0, fs=float(chd.fs),
@@ -864,7 +989,24 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
 
     Frequency-bin selection is shape-affecting and therefore host-side
     (one small (T,) spectrum download per call); pass ``bins`` (int32
-    indices) to skip it and keep repeated calls jit-clean."""
+    indices) to skip it and keep repeated calls jit-clean.
+
+    Example:
+        import numpy as np
+        import qups_tpu as q
+        xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+        us = q.UltrasoundSystem(
+            tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+            scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                 z=np.linspace(18e-3, 22e-3, 8)),
+            fs=12e6)
+        scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+        chd = us.greens(scat)
+        b = us.bfAdjoint(chd)
+        img = np.abs(np.asarray(b)).squeeze()
+        assert img.shape == (8, 8)
+        assert np.isfinite(img).all() and img.max() > 0
+    """
     from .ops.fdbf import bf_adjoint
 
     c0v = float(c0 if c0 is not None else self_c0(us))
@@ -908,7 +1050,26 @@ def self_c0(us) -> float:
 def _refocus(us, chd, seq: Optional[Sequence] = None, gamma: Optional[float] = None,
              method: str = "tikhonov"):
     """Decode synthesized transmits back to FSA (REFoCUS)
-    (``UltrasoundSystem.refocus``, ``src/UltrasoundSystem.m:3505-3768``)."""
+    (``UltrasoundSystem.refocus``, ``src/UltrasoundSystem.m:3505-3768``).
+
+    Example:
+        import numpy as np
+        import qups_tpu as q
+        xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+        us = q.UltrasoundSystem(
+            tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+            scan=q.ScanCartesian(x=[0.0], z=[20e-3]), fs=12e6)
+        scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+        fsa = us.greens(scat)
+        # encode with plane waves, decode back to FSA
+        pw = q.SequenceRadial(type="PW", angles=np.linspace(-10, 10, 4),
+                              c0=1540.0)
+        enc = us.focusTx(fsa, pw)
+        dec = us.replace(seq=pw).refocus(enc)
+        a = np.abs(np.asarray(fsa.data)).max()
+        assert dec.data.shape[2] == 4
+        assert np.isfinite(np.abs(np.asarray(dec.data))).all()
+    """
     from .ops.fdbf import refocus as _rf
 
     seq = seq or us.seq
@@ -1015,17 +1176,12 @@ UltrasoundSystem.bfMigration = _bf_migration
 # ----------------------------------------------------------------------------
 # Eikonal beamformer (heterogeneous sound speed)
 # ----------------------------------------------------------------------------
-def _grid_interp2(vals, zi, xi):
-    """Bilinear interpolation of ``vals (Nz, Nx)`` at fractional indices."""
-    Nz, Nx = vals.shape
-    z0 = np.clip(np.floor(zi).astype(int), 0, Nz - 1)
-    x0 = np.clip(np.floor(xi).astype(int), 0, Nx - 1)
-    z1 = np.clip(z0 + 1, 0, Nz - 1)
-    x1 = np.clip(x0 + 1, 0, Nx - 1)
-    wz = np.clip(zi - z0, 0, 1)
-    wx = np.clip(xi - x0, 0, 1)
-    return ((1 - wz) * (1 - wx) * vals[z0, x0] + (1 - wz) * wx * vals[z0, x1]
-            + wz * (1 - wx) * vals[z1, x0] + wz * wx * vals[z1, x1])
+def _grid_interp2(vals, zi, xi, method: str = "cubic"):
+    """Gridded interpolation of ``vals (Nz, Nx)`` at fractional indices —
+    cubic by default, matching the reference's
+    ``griddedInterpolant(grd, tau, 'cubic')`` (``UltrasoundSystem.m:4318``)."""
+    from .utils.maths import gridded_interp
+    return gridded_interp(vals, [zi, xi], method=method)
 
 
 def _cmap_zx(cgrd: ScanCartesian, cmap: np.ndarray) -> np.ndarray:
@@ -1037,25 +1193,11 @@ def _cmap_zx(cgrd: ScanCartesian, cmap: np.ndarray) -> np.ndarray:
     return m2 if rem == ["Z", "X"] else m2.T
 
 
-def _grid_interp3(vals, zi, xi, yi):
-    """Trilinear interpolation of ``vals (Nz, Nx, Ny)`` at fractional
-    indices."""
-    Nz, Nx, Ny = vals.shape
-    z0 = np.clip(np.floor(zi).astype(int), 0, Nz - 1)
-    x0 = np.clip(np.floor(xi).astype(int), 0, Nx - 1)
-    y0 = np.clip(np.floor(yi).astype(int), 0, Ny - 1)
-    z1 = np.clip(z0 + 1, 0, Nz - 1)
-    x1 = np.clip(x0 + 1, 0, Nx - 1)
-    y1 = np.clip(y0 + 1, 0, Ny - 1)
-    wz = np.clip(zi - z0, 0, 1)
-    wx = np.clip(xi - x0, 0, 1)
-    wy = np.clip(yi - y0, 0, 1)
-    out = 0.0
-    for (za, wa) in ((z0, 1 - wz), (z1, wz)):
-        for (xa, wb) in ((x0, 1 - wx), (x1, wx)):
-            for (ya, wc) in ((y0, 1 - wy), (y1, wy)):
-                out = out + wa * wb * wc * vals[za, xa, ya]
-    return out
+def _grid_interp3(vals, zi, xi, yi, method: str = "cubic"):
+    """Gridded interpolation of ``vals (Nz, Nx, Ny)`` at fractional
+    indices — cubic by default (see :func:`_grid_interp2`)."""
+    from .utils.maths import gridded_interp
+    return gridded_interp(vals, [zi, xi, yi], method=method)
 
 
 def _eikonal_tables(us, medium, cgrd: ScanCartesian, workers=None):
@@ -1196,7 +1338,26 @@ def _bf_eikonal(us, chd, medium, cgrd: Optional[ScanCartesian] = None,
     ``src/UltrasoundSystem.m:4052-4332``) on 2-D or 3-D grids; any sequence
     type (see :func:`_eikonal_tables` for the non-FSA wavefront
     construction). The travel-time maps replace the straight-ray delay
-    tables of :meth:`bfDAS`."""
+    tables of :meth:`bfDAS`.
+
+    Example:
+        import numpy as np
+        import qups_tpu as q
+        xdc = q.TransducerArray(numel=4, pitch=0.3e-3, fc=3e6)
+        us = q.UltrasoundSystem(
+            tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=4),
+            scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                                 z=np.linspace(18e-3, 22e-3, 8)),
+            fs=12e6)
+        scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+        chd = us.greens(scat)
+        med = q.Medium(c0=1540.0)  # homogeneous: agrees with bfDAS
+        cgrd = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 33),
+                               z=np.linspace(0.0, 26e-3, 105))
+        b = us.bfEikonal(chd, med, cgrd)
+        assert b.shape[:3] == us.scan.shape
+        assert np.isfinite(np.abs(np.asarray(b))).all()
+    """
     if cgrd is None:
         # default sim grid: the scan extended to include the transducer
         b = us.xdc.bounds()

@@ -22,13 +22,15 @@ def _docstring_examples():
     import inspect
     import qups_tpu
     import qups_tpu.core, qups_tpu.ops, qups_tpu.system
+    import qups_tpu.parallel, qups_tpu.utils, qups_tpu.sim
 
     out = []
     seen = set()
     mods = [qups_tpu, qups_tpu.system]
     import pkgutil
     import importlib
-    for pkg in (qups_tpu.core, qups_tpu.ops):
+    for pkg in (qups_tpu.core, qups_tpu.ops, qups_tpu.parallel,
+                qups_tpu.utils, qups_tpu.sim):
         for m in pkgutil.iter_modules(pkg.__path__):
             mods.append(importlib.import_module(f"{pkg.__name__}.{m.name}"))
     def harvest(qualname, obj):
