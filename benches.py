@@ -147,18 +147,112 @@ def bench_greens():
                    "M": M, "T": T})
 
 
+def bench_lut():
+    """Full-config LUT-kernel throughput (``bfDAS``/``bfDASLUT``/
+    ``bfEikonal`` spine, ``UltrasoundSystem.m:4476-4673``): 1024^2 px from
+    256x256 tx/rx geometric delay tables, bf16pair, linear + cubic — the
+    bring-your-own-delays counterpart of the bench.py headline."""
+    import jax
+    import jax.numpy as jnp
+    from qups_tpu.ops.das import delay_tables
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+
+    T, N, M = (256, 16, 4) if _tiny() else (4096, 256, 256)
+    n = 128 if _tiny() else 1024
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    th = np.radians(np.linspace(-9, 9, M))
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.stack([np.sin(th), np.zeros(M), np.cos(th)], -1).astype(np.float32)
+    t0 = np.zeros(M, np.float32)
+    zs = np.linspace(5e-3, 45e-3, n)
+    xs = np.linspace(-12e-3, 12e-3, n)
+    Z, X = np.meshgrid(zs, xs, indexing="ij")
+    pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()],
+                  -1).astype(np.float32)
+    tau_rx, tau_tx = delay_tables(pi, pr, pv, nv, 1540.0, tx_model="plane")
+    tau_rx = np.asarray(tau_rx, np.float32)
+    tau_tx = np.asarray(tau_tx, np.float32)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    prec = os.environ.get("QUPS_BENCH_PRECISION",
+                          "bf16pair" if on_tpu else "f32")
+    xj = jnp.asarray(x)
+    for method in ("linear", "cubic"):
+        f = jax.jit(lambda xx, m=method: jnp.sum(jnp.abs(das_lut_tiled(
+            xx, tau_rx, tau_tx, t0, fs=31.25e6, method=m,
+            im_shape=(n, n, 1), out="ri", precision=prec,
+            interpret=not on_tpu))))
+        try:
+            float(f(xj))  # compile
+            t1 = time.time()
+            float(f(xj))
+            dt = time.time() - t1
+        except Exception as e:  # pragma: no cover
+            _emit({"bench": "lut", "method": method, "error": str(e)})
+            continue
+        _emit({"bench": "lut", "metric": "s/frame", "method": method,
+               "value": dt, "sums_per_s": n * n * N * M / dt,
+               "n_px_side": n, "T": T, "N": N, "M": M, "precision": prec})
+
+
+def bench_focus():
+    """focusTx / wsinterpd2 (``interpd.cu:345-396``,
+    ``UltrasoundSystem.m:3374-3503``): synthesize M'=128 focused transmits
+    (and an M'=1 walking-aperture line) from a (T=4096, N=128, M=128) FSA
+    set — the op every non-FSA simulation funnels through."""
+    import jax
+    import jax.numpy as jnp
+    import qups_tpu as q
+
+    T, N, M = (256, 16, 16) if _tiny() else (4096, 128, 128)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    xdc = q.TransducerArray(numel=M, pitch=0.2e-3, fc=5e6)
+    chd = q.ChannelData(data=jnp.asarray(x), fs=31.25e6, t0=0.0)
+    us0 = q.UltrasoundSystem(tx=xdc, rx=xdc,
+                             seq=q.Sequence(type="FSA", numpulse=M,
+                                            c0=1540.0),
+                             scan=q.ScanCartesian(x=np.linspace(-1e-2, 1e-2, 4),
+                                                  z=np.linspace(1e-2, 3e-2, 4)),
+                             fs=31.25e6)
+    for Mp in (M, 1):
+        foc = np.stack([np.linspace(-10e-3, 10e-3, Mp), np.zeros(Mp),
+                        np.full(Mp, 30e-3)], 0)
+        seq = q.Sequence(type="FC", focus=foc, c0=1540.0)
+
+        def run():
+            out = us0.focusTx(chd, seq)
+            return float(jnp.sum(jnp.abs(out.data)))
+        try:
+            run()  # compile
+            t1 = time.time()
+            run()
+            dt = time.time() - t1
+        except Exception as e:  # pragma: no cover
+            _emit({"bench": "focus", "Mp": Mp, "error": str(e)})
+            continue
+        _emit({"bench": "focus", "metric": "s/focus-synthesis", "value": dt,
+               "T": T, "N": N, "M": M, "Mp": Mp,
+               "resamples_per_s": T * N * M * Mp / dt})
+
+
 def bench_coherence():
     """Coherence imaging on TPU: keep_rx DAS (Pallas fast path, rx axis
     kept) + cohfac/slsc aperture reductions via ri-jit — the BASELINE
     config-5 workload (reference: ``kern/slsc.m``/``kern/cohfac.m`` on SYN
-    images from ``bf.cu`` flag bit 3)."""
+    images from ``bf.cu`` flag bit 3). QUPS_BENCH_SIZE=full runs the
+    1024^2 x 256x256 headline config (keep_rx at full size)."""
     import jax
     import jax.numpy as jnp
     from qups_tpu.ops.das_pallas import das_tiled
     from qups_tpu.ops.coherence import cohfac, slsc
 
-    T, N, M = (512, 16, 4) if _tiny() else (2048, 128, 64)
-    n = 128 if _tiny() else 512
+    full = os.environ.get("QUPS_BENCH_SIZE") == "full"
+    T, N, M = (512, 16, 4) if _tiny() else \
+        ((4096, 256, 256) if full else (2048, 128, 64))
+    n = 128 if _tiny() else (1024 if full else 512)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((T, N, M)).astype(np.float32))
     pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
@@ -173,6 +267,8 @@ def bench_coherence():
     pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()],
                   -1).astype(np.float32)
     use_pallas = jax.devices()[0].platform != "cpu"
+    prec = os.environ.get("QUPS_BENCH_PRECISION",
+                          "bf16pair" if use_pallas else "f32")
 
     for name, post in (("cohfac", lambda brx: cohfac(brx, axis=1)),
                        ("slsc", lambda brx: slsc(brx, axis=1,
@@ -181,7 +277,8 @@ def bench_coherence():
             if use_pallas:
                 brx = das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0,
                                 fs=31.25e6, tx_model="plane",
-                                im_shape=(n, n, 1), keep_rx=True)
+                                im_shape=(n, n, 1), keep_rx=True,
+                                precision=prec)
             else:
                 from qups_tpu.ops.das import das
                 brx = das(np.asarray(x), pi, pr, pv, nv, t0, 1 / 1540.0,
@@ -200,7 +297,7 @@ def bench_coherence():
         _emit({"bench": "coherence", "which": name,
                "metric": "s/frame (keep_rx DAS + reduction)", "value": dt,
                "sums_per_s": n * n * N * M / dt, "n_px_side": n,
-               "T": T, "N": N, "M": M})
+               "T": T, "N": N, "M": M, "precision": prec})
 
 
 def bench_fdtd():
@@ -239,6 +336,10 @@ def main():
         bench_greens()
     if which in ("coherence", "all"):
         bench_coherence()
+    if which in ("lut", "all"):
+        bench_lut()
+    if which in ("focus", "all"):
+        bench_focus()
     if which in ("fdtd", "all"):
         bench_fdtd()
 
