@@ -1398,10 +1398,12 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
     (``bona0``) are honored when set (``Medium.m:397`` passes the same maps
     to k-Wave). ``el_proj``: 'nearest' snaps each element to its closest
     node; 'linear' distributes ``el_sub`` sub-element points (default
-    ceil(width/h) + 1) bilinearly over the surrounding nodes, the analog of
-    the reference's nearest/linear projection methods
+    ceil(width/h) + 1) bilinearly over the surrounding nodes; 'karray' is
+    the kWaveArray-class exact off-grid projection — patch sub-points
+    deposited (and sensed) through truncated band-limited sinc stencils —
+    covering the reference's four projection methods
     (``UltrasoundSystem.m:2649``, ``Transducer.elem2grid``,
-    ``src/Transducer.m:578``).
+    ``src/Transducer.m:578``, ``kWaveArray`` ``src/Transducer.m:734``).
 
     ``record='field'`` additionally snapshots the FULL pressure field every
     ``field_stride`` sim steps (the reference's ``'field'`` sensor mode,
@@ -1476,14 +1478,22 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
 
     def proj(xdc, p_el):
         """Per-element node/weight lists (``Transducer.elem2grid`` analog,
-        ``src/Transducer.m:578``)."""
+        ``src/Transducer.m:578``). ``el_proj='karray'`` is the
+        kWaveArray-class exact off-grid projection
+        (``src/Transducer.m:734``, ``UltrasoundSystem.m:2649``): the
+        element surface is subdivided into patch sub-points (oversampled
+        vs the grid step) and each sub-point deposits through a truncated
+        band-limited interpolant (separable sinc stencil) — off-grid and
+        tilted/curved apertures (convex/matrix probes) radiate without the
+        half-cell snapping bias of 'nearest'/'linear'."""
         out = []
         E = p_el.shape[1]
         for n in range(E):
             if el_proj == "nearest":
                 pts = p_el[:, n:n + 1]
-            elif el_proj == "linear":
-                K = el_sub or (int(np.ceil(xdc.width / h)) + 1)
+            elif el_proj in ("linear", "karray"):
+                K = el_sub or (int(np.ceil(xdc.width / h))
+                               + (2 if el_proj == "karray" else 1))
                 sub = xdc.bary_centers((K, 1))  # (3, E, K)
                 pts = sub[:, n, :]
             else:
@@ -1494,6 +1504,23 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
                 idx = np.clip(np.round(fc).astype(int), 0,
                               np.array(shp) - 1)
                 out.append((idx, np.ones(1)))
+                continue
+            if el_proj == "karray":
+                # truncated band-limited interpolant: separable sinc
+                # stencil of half-width HW around each sub-point (the
+                # kWaveArray BLI on a PSTD grid is exactly the periodic
+                # sinc; HW=3 captures > 97% of its mass)
+                HW = 3
+                f0 = np.round(fc).astype(int)
+                nodes_l, w_l = [], []
+                for corner in np.ndindex(*([2 * HW + 1] * nd)):
+                    cs = np.asarray(corner) - HW
+                    nn = np.clip(f0 + cs, 0, np.array(shp) - 1)
+                    w = np.prod(np.sinc(fc - (f0 + cs)), axis=1) / K
+                    nodes_l.append(nn)
+                    w_l.append(w)
+                out.append((np.concatenate(nodes_l, 0),
+                            np.concatenate(w_l, 0)))
                 continue
             # multilinear deposit over the 2^nd surrounding nodes
             f0 = np.floor(fc).astype(int)
