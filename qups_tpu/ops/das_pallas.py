@@ -1012,6 +1012,17 @@ def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
     return True
 
 
+def _upload_trace(xh, pair: bool):
+    """Host trace array -> device. Under ``bf16pair`` the wire format is
+    bf16 — HALF the host->device bytes at ZERO accuracy cost, because the
+    pair pack rounds every sample to bf16 regardless (the full-config 1 GB
+    trace upload measured 23 s on the tunnel, 35x the beamform time)."""
+    if pair and isinstance(xh, np.ndarray) and xh.dtype == np.float32:
+        import ml_dtypes
+        return jnp.asarray(np.asarray(xh).astype(ml_dtypes.bfloat16))
+    return jnp.asarray(xh, jnp.float32)
+
+
 @jax.jit
 def _pack_pairs(xr):
     """f32 ``(..., T)`` -> int32 bf16-pair lanes: lane ``t`` holds
@@ -1417,12 +1428,14 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     if cplx:
         if isinstance(x_in, np.ndarray) or not isinstance(x_in, jnp.ndarray):
             xh = np.asarray(x_in)
-            return pack_out(run(prep_real(jnp.asarray(xh.real, jnp.float32)),
-                                prep_real(jnp.asarray(xh.imag, jnp.float32))))
+            return pack_out(run(
+                prep_real(_upload_trace(np.ascontiguousarray(xh.real), pair)),
+                prep_real(_upload_trace(np.ascontiguousarray(xh.imag), pair))))
         xre, xim = jax.jit(lambda v: (jnp.real(v).astype(jnp.float32),
                                       jnp.imag(v).astype(jnp.float32)))(x_in)
         return pack_out(run(prep_real(xre), prep_real(xim)))
-    xr = prep_real(jnp.asarray(x, jnp.float32))
+    xr = prep_real(_upload_trace(x, pair) if isinstance(x, np.ndarray)
+                   else jnp.asarray(x, jnp.float32))
     if fmod != 0.0:
         return pack_out(run(xr, jnp.zeros_like(xr)))
     return pack_out(run(xr))
@@ -1651,6 +1664,32 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     (default: the pixel x coordinate). ``orientations``: (2, N) [azimuth
     sin, cos] of the rx elements for convex-aware aperture growth (default
     planar: az = 0).
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops.das import das
+        from qups_tpu.ops.das_pallas import das_tiled
+        rng = np.random.default_rng(0)
+        T, N, M = 256, 16, 4
+        x = rng.standard_normal((T, N, M)).astype(np.float32)
+        zs = np.linspace(5e-3, 45e-3, 16)
+        xs = np.linspace(-12e-3, 12e-3, 128)
+        Z, X = np.meshgrid(zs, xs, indexing="ij")
+        pi = np.stack([X.ravel(), 0 * X.ravel(), Z.ravel()], -1)
+        pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N),
+                       np.zeros(N)], -1).astype(np.float32)
+        pv = np.zeros((M, 3), np.float32)
+        nv = np.tile([0.0, 0.0, 1.0], (M, 1)).astype(np.float32)
+        t0 = np.zeros(M, np.float32)
+        # interpret=True runs the kernel logic off-TPU (parity testing)
+        img = das_tiled(x, pi.astype(np.float32), pr, pv, nv, t0,
+                        1 / 1540.0, fs=4e6, tx_model="plane",
+                        method="cubic", im_shape=(16, 128, 1),
+                        interpret=True)
+        ref = das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                  tx_model="plane", method="cubic")
+        err = np.abs(np.asarray(img) - np.asarray(ref)).max()
+        assert err < 1e-4 * np.abs(np.asarray(ref)).max()
     """
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
         raise ValueError(f"unknown method {method!r}")
@@ -1668,6 +1707,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     for a in apod:
         if not isinstance(a, Fused):
             raise ValueError("das_tiled apodization must be Fused descriptors")
+    pair = precision == "bf16pair"
 
     x_in = x
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype", np.float32))))
@@ -1780,6 +1820,10 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
     def prep_real(xr):
         """(T, N, M[, F]) -> (F?, M, Np8, Tp) padded."""
+        if xr.dtype == jnp.bfloat16:
+            # bf16 wire format (see _upload): half the host->device bytes,
+            # bit-identical under bf16pair (the pack rounds to bf16 anyway)
+            xr = xr.astype(jnp.float32)
         if four:  # edge-replicate one sample each end (see above)
             xr = jnp.concatenate([xr[:1], xr, xr[-1:]], axis=0)
         Te = xr.shape[0]
@@ -1844,12 +1888,14 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         # on some TPU backends)
         if isinstance(x_in, np.ndarray) or not isinstance(x_in, jnp.ndarray):
             xh = np.asarray(x_in)
-            return pack_out(run(prep_real(jnp.asarray(xh.real, jnp.float32)),
-                                prep_real(jnp.asarray(xh.imag, jnp.float32))))
+            return pack_out(run(
+                prep_real(_upload_trace(np.ascontiguousarray(xh.real), pair)),
+                prep_real(_upload_trace(np.ascontiguousarray(xh.imag), pair))))
         xre, xim = jax.jit(lambda v: (jnp.real(v).astype(jnp.float32),
                                       jnp.imag(v).astype(jnp.float32)))(x_in)
         return pack_out(run(prep_real(xre), prep_real(xim)))
-    xr = prep_real(jnp.asarray(x, jnp.float32))
+    xr = prep_real(_upload_trace(x, pair) if isinstance(x, np.ndarray)
+                   else jnp.asarray(x, jnp.float32))
     if fmod != 0.0:  # real data with remodulation -> complex output
         return pack_out(run(xr, jnp.zeros_like(xr)))
     return pack_out(run(xr))
