@@ -64,6 +64,17 @@ def slsc(x, axis: int = -1, lags: Union[int, Sequence[int], None] = None,
       / 2 / L`` (``kern/slsc.m:187-202``).
     * ``ensemble``: accumulate z, a, b inner products over the selected lag
       pairs then ``z * rsqrt(a) * rsqrt(b)`` (``kern/slsc.m:204-223``).
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import slsc
+        rng = np.random.default_rng(0)
+        sig = rng.standard_normal((64, 1))          # common signal
+        coh = np.broadcast_to(sig, (64, 16)).copy() # fully coherent
+        inc = rng.standard_normal((64, 16))         # incoherent noise
+        s_c = float(np.mean(np.asarray(slsc(coh, axis=1, lags=4))))
+        s_i = float(np.mean(np.asarray(slsc(inc, axis=1, lags=4))))
+        assert s_c > 0.9 and s_c > 5 * abs(s_i)
     """
     x = jnp.asarray(x)
     axis = axis % x.ndim
@@ -120,6 +131,13 @@ def dmas(bn, axis: int = -1, lags: Union[int, Sequence[int], None] = None):
         b = sum_{l in lags} sum_n bn[n] bn[n+l]
 
     followed by the phase-preserving rescale ``exp(1j angle(b)) sqrt(|b|)``.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import dmas
+        b = np.ones((8, 16), np.complex64)  # coherent aperture
+        y = np.asarray(dmas(b, axis=1))
+        assert y.shape == (8,) and np.all(np.abs(y) > 0)
     """
     bn = jnp.asarray(bn)
     axis = axis % bn.ndim
@@ -143,7 +161,15 @@ def dmas(bn, axis: int = -1, lags: Union[int, Sequence[int], None] = None):
 def pcf(b, axis: int = -1, gamma: float = 1.0):
     """Phase coherence factor (``kern/pcf.m``): ``max(0, 1 - gamma/sigma_0 *
     sf)`` where ``sf`` is the smaller of the phase std and the pi-wrapped
-    auxiliary phase std across the aperture."""
+    auxiliary phase std across the aperture.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import pcf
+        b = np.exp(1j * np.zeros((4, 16))).astype(np.complex64)
+        w = np.asarray(pcf(b, axis=1))   # zero phase spread -> weight 1
+        assert np.allclose(w, 1.0, atol=1e-6)
+    """
     b = jnp.asarray(b)
     assert jnp.iscomplexobj(b), "pcf requires complex (beamformed IQ) input"
     phi = jnp.angle(b)
@@ -167,6 +193,17 @@ def pwznxcorr(x, lags: Sequence[int], W: int = None, *, taxis: int = 0,
     with windowed sums over a length-W moving window in time, optional
     zero-meaning and normalization. Used for displacement / shear-wave
     tracking. Returns an array with a trailing lag axis.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import pwznxcorr
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal(80).astype(np.float32)
+        # channel 1 is channel 0 shifted by 3 samples
+        x = np.stack([base, np.roll(base, 3)], axis=1)
+        y = np.asarray(pwznxcorr(x, lags=[0, 3], W=21))
+        # the lag-3 correlation dominates mid-trace
+        assert y[40, 0, 1] > y[40, 0, 0] + 0.2
     """
     x = jnp.asarray(x)
     lags = list(lags)

@@ -49,6 +49,15 @@ def convd(x, y, axis: int = 0, shape: str = "full", method: str = "auto"):
 
     Returns an array whose ``axis`` has length ``conv_len(nx, ny, shape)``;
     non-axis dims are the broadcast of the operands' batch dims.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops import convd
+        x = np.random.default_rng(0).standard_normal((32, 3)).astype(np.float32)
+        k = np.hanning(7).astype(np.float32)[:, None]
+        y = np.asarray(convd(x, k, axis=0, shape="full"))
+        ref = np.stack([np.convolve(x[:, c], k[:, 0]) for c in range(3)], -1)
+        assert y.shape == (38, 3) and np.allclose(y, ref, atol=1e-4)
     """
     xm = _move_last(x, axis)
     ym = _move_last(y, axis)

@@ -172,6 +172,15 @@ def msfm(F: np.ndarray, h: float, src, order2: bool = True,
         boundary-seeded transmits; default all zero).
 
     Returns: T [s] with T = src_t0 at the sources.
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops.eikonal import msfm
+        F = np.full((41, 41), 1500.0)              # homogeneous speed map
+        T = msfm(F, 1e-3, np.array([[20, 20]]))    # source at the center
+        # travel time to a corner ~ euclidean distance / c
+        d = np.hypot(20, 20) * 1e-3
+        assert abs(T[0, 0] - d / 1500.0) / (d / 1500.0) < 0.05
     """
     F = np.ascontiguousarray(F, np.float64)
     src = np.atleast_2d(np.asarray(src, np.int64))

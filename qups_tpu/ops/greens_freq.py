@@ -229,6 +229,21 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     Returns (T, N, M) f32 for real kern+amp; otherwise complex64 for
     ``out='complex'`` or the boundary-safe ri pair (T, N, M, 2) (default on
     TPU via 'auto').
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops.greens_freq import greens_freq
+        fs, c0, r = 20e6, 1500.0, 10e-3
+        kern = np.hanning(31).astype(np.float32)
+        ps = np.array([[0.0, 0.0, r]], np.float32)     # one scatterer
+        pn = pv = np.zeros((1, 1, 3), np.float32)      # one element
+        T = int(2 * r / c0 * fs) + 64
+        x = np.asarray(greens_freq(kern, ps, np.ones(1, np.float32), pn, pv,
+                                   T=T, s0=0.0, t0k=0.0, fs=fs, cinv=1/c0,
+                                   R0=1e-3, out="complex")).ravel()
+        # the echo envelope peaks at the round-trip time (kernel center +15)
+        i = int(np.abs(x).argmax())
+        assert abs(i - (2 * r / c0 * fs + 15)) < 2
     """
     plan = _host_plan(kern, ps, pn, pv, T=T, s0=s0, t0k=t0k, fs=fs,
                       cinv=cinv, R0=R0, fsr=fsr, rtol=rtol,

@@ -143,7 +143,19 @@ def ray_paths(xg: np.ndarray, zg: np.ndarray, pa: np.ndarray, pb: np.ndarray,
     (``kern/rayPaths.m``): for each ray r from ``pa[:, r]`` to ``pb[:, r]``
     (rows (x, z)), the nodal weights such that travel time =
     ``sum w * slowness``. Returns a dense ``(nz, nx, nrays)`` array (use
-    sparse downstream if needed)."""
+    sparse downstream if needed).
+
+    Example:
+        import numpy as np
+        from qups_tpu.ops.rays import ray_paths
+        xg = np.linspace(0.0, 10e-3, 11)
+        zg = np.linspace(0.0, 10e-3, 11)
+        pa = np.array([[0.0], [0.0]])         # (x, z) start
+        pb = np.array([[10e-3], [10e-3]])     # diagonal ray
+        W = ray_paths(xg, zg, pa, pb)
+        # the weights integrate the path length: sum = |pb - pa|
+        assert abs(W[:, :, 0].sum() - np.hypot(10e-3, 10e-3)) < 1e-6
+    """
     pa = np.atleast_2d(np.asarray(pa, np.float64))
     pb = np.atleast_2d(np.asarray(pb, np.float64))
     if pa.shape[0] != 2:

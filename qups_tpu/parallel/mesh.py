@@ -51,7 +51,15 @@ def _factor(n: int, k: int) -> Tuple[int, ...]:
 def make_mesh(devices: Optional[Sequence] = None,
               axes: Tuple[str, ...] = ("frame", "rx", "tx"),
               shape: Optional[Tuple[int, ...]] = None) -> Mesh:
-    """Build a device mesh over the physics axes."""
+    """Build a device mesh over the physics axes.
+
+    Example:
+        import jax
+        import numpy as np
+        from qups_tpu.parallel import make_mesh
+        mesh = make_mesh(jax.devices(), axes=("rx", "tx"))
+        assert int(np.prod(list(mesh.shape.values()))) == len(jax.devices())
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if shape is None:
@@ -71,6 +79,25 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     replicated; the output image (I, 1, 1, F) is psum-reduced over rx/tx and
     stays frame-sharded. With keep_rx/keep_tx the corresponding axis is
     all-gathered implicitly by returning it sharded.
+
+    Example:
+        import jax
+        import numpy as np
+        from qups_tpu.parallel import make_mesh, das_sharded
+        rng = np.random.default_rng(0)
+        T, N, M = 128, 8, 4
+        x = rng.standard_normal((T, N, M)).astype(np.float32)
+        pi = np.stack([np.zeros(16), np.zeros(16),
+                       np.linspace(10e-3, 25e-3, 16)], -1).astype(np.float32)
+        pr = np.stack([np.linspace(-2e-3, 2e-3, N), np.zeros(N),
+                       np.zeros(N)], -1).astype(np.float32)
+        pv = np.zeros((M, 3), np.float32)
+        nv = np.tile([0.0, 0.0, 1.0], (M, 1)).astype(np.float32)
+        mesh = make_mesh(jax.devices(), axes=("rx", "tx"))
+        img = das_sharded(mesh, x, pi, pr, pv, nv,
+                          np.zeros(M, np.float32), 1 / 1540.0, fs=4e6,
+                          tx_model="plane", method="linear")
+        assert img.shape == (16, 1, 1)
     """
     shard_map = jax.shard_map
 
