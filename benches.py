@@ -178,16 +178,24 @@ def bench_lut():
     on_tpu = jax.devices()[0].platform != "cpu"
     prec = os.environ.get("QUPS_BENCH_PRECISION",
                           "bf16pair" if on_tpu else "f32")
+    from qups_tpu.ops.das_pallas import das_lut_plan
     xj = jnp.asarray(x)
     for method in ("linear", "cubic"):
-        f = jax.jit(lambda xx, m=method: jnp.sum(jnp.abs(das_lut_tiled(
-            xx, tau_rx, tau_tx, t0, fs=31.25e6, method=m,
-            im_shape=(n, n, 1), out="ri", precision=prec,
-            interpret=not on_tpu))))
         try:
-            float(f(xj))  # compile
+            # the reusable handle uploads the (I,N)+(I,M) tables ONCE —
+            # per-call table re-upload (or jit-constant embedding) costs
+            # more than the beamforming at this size
+            plan = das_lut_plan(tau_rx, tau_tx, t0, fs=31.25e6, T=T, N=N,
+                                M=M, method=method, im_shape=(n, n, 1),
+                                out="ri", precision=prec,
+                                interpret=not on_tpu)
+
+            def f(xx, plan=plan):
+                return float(jnp.sum(jnp.abs(plan(xx))))
+
+            f(xj)  # compile
             t1 = time.time()
-            float(f(xj))
+            f(xj)
             dt = time.time() - t1
         except Exception as e:  # pragma: no cover
             _emit({"bench": "lut", "method": method, "error": str(e)})

@@ -1292,24 +1292,19 @@ def prep_lut_sharded(tau_rx, tau_tx, t0, *, fs: float, T: int,
     return arrays, statics
 
 
-def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
-                  im_shape: Optional[Tuple[int, ...]] = None,
-                  out: str = "complex", keep_rx: bool = False,
-                  keep_tx: bool = False, fmod: float = 0.0,
-                  method: str = "linear", interpret: bool = False,
-                  precision: str = "f32"):
-    """Fast Pallas LUT delay-and-sum — bring-your-own-delays
-    (``bfDASLUT`` / ``bfDAS`` / ``bfEikonal``: ``kern/das_spec.m`` with
-    explicit tables; same contract as :func:`qups_tpu.ops.das.das_lut`
-    for the linear-interp, no-apod path).
-
-    ``x (T, N, M)`` real or complex; ``tau_rx (I, N)`` / ``tau_tx (I, M)``
-    delay tables [s]; ``t0`` scalar or (M,) per-transmit start times. The
-    trace windows are planned from host-reduced per-row-stripe bounds of
-    the actual tables, so arbitrary (e.g. eikonal, heterogeneous-medium)
-    delays work — wide per-stripe delay spreads fall back to the
-    multi-window loop arm automatically.
-    """
+def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
+                 cplx: bool = False,
+                 im_shape: Optional[Tuple[int, ...]] = None,
+                 out: str = "complex", keep_rx: bool = False,
+                 keep_tx: bool = False, fmod: float = 0.0,
+                 method: str = "linear", interpret: bool = False,
+                 precision: str = "f32"):
+    """Prepare a REUSABLE LUT delay-and-sum handle: all host planning and
+    the (possibly multi-GB) delay-table uploads happen ONCE; the returned
+    ``apply(x)`` beamforms any (T, N, M) trace set against the resident
+    tables — the analog of the reference's reusable CUDAKernel handle
+    (``kern/das_spec.m:72-86``, ``kern/wsinterpd2.m:99``). Use this for
+    repeated frames; :func:`das_lut_tiled` is the one-shot wrapper."""
     if keep_rx and keep_tx:
         raise ValueError("das_lut_tiled keeps at most one of rx/tx")
     if precision not in ("f32", "bf16pair"):
@@ -1317,13 +1312,6 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
         raise ValueError(f"unknown method {method!r}")
     four = method in ("cubic", "lanczos3")
-    x_in = x
-    cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype",
-                                                          np.float32))))
-    T, N, M = x.shape[:3]
-    if np.ndim(x) > 3:
-        raise ValueError("das_lut_tiled: frame dims not supported; loop "
-                         "frames or use qups_tpu.ops.das.das_lut")
     tau_rx = np.asarray(tau_rx, np.float32)
     tau_tx = np.asarray(tau_tx, np.float32)
     t0 = np.broadcast_to(np.asarray(t0, np.float32).reshape(-1), (M,)).copy()
@@ -1392,14 +1380,20 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
             xr = _pack_pairs(xr)
         return xr
 
+    # device-resident planning arrays: uploaded ONCE per plan (the tables
+    # are O(I*(N+M)) — gigabytes at the full config; per-call re-upload on
+    # the tunnel costs more than the beamforming itself)
+    rxb_j, txb_j = jnp.asarray(rxb), jnp.asarray(txb)
+    taur_j, taut_j = jnp.asarray(taur), jnp.asarray(taut)
+    tv_j = jnp.asarray(tv)
+
     def run(xr, xi=None):
         xs = (xr,) if xi is None else (xr, xi)
         keep_n = (Np8,) if keep_rx else ((M,) if keep_tx else ())
         oshape = keep_n + (I1p, I2p)
         accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
         outs = _das_lut_call(
-            jnp.asarray(rxb), jnp.asarray(txb), jnp.asarray(taur),
-            jnp.asarray(taut), jnp.asarray(tv), xs, accs, fs=float(fs),
+            rxb_j, txb_j, taur_j, taut_j, tv_j, xs, accs, fs=float(fs),
             fmod=float(fmod), keep_rx=keep_rx, keep_tx=keep_tx, MC=MC,
             NC=NC, interpret=interpret, pair=pair, allfast=allfast,
             method=method, vmax=float(T))
@@ -1425,20 +1419,60 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
             return jnp.stack([res[0], jnp.zeros_like(res[0])], axis=-1)
         return res[0]
 
-    if cplx:
-        if isinstance(x_in, np.ndarray) or not isinstance(x_in, jnp.ndarray):
-            xh = np.asarray(x_in)
-            return pack_out(run(
-                prep_real(_upload_trace(np.ascontiguousarray(xh.real), pair)),
-                prep_real(_upload_trace(np.ascontiguousarray(xh.imag), pair))))
-        xre, xim = jax.jit(lambda v: (jnp.real(v).astype(jnp.float32),
-                                      jnp.imag(v).astype(jnp.float32)))(x_in)
-        return pack_out(run(prep_real(xre), prep_real(xim)))
-    xr = prep_real(_upload_trace(x, pair) if isinstance(x, np.ndarray)
-                   else jnp.asarray(x, jnp.float32))
-    if fmod != 0.0:
-        return pack_out(run(xr, jnp.zeros_like(xr)))
-    return pack_out(run(xr))
+    def apply(x_in):
+        if cplx:
+            if isinstance(x_in, np.ndarray) \
+                    or not isinstance(x_in, jnp.ndarray):
+                xh = np.asarray(x_in)
+                return pack_out(run(
+                    prep_real(_upload_trace(
+                        np.ascontiguousarray(xh.real), pair)),
+                    prep_real(_upload_trace(
+                        np.ascontiguousarray(xh.imag), pair))))
+            xre, xim = jax.jit(
+                lambda v: (jnp.real(v).astype(jnp.float32),
+                           jnp.imag(v).astype(jnp.float32)))(x_in)
+            return pack_out(run(prep_real(xre), prep_real(xim)))
+        xr = prep_real(_upload_trace(x_in, pair)
+                       if isinstance(x_in, np.ndarray)
+                       else jnp.asarray(x_in, jnp.float32))
+        if fmod != 0.0:
+            return pack_out(run(xr, jnp.zeros_like(xr)))
+        return pack_out(run(xr))
+
+    return apply
+
+
+def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
+                  im_shape: Optional[Tuple[int, ...]] = None,
+                  out: str = "complex", keep_rx: bool = False,
+                  keep_tx: bool = False, fmod: float = 0.0,
+                  method: str = "linear", interpret: bool = False,
+                  precision: str = "f32"):
+    """Fast Pallas LUT delay-and-sum — bring-your-own-delays
+    (``bfDASLUT`` / ``bfDAS`` / ``bfEikonal``: ``kern/das_spec.m`` with
+    explicit tables; same contract as :func:`qups_tpu.ops.das.das_lut`
+    for the no-apod path; all four samplers in-kernel).
+
+    ``x (T, N, M)`` real or complex; ``tau_rx (I, N)`` / ``tau_tx (I, M)``
+    delay tables [s]; ``t0`` scalar or (M,) per-transmit start times. The
+    trace windows are planned from host-reduced per-row-stripe bounds of
+    the actual tables, so arbitrary (e.g. eikonal, heterogeneous-medium)
+    delays work — wide per-stripe delay spreads fall back to the
+    multi-window loop arm automatically. For repeated frames against fixed
+    tables use :func:`das_lut_plan` (one table upload, reusable handle).
+    """
+    if np.ndim(x) > 3:
+        raise ValueError("das_lut_tiled: frame dims not supported; loop "
+                         "frames or use qups_tpu.ops.das.das_lut")
+    T, N, M = x.shape[:3]
+    cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype",
+                                                          np.float32))))
+    plan = das_lut_plan(tau_rx, tau_tx, t0, fs=fs, T=T, N=N, M=M, cplx=cplx,
+                        im_shape=im_shape, out=out, keep_rx=keep_rx,
+                        keep_tx=keep_tx, fmod=fmod, method=method,
+                        interpret=interpret, precision=precision)
+    return plan(x)
 
 
 def _split_fused(apod, cinv, lat_spatial: bool):
