@@ -225,13 +225,19 @@ def bench_focus():
                              scan=q.ScanCartesian(x=np.linspace(-1e-2, 1e-2, 4),
                                                   z=np.linspace(1e-2, 3e-2, 4)),
                              fs=31.25e6)
+    # NOTE: the time-domain methods (cubic wsinterpd2) CRASH the TPU
+    # worker at this scale (measured: "TPU worker process crashed",
+    # 4096x128x128->128) — the freq GEMM is the only viable full-scale
+    # path on TPU and the method='auto' default. QUPS_BENCH_FOCUS_METHOD
+    # overrides at your own risk.
+    meth = os.environ.get("QUPS_BENCH_FOCUS_METHOD", "auto")
     for Mp in (M, 1):
         foc = np.stack([np.linspace(-10e-3, 10e-3, Mp), np.zeros(Mp),
                         np.full(Mp, 30e-3)], 0)
         seq = q.Sequence(type="FC", focus=foc, c0=1540.0)
 
         def run():
-            out = us0.focusTx(chd, seq)
+            out = us0.focusTx(chd, seq, method=meth)
             return float(jnp.sum(jnp.abs(out.data)))
         try:
             run()  # compile
@@ -242,7 +248,7 @@ def bench_focus():
             _emit({"bench": "focus", "Mp": Mp, "error": str(e)})
             continue
         _emit({"bench": "focus", "metric": "s/focus-synthesis", "value": dt,
-               "T": T, "N": N, "M": M, "Mp": Mp,
+               "T": T, "N": N, "M": M, "Mp": Mp, "method": meth,
                "resamples_per_s": T * N * M * Mp / dt})
 
 

@@ -125,6 +125,42 @@ def select_fbins(x_host: np.ndarray, fs: float, fthresh_db: float = -np.inf,
     return sel.astype(np.int32)
 
 
+@partial(jax.jit, static_argnames=("fs",))
+def focus_tx_freq(x, t2, w, *, fs: float):
+    """Frequency-domain transmit synthesis — the MXU form of ``focusTx``
+    (``UltrasoundSystem.m:3374-3503`` / ``interpd.cu:345-396``):
+
+        y[t, n, m'] = sum_m w[m, m'] x(t + t2[m, m'], n, m)
+
+    The per-(m, m') delay is CONSTANT over time and channel, so the
+    time-domain gather-resample (a scalarized ~1e8/s op on TPU) becomes a
+    per-bin transmit GEMM: ``Y_k = X_k H_k`` with
+    ``H_k[m, m'] = w e^{+2i pi f_k t2}`` — exact band-limited (sinc)
+    interpolation semantics, the 'freq' mode of ``ChannelData.sample``
+    (``src/ChannelData.m:1334``).
+
+    Args: x (T, N, M[, F...]) real or complex, already zero-padded so the
+    shifted support stays in [0, T); t2 (M, M') [s]; w (M, M').
+    Returns (T, N, M'[, F...]) with x's realness preserved.
+    """
+    x = jnp.asarray(x)
+    T = x.shape[0]
+    t2 = jnp.asarray(t2, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+    cplx = jnp.iscomplexobj(x)
+    if cplx:
+        f = (jnp.fft.fftfreq(T) * fs).astype(jnp.float32)
+        X = jnp.fft.fft(x, axis=0)
+    else:
+        f = (jnp.fft.rfftfreq(T) * fs).astype(jnp.float32)
+        X = jnp.fft.rfft(x, axis=0)
+    H = w[None] * cexp(2 * np.pi * f[:, None, None] * t2[None])  # (K, M, M')
+    Y = jnp.einsum("knm...,kmp->knp...", X, H)
+    if cplx:
+        return jnp.fft.ifft(Y, axis=0)
+    return jnp.fft.irfft(Y, n=T, axis=0)
+
+
 @partial(jax.jit, static_argnames=("fs", "method", "gamma"))
 def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
             method: str = "tikhonov"):

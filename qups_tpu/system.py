@@ -49,6 +49,11 @@ def _ri_focus(xri, xri2, t2, w, *, fs: float, t0: float, pad: int,
     chd = ChannelData(data=x, fs=fs, t0=t0)
     if pad:
         chd = chd.zeropad(0, pad)
+    if method == "freq":
+        from .ops.fdbf import focus_tx_freq
+        M, Mp = t2.shape[2], t2.shape[-1]
+        return focus_tx_freq(chd.data, t2.reshape(M, Mp),
+                             w.reshape(M, Mp), fs=fs)
     z = chd.sample2sep(chd.time, t2, method=method, w=w, sdim=2)
     return jnp.moveaxis(z[:, :, 0], -1, 2)  # (T', N, M', F...)
 
@@ -146,7 +151,7 @@ class UltrasoundSystem:
 
     # ------------------------------------------------------------- simulators
     def greens(self, scat: Scatterers, element_subdivisions: Tuple[int, int] = (1, 1),
-               R0: Optional[float] = None, method: str = "cubic",
+               R0: Optional[float] = None, method: str = "auto",
                impl: str = "auto", fsk: Optional[float] = None,
                block: int = 32, rtol: float = 1e-6,
                precision: str = "highest") -> ChannelData:
@@ -189,6 +194,16 @@ class UltrasoundSystem:
         fsk = float(fsk or fs)
         c0 = float(scat.c0)
         R0 = float(self.lmbda if R0 is None else R0)
+        if method == "auto":
+            # deposit/sampling basis stays cubic (the reference default);
+            # the transmit synthesis rides the freq GEMM on TPU (focusTx)
+            fmethod = "freq" if jax.devices()[0].platform not in ("cpu",) \
+                else "cubic"
+            method = "cubic"
+        elif method == "freq":
+            fmethod, method = "freq", "cubic"  # freq applies to focusTx
+        else:
+            fmethod = method
 
         # sub-element positions (N, E, 3)
         if element_subdivisions == (1, 1):
@@ -247,10 +262,10 @@ class UltrasoundSystem:
                     t2, w, dt0, pad = plan
                     data = _ri_focus(x, None, t2, w, fs=fs,
                                      t0=float(s0 + dt0), pad=int(pad),
-                                     method=method)
+                                     method=fmethod)
                     return ChannelData(data=data, fs=fs, t0=s0 + dt0)
             chd = ChannelData(data=x, fs=fs, t0=s0)
-            return self.focusTx(chd, self.seq, method=method)
+            return self.focusTx(chd, self.seq, method=fmethod)
 
         if impl == "pallas":
             from .ops.greens_pallas import greens_tiled
@@ -275,11 +290,11 @@ class UltrasoundSystem:
                     return ChannelData(data=data, fs=fs, t0=s0)
                 t2, w, dt0, pad = plan
                 data = _ri_focus(x1, x2, t2, w, fs=fs, t0=float(s0 + dt0),
-                                 pad=int(pad), method=method)
+                                 pad=int(pad), method=fmethod)
                 return ChannelData(data=data, fs=fs, t0=s0 + dt0)
             x = greens_tiled(kern, ps.T, amp, pn, pv, **kw)
             chd = ChannelData(data=x, fs=fs, t0=s0)
-            return self.focusTx(chd, self.seq, method=method)
+            return self.focusTx(chd, self.seq, method=fmethod)
 
         fn = greens_splat if impl == "splat" else greens_dense
         kwargs = dict(T=T, s0=s0, t0k=float(wv.t0), fs=fs, cinv=1.0 / c0,
@@ -291,7 +306,7 @@ class UltrasoundSystem:
                jnp.asarray(pv, jnp.float32), **kwargs)
 
         chd = ChannelData(data=x, fs=fs, t0=s0)
-        return self.focusTx(chd, self.seq, method=method)
+        return self.focusTx(chd, self.seq, method=fmethod)
 
     def simus(self, scat: Scatterers, baffle: str = "soft",
               fthresh_db: float = -60.0,
@@ -381,7 +396,7 @@ class UltrasoundSystem:
 
     def calc_scat_multi(self, scat: Scatterers,
                         element_subdivisions: Tuple[int, int] = (1, 1),
-                        bsize: Optional[int] = None, method: str = "cubic",
+                        bsize: Optional[int] = None, method: str = "auto",
                         **kw) -> ChannelData:
         """FieldII ``calc_scat_multi``-equivalent: the per-transmit
         simulation with the Sequence's physical delays/apodization at the
@@ -413,6 +428,9 @@ class UltrasoundSystem:
                                atol=1e-5)
         """
         kw["method"] = method
+        if method == "auto":
+            method = "freq" if jax.devices()[0].platform not in ("cpu",) \
+                else "cubic"
         if self.seq.type == "FSA":
             return self.greens(scat, element_subdivisions, **kw)
         fsa = Sequence(type="FSA", c0=self.seq.c0, pulse=self.seq.pulse,
@@ -429,7 +447,15 @@ class UltrasoundSystem:
         chd = chd.replace(t0=jnp.asarray(chd.t0) + dt0)
         chd = chd.zeropad(0, pad)
         outs = []
+        M = t2.shape[2]
         for i in range(0, Mp, b):
+            if method == "freq":
+                from .ops.fdbf import focus_tx_freq
+                t2b = t2[..., i:i + b].reshape(M, -1)
+                wb = w[..., i:i + b].reshape(M, -1)
+                outs.append(focus_tx_freq(chd.data, t2b, wb,
+                                          fs=float(chd.fs)))
+                continue
             z = chd.sample2sep(chd.time, t2[..., i:i + b], method=method,
                                w=w[..., i:i + b], sdim=2)
             outs.append(jnp.moveaxis(z[:, :, 0], -1, 2))
@@ -465,10 +491,18 @@ class UltrasoundSystem:
         return t2, w, nmin / fs, (nmax - nmin) + buffer
 
     def focusTx(self, chd: ChannelData, seq: Optional[Sequence] = None,
-                method: str = "cubic", buffer: int = 0) -> ChannelData:
+                method: str = "auto", buffer: int = 0) -> ChannelData:
         """Synthesize transmits from FSA data: delay-and-sum *across
         transmits* (``UltrasoundSystem.focusTx``,
         ``UltrasoundSystem.m:3374-3503``).
+
+        ``method``: 'nearest'|'linear'|'cubic'|'lanczos3' time-domain
+        resampling (``sample2sep``/wsinterpd2 semantics), or 'freq' — the
+        per-frequency-bin transmit GEMM ``Y_k = X_k H_k`` (exact
+        band-limited interpolation; the MXU path, ~1000x the scalarized
+        time-domain gather on TPU at the 4096x128x128->128 scale).
+        'auto' picks 'freq' on TPU, 'cubic' (the reference default)
+        elsewhere.
 
         Example:
             import numpy as np
@@ -486,12 +520,23 @@ class UltrasoundSystem:
             assert out.data.shape[2] == 1
         """
         seq = seq or self.seq
+        if method == "auto":
+            # the time-domain resample scalarizes on TPU (~1e8 gathers/s);
+            # the per-bin transmit GEMM is exact (band-limited) and MXU-fed
+            method = "freq" if jax.devices()[0].platform not in ("cpu",) \
+                else "cubic"
         plan = self._focus_plan(chd.fs, chd.data.ndim, seq, buffer)
         if plan is None:
             return chd
         t2, w, dt0, pad = plan
         chd = chd.replace(t0=jnp.asarray(chd.t0) + dt0)
         chd = chd.zeropad(0, pad)
+        if method == "freq":
+            from .ops.fdbf import focus_tx_freq
+            M, Mp = t2.shape[2], t2.shape[-1]
+            z = focus_tx_freq(chd.data, t2.reshape(M, Mp),
+                              w.reshape(M, Mp), fs=float(chd.fs))
+            return chd.replace(data=z)
         z = chd.sample2sep(chd.time, t2, method=method, w=w, sdim=2)
         z = jnp.moveaxis(z[:, :, 0], -1, 2)  # (T', N, M', F...)
         return chd.replace(data=z)

@@ -200,3 +200,39 @@ def test_das_method_auto_resolves_to_cubic_off_tpu():
     np.testing.assert_allclose(a, b)
     c = np.asarray(us.DAS(chd, method="linear"))
     assert np.abs(a - c).max() > 0  # and auto is NOT silently linear here
+
+
+def test_focus_tx_freq_matches_cubic_bandlimited():
+    """focusTx(method='freq') — the per-bin transmit GEMM — matches the
+    time-domain cubic resample on band-limited data (it IS the exact
+    band-limited interpolant; cubic is its 4-tap approximation)."""
+    xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=3e6)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=8, c0=1540.0),
+        scan=q.ScanCartesian(x=[0.0], z=[20e-3]), fs=24e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+    chd = us.greens(scat)  # band-limited pulses (gaussian impulse at 3 MHz)
+    pf = np.stack([np.linspace(-1e-3, 1e-3, 4), np.zeros(4),
+                   np.full(4, 25e-3)])
+    seq = q.Sequence(type="FC", focus=pf, c0=1540.0)
+    a = np.asarray(us.focusTx(chd, seq, method="cubic").data)
+    b = np.asarray(us.focusTx(chd, seq, method="freq").data)
+    assert a.shape == b.shape
+    err = np.abs(a - b).max() / np.abs(a).max()
+    assert err < 2e-2, err
+
+
+def test_focus_tx_freq_blocked_matches():
+    """calc_scat_multi's bsize blocks agree with the fused freq synthesis."""
+    xdc = q.TransducerArray(numel=6, pitch=0.3e-3, fc=3e6)
+    pf = np.stack([np.linspace(-1e-3, 1e-3, 4), np.zeros(4),
+                   np.full(4, 25e-3)])
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FC", focus=pf, c0=1540.0),
+        scan=q.ScanCartesian(x=[0.0], z=[20e-3]), fs=24e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+    a = np.asarray(us.calc_scat_multi(scat, method="freq").data)
+    b = np.asarray(us.calc_scat_multi(scat, method="freq", bsize=1).data)
+    # blocked freq GEMMs differ from the fused one only by f32 reduction
+    # order (the sample2sep path is bit-for-bit; GEMM shapes are not)
+    assert np.abs(a - b).max() < 1e-5 * np.abs(a).max()
