@@ -172,7 +172,8 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool,
             pair: bool = False, allfast: bool = False,
             interp_mode: bool = False, lut: bool = False,
-            method: str = "linear", vmax: float = 0.0):
+            method: str = "linear", vmax: float = 0.0,
+            lut_tiles: bool = False, CB: int = 0, G: int = 0):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -195,7 +196,17 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
     union bounds (RB, MTc, 2) — host-reduced from the actual tables, so
     the scalar window chain is two adds per (g, c). Apodization and fmod
     remodulation are geometry-free and unsupported here (callers
-    validate)."""
+    validate).
+
+    ``lut_tiles`` mode: PER-TILE window bounds — per-stripe bounds span
+    the full 128*CB-lane row, whose delay spread forces the multi-window
+    arm at imaging sizes (measured 4x the geometry kernel at the full
+    config). Bounds come packed as int16 sample pairs (lo | hi << 16) in
+    ONE int32 SMEM array ``boxes_ref (RB*CB, pad(G + MTc))``: entry
+    [rb*CB + cb, g] = rx-group bounds, [_, G + mtc] = tx-chunk bounds
+    (t0 folded on host); unpacking is two scalar shifts. 16-bit sample
+    indices bound T < 32768 — the planner falls back to stripe mode
+    beyond that."""
     k = 0
     if lut:
         taur_ref = refs[k]; k += 1
@@ -343,7 +354,15 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         # pre-shift by t0 and scale to samples (± the f32-skew margin)
         return ((dvlo - t0m) * fs - 2.0, (dvhi - t0m) * fs + 2.0)
 
-    if lut:
+    if lut and lut_tiles:
+        # per-TILE packed int16 sample bounds (see docstring): one scalar
+        # load + two shifts for the whole transmit chunk
+        tq = rb * CB + cb
+        vtx = boxes_ref[tq, G + mtc]
+        tlo = ((vtx << 16) >> 16).astype(jnp.float32) - 2.0
+        thi = (vtx >> 16).astype(jnp.float32) + 2.0
+        txb = [(tlo, thi)] * MC
+    elif lut:
         # per-(stripe, tx-chunk) union bounds, host-reduced from the LUT
         # (lo/hi interleaved on the 2nd axis: a trailing size-2 axis gets
         # lane-padded to 128 in SMEM — 512 KB per prefetch array!)
@@ -380,8 +399,13 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 [taur_ref[g * 8 + r] for r in range(8)], axis=0) * fs
             WR = None
             gg = ncc * (NC // 8) + g
-            drlo = boxes_ref[rb, 2 * gg] * fs
-            drhi = boxes_ref[rb, 2 * gg + 1] * fs
+            if lut_tiles:
+                vrx = boxes_ref[rb * CB + cb, gg]
+                drlo = ((vrx << 16) >> 16).astype(jnp.float32)
+                drhi = (vrx >> 16).astype(jnp.float32)
+            else:
+                drlo = boxes_ref[rb, 2 * gg] * fs
+                drhi = boxes_ref[rb, 2 * gg + 1] * fs
         else:
             drs = []
             wrs = []
@@ -1151,10 +1175,11 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "fmod", "keep_rx", "keep_tx", "MC", "NC", "interpret", "pair",
-    "allfast", "method", "vmax"))
+    "allfast", "method", "vmax", "lut_tiles", "G"))
 def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
                   keep_rx=False, keep_tx=False, MC, NC, interpret=False,
-                  pair=False, allfast=False, method="linear", vmax=0.0):
+                  pair=False, allfast=False, method="linear", vmax=0.0,
+                  lut_tiles=False, G=0):
     """LUT-mode pallas_call: delay tables streamed as per-tile blocks.
 
     rxb (RB, G, 2) / txb (RB, MTc, 2): per-row-stripe LUT bounds (scalar
@@ -1173,7 +1198,7 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=1, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
         pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
-        method=method, vmax=vmax)
+        method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB, G=G)
 
     grid = (NCc, MTc, RB, CB)
     tile = pl.BlockSpec((8, 128), lambda ncc, mtc, rb, cb, *_: (rb, cb),
@@ -1360,14 +1385,50 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
     tv[0, :M] = t0
 
     pair = precision == "bf16pair"
-    # allfast proof: t0 cancels between lo and hi, so the span is just
-    # (rx span + tx-chunk span) * fs + the +-2 margins + the method's
-    # tap extents below/above the base lane
     lo_ext, hi_ext = _method_exts(method, pair)
-    span = ((rhi - rlo)[:, :, None]
-            + (thi - tlo)[:, None, :]) * np.float32(fs)
     tapext = 4 + 2 + lo_ext + hi_ext
-    allfast = bool(span.max() + tapext < 128 - 2)
+
+    # per-TILE packed int16 bounds (lut_tiles mode): per-stripe bounds
+    # span the full image row and force the multi-window arm at imaging
+    # sizes (measured 4x slower than the geometry kernel at the full
+    # config); per-(8 x 128)-tile bounds restore the single-window fast
+    # arm. Packed (lo | hi << 16) in samples; needs T < 32767.
+    CBn = I2p // 128
+    f64 = np.float64
+    r6 = taur.reshape(G, 8, RB, 8, CBn, 128).astype(f64)
+    rlo_t = np.floor(r6.min(axis=(1, 3, 5)) * fs).astype(np.int64)  # (G,RB,CB)
+    rhi_t = np.ceil(r6.max(axis=(1, 3, 5)) * fs).astype(np.int64)
+    t0m = np.concatenate([t0, np.repeat(t0[-1:], taut.shape[0] - M)])
+    t6 = (taut.astype(f64) - t0m[:, None, None]).reshape(
+        MTc, MC, RB, 8, CBn, 128)
+    tlo_t = np.floor(t6.min(axis=(1, 3, 5)) * fs).astype(np.int64)  # (MTc,..)
+    thi_t = np.ceil(t6.max(axis=(1, 3, 5)) * fs).astype(np.int64)
+    bmin = min(rlo_t.min(), tlo_t.min())
+    bmax = max(rhi_t.max(), thi_t.max())
+    lut_tiles = bool(-32768 <= bmin and bmax <= 32767)
+    if lut_tiles:
+        P = G + MTc
+        packed = np.zeros((RB * CBn, P), np.int32)
+        def pack(lo, hi):  # (K, RB, CB) -> (RB*CB, K)
+            lo = lo.astype(np.int32)
+            hi = hi.astype(np.int32)
+            return (lo & 0xFFFF) | (hi << 16)
+        packed[:, :G] = pack(rlo_t, rhi_t).transpose(1, 2, 0).reshape(
+            RB * CBn, G)
+        packed[:, G:] = pack(tlo_t, thi_t).transpose(1, 2, 0).reshape(
+            RB * CBn, MTc)
+        rxb_k = packed
+        txb_k = np.zeros((1, 8), np.float32)  # unused in tile mode
+        rspan = (rhi_t - rlo_t).max(axis=0)  # (RB, CB)
+        tspan = (thi_t - tlo_t).max(axis=0)
+        allfast = bool((rspan + tspan).max() + tapext < 128 - 2)
+    else:
+        rxb_k, txb_k = rxb, txb
+        # stripe-mode allfast: t0 cancels between lo and hi, so the span
+        # is (rx span + tx-chunk span) * fs + margins + tap extents
+        span = ((rhi - rlo)[:, :, None]
+                + (thi - tlo)[:, None, :]) * np.float32(fs)
+        allfast = bool(span.max() + tapext < 128 - 2)
 
     def prep_real(xr):
         if four:  # edge-replicate one sample each end
@@ -1383,7 +1444,7 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
     # device-resident planning arrays: uploaded ONCE per plan (the tables
     # are O(I*(N+M)) — gigabytes at the full config; per-call re-upload on
     # the tunnel costs more than the beamforming itself)
-    rxb_j, txb_j = jnp.asarray(rxb), jnp.asarray(txb)
+    rxb_j, txb_j = jnp.asarray(rxb_k), jnp.asarray(txb_k)
     taur_j, taut_j = jnp.asarray(taur), jnp.asarray(taut)
     tv_j = jnp.asarray(tv)
 
@@ -1396,7 +1457,7 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
             rxb_j, txb_j, taur_j, taut_j, tv_j, xs, accs, fs=float(fs),
             fmod=float(fmod), keep_rx=keep_rx, keep_tx=keep_tx, MC=MC,
             NC=NC, interpret=interpret, pair=pair, allfast=allfast,
-            method=method, vmax=float(T))
+            method=method, vmax=float(T), lut_tiles=lut_tiles, G=G)
         res = []
         for o in outs:
             if keep_rx:
