@@ -120,13 +120,11 @@ def main():
             precision=prec, interpret=dev.platform == "cpu"))))
 
     t0u = time.time()
-    if prec == "bf16pair":
-        # bf16 wire format: the pair pack rounds to bf16 on device anyway,
-        # so the half-width upload costs no accuracy (see _upload_trace)
-        import ml_dtypes
-        xj = jnp.asarray(x.astype(ml_dtypes.bfloat16))
-    else:
-        xj = jnp.asarray(x)
+    # uint16 bf16-bits wire format under bf16pair: the pair pack rounds
+    # to bf16 on device anyway, so the half-width upload costs no
+    # accuracy (see ops.das_pallas._upload_trace)
+    from qups_tpu.ops.das_pallas import _upload_trace
+    xj = _upload_trace(x, prec == "bf16pair")
     # force the host->device transfer to complete so it is not charged to
     # the compile measurement
     float(jnp.sum(xj[:1, :1, :1].astype(jnp.float32)))

@@ -1038,12 +1038,16 @@ def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
 
 def _upload_trace(xh, pair: bool):
     """Host trace array -> device. Under ``bf16pair`` the wire format is
-    bf16 — HALF the host->device bytes at ZERO accuracy cost, because the
-    pair pack rounds every sample to bf16 regardless (the full-config 1 GB
-    trace upload measured 23 s on the tunnel, 35x the beamform time)."""
+    uint16 bf16 bits — HALF the host->device bytes at ZERO accuracy cost,
+    because the pair pack rounds every sample to bf16 regardless (the
+    full-config 1 GB trace upload measured 23 s on the tunnel, 35x the
+    beamform time). The f32 -> bf16 round-to-nearest-even runs as numpy
+    integer ops (``ml_dtypes`` astype measured ~90 s for 268M samples —
+    the custom-dtype cast loop is slower than the transfer it saves)."""
     if pair and isinstance(xh, np.ndarray) and xh.dtype == np.float32:
-        import ml_dtypes
-        return jnp.asarray(np.asarray(xh).astype(ml_dtypes.bfloat16))
+        u = np.ascontiguousarray(xh).view(np.uint32)
+        b = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint16)
+        return jnp.asarray(b)
     return jnp.asarray(xh, jnp.float32)
 
 
@@ -1496,7 +1500,9 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
             return pack_out(run(prep_real(xre), prep_real(xim)))
         xr = prep_real(_upload_trace(x_in, pair)
                        if isinstance(x_in, np.ndarray)
-                       else jnp.asarray(x_in, jnp.float32))
+                       else (x_in
+                             if getattr(x_in, "dtype", None) == jnp.uint16
+                             else jnp.asarray(x_in, jnp.float32)))
         if fmod != 0.0:
             return pack_out(run(xr, jnp.zeros_like(xr)))
         return pack_out(run(xr))
@@ -1915,9 +1921,12 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
     def prep_real(xr):
         """(T, N, M[, F]) -> (F?, M, Np8, Tp) padded."""
-        if xr.dtype == jnp.bfloat16:
-            # bf16 wire format (see _upload): half the host->device bytes,
-            # bit-identical under bf16pair (the pack rounds to bf16 anyway)
+        if xr.dtype == jnp.uint16:
+            # uint16 bf16-bits wire format (see _upload_trace): half the
+            # host->device bytes, bit-compatible under bf16pair
+            xr = jax.lax.bitcast_convert_type(
+                xr, jnp.bfloat16).astype(jnp.float32)
+        elif xr.dtype == jnp.bfloat16:
             xr = xr.astype(jnp.float32)
         if four:  # edge-replicate one sample each end (see above)
             xr = jnp.concatenate([xr[:1], xr, xr[-1:]], axis=0)
@@ -1990,7 +1999,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                                       jnp.imag(v).astype(jnp.float32)))(x_in)
         return pack_out(run(prep_real(xre), prep_real(xim)))
     xr = prep_real(_upload_trace(x, pair) if isinstance(x, np.ndarray)
-                   else jnp.asarray(x, jnp.float32))
+                   else (x if getattr(x, "dtype", None) == jnp.uint16
+                         else jnp.asarray(x, jnp.float32)))
     if fmod != 0.0:  # real data with remodulation -> complex output
         return pack_out(run(xr, jnp.zeros_like(xr)))
     return pack_out(run(xr))

@@ -288,17 +288,19 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
             res.append(o)
         return tuple(res) if nch > 1 else res[0]
 
+    rxa = "rx" if "rx" in mesh.axis_names else None
+    txa = "tx" if "tx" in mesh.axis_names else None
     fspec = "frame" if have_frame else None
-    xspec = P(fspec, "tx", "rx", None) if Fn is not None \
-        else P("tx", "rx", None)
-    kr = "rx" if keep_rx else None
-    kt = "tx" if keep_tx else None
+    xspec = P(fspec, txa, rxa, None) if Fn is not None \
+        else P(txa, rxa, None)
+    kr = rxa if keep_rx else None
+    kt = txa if keep_tx else None
     keep_spec = (kr,) if keep_rx else ((kt,) if keep_tx else ())
     ospec = P(*(((fspec,) if Fn is not None else ()) + keep_spec
                 + (None, None)))
     f = shard_map(local, mesh=mesh,
-                  in_specs=(P("rx", None, None), P("rx", None, None),
-                            P("tx", None, None)) + (xspec,) * nch,
+                  in_specs=(P(rxa, None, None), P(rxa, None, None),
+                            P(txa, None, None)) + (xspec,) * nch,
                   out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
                   check_vma=False)
 
@@ -411,16 +413,18 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
             res.append(o)
         return tuple(res) if nch > 1 else res[0]
 
-    kr = "rx" if keep_rx else None
-    kt = "tx" if keep_tx else None
+    rxa = "rx" if "rx" in mesh.axis_names else None
+    txa = "tx" if "tx" in mesh.axis_names else None
+    kr = rxa if keep_rx else None
+    kt = txa if keep_tx else None
     keep_spec = (kr,) if keep_rx else ((kt,) if keep_tx else ())
     ospec = P(*(keep_spec + (None, None)))
     f = shard_map(local, mesh=mesh,
-                  in_specs=(P("rx", None, None), P("tx", None, None),
-                            P("rx", None, None, None),
-                            P("tx", None, None, None),
-                            P("tx", None, None))
-                  + (P("tx", "rx", None),) * nch,
+                  in_specs=(P(rxa, None, None), P(txa, None, None),
+                            P(rxa, None, None, None),
+                            P(txa, None, None, None),
+                            P(txa, None, None))
+                  + (P(txa, rxa, None),) * nch,
                   out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
                   check_vma=False)
 

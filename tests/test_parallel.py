@@ -337,3 +337,20 @@ def test_das_lut_sharded_pallas(kw):
         mesh, x, tau_rx, tau_tx, t0, fs=4e6, interpret=True, **kw))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_das_sharded_pallas_single_axis_mesh():
+    """A mesh with only an 'rx' axis (the 1-chip sharding-tax config,
+    QUPS_BENCH_MESH=rx1) compiles and matches."""
+    import jax
+    from qups_tpu.parallel import make_mesh, das_sharded_pallas
+    from qups_tpu.ops.das import das
+
+    x, pi, pr, pv, nv, t0 = _shard_problem(N=16, M=4)
+    mesh = make_mesh(jax.devices()[:2], axes=("rx",), shape=(2,))
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear")).squeeze()
+    got = np.asarray(das_sharded_pallas(
+        mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
+        im_shape=(16, 128, 1), interpret=True)).squeeze()
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
