@@ -64,7 +64,7 @@ def main():
 
     mesh_spec = os.environ.get("QUPS_BENCH_MESH", "")
     if mesh_spec:
-        from qups_tpu.parallel import make_mesh, das_sharded_pallas
+        from qups_tpu.parallel.mesh import make_mesh, das_sharded_pallas_plan
         shape = {}
         for part in mesh_spec.split(","):
             k = part.rstrip("0123456789")
@@ -73,11 +73,16 @@ def main():
         mesh = make_mesh(jax.devices()[:ndev], axes=tuple(shape),
                          shape=tuple(shape.values()))
         interp = dev.platform == "cpu"
+        # the reusable jitted handle: planning + compile once, reps pay
+        # only the sharded kernel + collectives (the honest sharding tax)
+        apply = das_sharded_pallas_plan(
+            mesh, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6,
+            T=cfg["T"], N=cfg["N"], M=cfg["M"], tx_model="plane",
+            im_shape=(n, n, 1), interpret=interp,
+            method=os.environ.get("QUPS_BENCH_METHOD", "linear"))
 
         def f(xx):
-            return jnp.sum(jnp.abs(das_sharded_pallas(
-                mesh, xx, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6,
-                tx_model="plane", im_shape=(n, n, 1), interpret=interp)))
+            return jnp.sum(jnp.abs(apply(xx)))
 
         xj = jnp.asarray(x)
         t0c = time.time()
