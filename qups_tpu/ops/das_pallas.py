@@ -173,7 +173,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             pair: bool = False, allfast: bool = False,
             interp_mode: bool = False, lut: bool = False,
             method: str = "linear", vmax: float = 0.0,
-            lut_tiles: bool = False, CB: int = 0, G: int = 0):
+            lut_tiles: bool = False, CB: int = 0, GT: int = 0):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -358,7 +358,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         # per-TILE packed int16 sample bounds (see docstring): one scalar
         # load + two shifts for the whole transmit chunk
         tq = rb * CB + cb
-        vtx = boxes_ref[tq, G + mtc]
+        vtx = boxes_ref[tq, GT + mtc]
         tlo = ((vtx << 16) >> 16).astype(jnp.float32) - 2.0
         thi = (vtx >> 16).astype(jnp.float32) + 2.0
         txb = [(tlo, thi)] * MC
@@ -853,7 +853,24 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
 
     z64 = jnp.zeros((64, 128), jnp.float32)
     G = NC // 8
-    if keep_rx:
+    if keep_rx and keep_tx:
+        # BF mode — keep BOTH axes (``bf.cu`` flag bits 3+4 together):
+        # one (8, 8, 128) band per (transmit, rx-group); output block
+        # (MC, NC, 8, 128). Output traffic is I*N*M floats — small
+        # configs only (the XLA path covers the rest identically).
+        for c in range(MC):
+            for g in range(G):
+                accs64 = rx_group(g, tuple(z64 for _ in range(nch)),
+                                  c_only=c)
+                for ch in range(nch):
+                    band = accs64[ch].reshape(8, 8, 128)
+                    sl = slice(g * 8, g * 8 + 8)
+                    if F > 1:
+                        out_refs[ch][0, c, sl] = \
+                            acc_refs[ch][0, c, sl] + band
+                    else:
+                        out_refs[ch][c, sl] = acc_refs[ch][c, sl] + band
+    elif keep_rx:
         for g in range(G):
             accs64 = rx_group(g, tuple(z64 for _ in range(nch)))
             for ch in range(nch):
@@ -1037,17 +1054,19 @@ def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
 
 
 def _upload_trace(xh, pair: bool):
-    """Host trace array -> device. Under ``bf16pair`` the wire format is
-    uint16 bf16 bits — HALF the host->device bytes at ZERO accuracy cost,
-    because the pair pack rounds every sample to bf16 regardless (the
-    full-config 1 GB trace upload measured 23 s on the tunnel, 35x the
-    beamform time). The f32 -> bf16 round-to-nearest-even runs as numpy
-    integer ops (``ml_dtypes`` astype measured ~90 s for 268M samples —
-    the custom-dtype cast loop is slower than the transfer it saves)."""
-    if pair and isinstance(xh, np.ndarray) and xh.dtype == np.float32:
-        u = np.ascontiguousarray(xh).view(np.uint32)
-        b = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint16)
-        return jnp.asarray(b)
+    """Host trace array -> device, f32 wire format.
+
+    A half-width bf16 wire format under ``bf16pair`` would be free
+    accuracy-wise (the pair pack rounds to bf16 on device regardless),
+    but BOTH 16-bit routes are slower than f32 on this environment's
+    device tunnel and were REVERTED on measurement: ml_dtypes bf16
+    (astype ~90 s host for 268M samples + transfer) and uint16 bf16-bits
+    (numpy int RNE is fast but the u16 transfer crawled at ~1 MB/s —
+    an unsupported-wire-dtype fallback; 393 s vs 23 s for f32). On a
+    directly-attached host, re-enable by returning the u16 bits here
+    (``prep_real`` already accepts uint16/bf16 inputs)."""
+    if pair and isinstance(xh, np.ndarray) and xh.dtype == np.uint16:
+        return jnp.asarray(xh)  # caller-prepared bf16 bits
     return jnp.asarray(xh, jnp.float32)
 
 
@@ -1108,7 +1127,22 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                              lambda ncc, mtc, rb, cb, *_: (mtc, ncc, 0),
                              memory_space=pltpu.VMEM)
 
-    if keep_rx:
+    if keep_rx and keep_tx:
+        if F > 1:
+            ospec = pl.BlockSpec(
+                (1, MC, NC, 8, 128),
+                lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, rb, cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct(
+                (F, M, N, pz.shape[0], pz.shape[1]), jnp.float32)
+        else:
+            ospec = pl.BlockSpec(
+                (MC, NC, 8, 128),
+                lambda ncc, mtc, rb, cb, *_: (mtc, ncc, rb, cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct(
+                (M, N, pz.shape[0], pz.shape[1]), jnp.float32)
+    elif keep_rx:
         if F > 1:
             ospec = pl.BlockSpec(
                 (1, NC, 8, 128),
@@ -1202,7 +1236,7 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=1, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
         pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
-        method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB, G=G)
+        method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB, GT=G)
 
     grid = (NCc, MTc, RB, CB)
     tile = pl.BlockSpec((8, 128), lambda ncc, mtc, rb, cb, *_: (rb, cb),
@@ -1794,9 +1828,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     """
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
         raise ValueError(f"unknown method {method!r}")
-    if keep_rx and keep_tx:
-        raise ValueError("das_tiled keeps at most one of rx/tx; use"
-                         " qups_tpu.ops.das.das for the BF (keep both) mode")
+    keep_both = keep_rx and keep_tx
     if precision not in ("f32", "bf16", "bf16pair"):
         raise ValueError(f"unknown precision {precision!r}")
     if precision == "bf16" and not interpret:
@@ -1946,7 +1978,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
     def run(xr, xi=None):
         xs = (xr,) if xi is None else (xr, xi)
-        keep_n = (Np8,) if keep_rx else ((M,) if keep_tx else ())
+        keep_n = ((M, Np8) if keep_both else
+                  ((Np8,) if keep_rx else ((M,) if keep_tx else ())))
         oshape = ((Fn,) if Fn else ()) + keep_n + (I1p, I2p)
         accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
         outs = _das_call(
@@ -1964,7 +1997,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         for o in outs:
             if Fn:
                 o = jnp.moveaxis(o, 0, -1)  # (..., F)
-            if keep_rx:
+            if keep_both:
+                # (M, N, I1p, I2p[, F]) -> (I, N, M[, F])
+                o = jnp.moveaxis(o[:M, :N, :I1, :I2], (0, 1), (3, 2))
+                o = o.reshape((I, N, M) + o.shape[4:])
+            elif keep_rx:
                 # (N, I1p, I2p[, F]) -> (I, N, 1[, F])
                 o = jnp.moveaxis(o[:N, :I1, :I2], 0, 2)
                 o = o.reshape((I, N, 1) + o.shape[3:])

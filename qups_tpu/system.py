@@ -662,12 +662,12 @@ class UltrasoundSystem:
         """THE fused-Pallas-DAS eligibility predicate — single source of
         truth for ``method='auto'`` resolution, the ``bsize`` block
         dispatch, and :meth:`_das_block` (the conditions ``das_tiled``
-        supports): TPU backend, fused-geometry (or no) apodization, at
-        most one kept axis, scalar sound speed, (T,N,M[,F]) data,
-        iso-depth-major scan order, and a supported sampler."""
+        supports): TPU backend, fused-geometry (or no) apodization,
+        scalar sound speed, (T,N,M[,F]) data, iso-depth-major scan order,
+        and a supported sampler. All keep modes — summed, keep_rx,
+        keep_tx, and keep-both (BF) — run in-kernel."""
         from .ops.das_pallas import Fused
         return (all(isinstance(a, Fused) for a in apod_t)
-                and not (keep_rx and keep_tx)
                 and np.ndim(cinv) == 0 and data_ndim in (3, 4)
                 # iso-depth-major flatten (volumetric scans flatten the
                 # trailing axes into the kernel's 128-lane rows)

