@@ -173,7 +173,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             pair: bool = False, allfast: bool = False,
             interp_mode: bool = False, lut: bool = False,
             method: str = "linear", vmax: float = 0.0,
-            lut_tiles: bool = False, CB: int = 0, GT: int = 0):
+            lut_tiles: bool = False, CB: int = 0):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -201,12 +201,12 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
     ``lut_tiles`` mode: PER-TILE window bounds — per-stripe bounds span
     the full 128*CB-lane row, whose delay spread forces the multi-window
     arm at imaging sizes (measured 4x the geometry kernel at the full
-    config). Bounds come packed as int16 sample pairs (lo | hi << 16) in
-    ONE int32 SMEM array ``boxes_ref (RB*CB, pad(G + MTc))``: entry
-    [rb*CB + cb, g] = rx-group bounds, [_, G + mtc] = tx-chunk bounds
-    (t0 folded on host); unpacking is two scalar shifts. 16-bit sample
-    indices bound T < 32768 — the planner falls back to stripe mode
-    beyond that."""
+    config; per-tile bounds restore 0.72 s vs 2.64 s). Bounds come packed
+    as int16 sample pairs (lo | hi << 16) in int32 SMEM arrays with tiles
+    on the LANE axis (no SMEM lane padding): ``boxes_ref (G, RB*CB)``
+    rx-group bounds, ``gbox_ref (MTc, RB*CB)`` tx-chunk bounds (t0 folded
+    on host); unpacking is two scalar shifts. 16-bit sample indices bound
+    T < 32768 — the planner falls back to stripe mode beyond that."""
     k = 0
     if lut:
         taur_ref = refs[k]; k += 1
@@ -356,9 +356,11 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
 
     if lut and lut_tiles:
         # per-TILE packed int16 sample bounds (see docstring): one scalar
-        # load + two shifts for the whole transmit chunk
+        # load + two shifts for the whole transmit chunk. Layout: tiles on
+        # the LAST (lane) axis so the SMEM arrays need no lane padding —
+        # boxes_ref (G, RB*CB) rx, gbox_ref (MTc, RB*CB) tx, both int32.
         tq = rb * CB + cb
-        vtx = boxes_ref[tq, GT + mtc]
+        vtx = gbox_ref[mtc, tq]
         tlo = ((vtx << 16) >> 16).astype(jnp.float32) - 2.0
         thi = (vtx >> 16).astype(jnp.float32) + 2.0
         txb = [(tlo, thi)] * MC
@@ -400,7 +402,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             WR = None
             gg = ncc * (NC // 8) + g
             if lut_tiles:
-                vrx = boxes_ref[rb * CB + cb, gg]
+                vrx = boxes_ref[gg, rb * CB + cb]
                 drlo = ((vrx << 16) >> 16).astype(jnp.float32)
                 drhi = (vrx >> 16).astype(jnp.float32)
             else:
@@ -656,14 +658,22 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                             else:  # nearest: lo half only
                                 pairs = ((LJ, WS[0], None),)
                             for lq, wlo, whi in pairs:
-                                gi = jnp.take_along_axis(srep, lq, axis=1)
+                                if "nogather" in _ABLATE:  # probe
+                                    gi = srep
+                                else:
+                                    gi = jnp.take_along_axis(srep, lq,
+                                                             axis=1)
                                 glo = jax.lax.bitcast_convert_type(
                                     gi << 16, jnp.float32)
-                                t = glo * wlo
+                                if "noweights" in _ABLATE:  # probe
+                                    t = glo
+                                else:
+                                    t = glo * wlo
                                 if whi is not None:
                                     ghi = jax.lax.bitcast_convert_type(
                                         gi & jnp.int32(-65536), jnp.float32)
-                                    t = t + ghi * whi
+                                    if "noweights" not in _ABLATE:
+                                        t = t + ghi * whi
                                 acc = t if acc is None else acc + t
                         else:
                             offs = (-1, 0, 1, 2) if four else (0,)
@@ -1213,11 +1223,11 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "fmod", "keep_rx", "keep_tx", "MC", "NC", "interpret", "pair",
-    "allfast", "method", "vmax", "lut_tiles", "G"))
+    "allfast", "method", "vmax", "lut_tiles"))
 def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
                   keep_rx=False, keep_tx=False, MC, NC, interpret=False,
                   pair=False, allfast=False, method="linear", vmax=0.0,
-                  lut_tiles=False, G=0):
+                  lut_tiles=False):
     """LUT-mode pallas_call: delay tables streamed as per-tile blocks.
 
     rxb (RB, G, 2) / txb (RB, MTc, 2): per-row-stripe LUT bounds (scalar
@@ -1236,7 +1246,7 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=1, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
         pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
-        method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB, GT=G)
+        method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB)
 
     grid = (NCc, MTc, RB, CB)
     tile = pl.BlockSpec((8, 128), lambda ncc, mtc, rb, cb, *_: (rb, cb),
@@ -1288,6 +1298,20 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     return out if nch > 1 else (out,)
 
 
+def _pack_bounds16(lo, hi):
+    """Pack per-tile (K, RB, CB) int sample bounds as int16 pairs
+    (lo | hi << 16) with tiles on the LAST axis, padded to a lane
+    multiple: returns (K, ceil(RB*CB/128)*128) int32."""
+    K = lo.shape[0]
+    v = (lo.astype(np.int32) & 0xFFFF) | (hi.astype(np.int32) << 16)
+    v = v.reshape(K, -1)
+    n = v.shape[1]
+    npad = -(-n // 128) * 128
+    if npad != n:
+        v = np.pad(v, ((0, 0), (0, npad - n)))
+    return np.ascontiguousarray(v)
+
+
 def prep_lut_sharded(tau_rx, tau_tx, t0, *, fs: float, T: int,
                      im_shape: Tuple[int, int, int], nrx: int = 1,
                      ntx: int = 1, method: str = "linear",
@@ -1330,28 +1354,55 @@ def prep_lut_sharded(tau_rx, tau_tx, t0, *, fs: float, T: int,
         MC = 8  # lut mode unrolls the transmit chunk (static indexing)
     MTc = Msh // MC
     RB = I1p // 8
+    CBn = I2p // 128
     G = Nsh // 8
-    r5 = taur.reshape(nrx, G, 8, RB, 8, I2p)
-    rlo = np.moveaxis(r5.min(axis=(2, 4, 5)), 1, 2)  # (nrx, RB, G)
-    rhi = np.moveaxis(r5.max(axis=(2, 4, 5)), 1, 2)
-    rxb = np.stack([rlo, rhi], axis=-1).reshape(nrx, RB, 2 * G)
-    t5 = taut.reshape(ntx, MTc, MC, RB, 8, I2p)
-    tlo = np.moveaxis(t5.min(axis=(2, 4, 5)), 1, 2)  # (ntx, RB, MTc)
-    thi = np.moveaxis(t5.max(axis=(2, 4, 5)), 1, 2)
-    txb = np.stack([tlo, thi], axis=-1).reshape(ntx, RB, 2 * MTc)
     Mpad = -(-Msh // 128) * 128
     tv = np.zeros((ntx, 1, Mpad), np.float32)
     for j in range(ntx):
         tv[j, 0, :Msh] = t0_pad[j * Msh:(j + 1) * Msh]
 
     lo_ext, hi_ext = _method_exts(method, pair)
-    span = ((rhi - rlo).max() + (thi - tlo).max()) * np.float32(fs)
-    allfast = bool(span + 4 + 2 + lo_ext + hi_ext < 128 - 2)
-    arrays = dict(taur=taur, taut=taut,
-                  rxb=rxb.astype(np.float32), txb=txb.astype(np.float32),
-                  tv=tv)
+    tapext = 4 + 2 + lo_ext + hi_ext
+
+    # per-TILE packed int16 bounds per shard (lut_tiles mode; see
+    # das_lut_plan) — falls back to per-stripe f32 bounds out of range
+    f64 = np.float64
+    r7 = taur.reshape(nrx, G, 8, RB, 8, CBn, 128).astype(f64)
+    rlo_t = np.floor(r7.min(axis=(2, 4, 6)) * fs).astype(np.int64)
+    rhi_t = np.ceil(r7.max(axis=(2, 4, 6)) * fs).astype(np.int64)
+    t0sh = t0_pad.reshape(ntx, Msh)
+    t7 = (taut.astype(f64) - t0sh[:, :, None, None]).reshape(
+        ntx, MTc, MC, RB, 8, CBn, 128)
+    tlo_t = np.floor(t7.min(axis=(2, 4, 6)) * fs).astype(np.int64)
+    thi_t = np.ceil(t7.max(axis=(2, 4, 6)) * fs).astype(np.int64)
+    bmin = min(rlo_t.min(), tlo_t.min())
+    bmax = max(rhi_t.max(), thi_t.max())
+    lut_tiles = bool(-32768 <= bmin and bmax <= 32767)
+    if lut_tiles:
+        rxb = np.stack([_pack_bounds16(rlo_t[i], rhi_t[i])
+                        for i in range(nrx)])   # (nrx, G, pad(RB*CB))
+        txb = np.stack([_pack_bounds16(tlo_t[j], thi_t[j])
+                        for j in range(ntx)])   # (ntx, MTc, pad(RB*CB))
+        rspan = (rhi_t - rlo_t).max(axis=(0, 1))  # (RB, CB)
+        tspan = (thi_t - tlo_t).max(axis=(0, 1))
+        allfast = bool((rspan + tspan).max() + tapext < 128 - 2)
+    else:
+        r5 = taur.reshape(nrx, G, 8, RB, 8, I2p)
+        rlo = np.moveaxis(r5.min(axis=(2, 4, 5)), 1, 2)  # (nrx, RB, G)
+        rhi = np.moveaxis(r5.max(axis=(2, 4, 5)), 1, 2)
+        rxb = np.stack([rlo, rhi], axis=-1).reshape(
+            nrx, RB, 2 * G).astype(np.float32)
+        t5 = taut.reshape(ntx, MTc, MC, RB, 8, I2p)
+        tlo = np.moveaxis(t5.min(axis=(2, 4, 5)), 1, 2)  # (ntx, RB, MTc)
+        thi = np.moveaxis(t5.max(axis=(2, 4, 5)), 1, 2)
+        txb = np.stack([tlo, thi], axis=-1).reshape(
+            ntx, RB, 2 * MTc).astype(np.float32)
+        span = ((rhi - rlo).max() + (thi - tlo).max()) * np.float32(fs)
+        allfast = bool(span + tapext < 128 - 2)
+    arrays = dict(taur=taur, taut=taut, rxb=rxb, txb=txb, tv=tv)
     statics = dict(MC=MC, NC=NC, Tp=Tp, Nsh=Nsh, Msh=Msh, I1p=I1p,
-                   I2p=I2p, allfast=allfast, vmax=float(T), method=method)
+                   I2p=I2p, allfast=allfast, vmax=float(T), method=method,
+                   lut_tiles=lut_tiles)
     return arrays, statics
 
 
@@ -1445,18 +1496,8 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
     bmax = max(rhi_t.max(), thi_t.max())
     lut_tiles = bool(-32768 <= bmin and bmax <= 32767)
     if lut_tiles:
-        P = G + MTc
-        packed = np.zeros((RB * CBn, P), np.int32)
-        def pack(lo, hi):  # (K, RB, CB) -> (RB*CB, K)
-            lo = lo.astype(np.int32)
-            hi = hi.astype(np.int32)
-            return (lo & 0xFFFF) | (hi << 16)
-        packed[:, :G] = pack(rlo_t, rhi_t).transpose(1, 2, 0).reshape(
-            RB * CBn, G)
-        packed[:, G:] = pack(tlo_t, thi_t).transpose(1, 2, 0).reshape(
-            RB * CBn, MTc)
-        rxb_k = packed
-        txb_k = np.zeros((1, 8), np.float32)  # unused in tile mode
+        rxb_k = _pack_bounds16(rlo_t, rhi_t)   # (G, pad(RB*CB)) int32
+        txb_k = _pack_bounds16(tlo_t, thi_t)   # (MTc, pad(RB*CB))
         rspan = (rhi_t - rlo_t).max(axis=0)  # (RB, CB)
         tspan = (thi_t - tlo_t).max(axis=0)
         allfast = bool((rspan + tspan).max() + tapext < 128 - 2)
@@ -1495,7 +1536,7 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
             rxb_j, txb_j, taur_j, taut_j, tv_j, xs, accs, fs=float(fs),
             fmod=float(fmod), keep_rx=keep_rx, keep_tx=keep_tx, MC=MC,
             NC=NC, interpret=interpret, pair=pair, allfast=allfast,
-            method=method, vmax=float(T), lut_tiles=lut_tiles, G=G)
+            method=method, vmax=float(T), lut_tiles=lut_tiles)
         res = []
         for o in outs:
             if keep_rx:
@@ -1768,7 +1809,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
               interpret: bool = False,
               orientations: Optional[np.ndarray] = None,
               precision: str = "f32"):
-    """Fast Pallas DAS (summed, keep_rx, or keep_tx output).
+    """Fast Pallas DAS (summed, keep_rx, keep_tx, or keep-both output).
 
     ``method``: 'nearest' | 'linear' | 'cubic' | 'lanczos3' — all four
     reference samplers (``interpd.cu:68-167``) run in-kernel. The 4-tap

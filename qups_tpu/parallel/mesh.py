@@ -443,7 +443,8 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
                              keep_rx=keep_rx, keep_tx=keep_tx,
                              MC=st["MC"], NC=st["NC"], interpret=interpret,
                              pair=pair, allfast=st["allfast"],
-                             method=method, vmax=st["vmax"])
+                             method=method, vmax=st["vmax"],
+                             lut_tiles=st["lut_tiles"])
         res = []
         for o in outs:
             if not keep_rx and "rx" in mesh.axis_names:

@@ -561,7 +561,7 @@ class UltrasoundSystem:
 
         ``kernel``: 'auto' uses the fused Pallas TPU kernel when eligible
         (TPU backend, iso-depth scan order, scalar sound speed, fused or
-        no apodization, at most one kept axis — the benchmark hot path);
+        no apodization, any keep mode — the benchmark hot path);
         'xla' forces the general scan-over-transmits path; 'pallas'
         forces the Pallas kernel (mirrors the reference's CUDA-vs-native
         dispatch, ``kern/das_spec.m:184-195``).

@@ -1,6 +1,6 @@
 """Op-split profiling of the DAS Pallas kernel's fast arm (solo process).
 
-Usage: python tools/ablate_das.py <ablation|none> [size]
+Usage: python tools/ablate_das.py <ablation|none> [size] [method]
 Prints one JSON line: {"ablate": ..., "sums_per_s": ..., "latency_s": ...}.
 
 Ablations delete one piece of the inner loop so its cost is measured by
@@ -39,9 +39,10 @@ def main():
     sums = cfg["n"] ** 2 * cfg["N"] * cfg["M"]
     prec = os.environ.get("QUPS_BENCH_PRECISION", "bf16pair")
 
+    method = sys.argv[3] if len(sys.argv) > 3 else "linear"
     f = jax.jit(lambda xx: jnp.sum(jnp.abs(das_pallas.das_tiled(
         xx, pi, pr, pv, nv, t0, 1.0 / 1540.0, fs=31.25e6, tx_model="plane",
-        method="linear", im_shape=(cfg["n"], cfg["n"], 1), precision=prec))))
+        method=method, im_shape=(cfg["n"], cfg["n"], 1), precision=prec))))
     xj = jnp.asarray(x)
     float(jnp.sum(xj[:1, :1, :1]))
 
@@ -55,7 +56,8 @@ def main():
         times.append(time.time() - t1)
     dt = min(times)
     print(json.dumps({
-        "ablate": ab, "size": size, "sums_per_s": sums / dt,
+        "ablate": ab, "size": size, "method": method,
+        "sums_per_s": sums / dt,
         "latency_s": dt, "compile_s": compile_s, "check": chk,
         "precision": prec,
     }), flush=True)
