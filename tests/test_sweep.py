@@ -151,3 +151,31 @@ def test_migration_pw_cart(bf):
     # migration's native cartesian scan
     assert tuple(img.shape) == tuple(s for s in us.scan.shape if s > 1)
     assert mscan.shape[0] > 0
+
+
+def test_baseline_config3_convex_walking_polar():
+    """BASELINE.json config #3: focused walking-aperture sequence on a
+    TransducerConvex with a ScanPolar grid (per-tx dynamic delays +
+    apodization at the transmit aperture), end-to-end sim -> image."""
+    xdc = q.TransducerConvex.from_pitch(0.5e-3, 40e-3, numel=16, fc=3e6)
+    M = 5
+    # foci along the convex arc at 25 mm depth, walking 8-element aperture
+    th = np.radians(np.linspace(-10, 10, M))
+    pf = np.stack([(40e-3 + 25e-3) * np.sin(th), np.zeros(M),
+                   (40e-3 + 25e-3) * np.cos(th) - 40e-3 + xdc.positions()[2].max()])
+    apd = q.Sequence.ap_walking(16, 8, stride=2)[:, :M]
+    seq = q.Sequence(type="FC", focus=pf, c0=C0, apd=apd)
+    scan = q.ScanPolar(r=np.linspace(15e-3, 35e-3, 24),
+                       a=np.linspace(-12, 12, 16))
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=12e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [25e-3]], c0=C0)
+    chd = us.calc_scat_multi(scat)  # per-tx walking-aperture synthesis
+    assert chd.data.shape[1:3] == (16, M)
+    b = us.DAS(chd)
+    img = np.abs(np.asarray(b)).squeeze()
+    assert np.isfinite(img).all() and img.max() > 0
+    # localization on the polar grid
+    P = us.scan.positions().reshape(3, -1)
+    k = int(img.reshape(-1).argmax())
+    err = np.linalg.norm(P[:, k] - np.array([0.0, 0.0, 25e-3]))
+    assert err < 2.5e-3, err

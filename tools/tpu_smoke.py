@@ -108,6 +108,10 @@ def main():
         ("DAS(bsize)",
          lambda: dl(us.DAS(state["chd"], method="linear", bsize=4))),
         ("DAS(cubic/xla)", lambda: dl(us.DAS(state["chd"], kernel="xla"))),
+        ("DAS(cubic/pallas default)", lambda: dl(us.DAS(state["chd"]))),
+        ("DAS(keep_both BF)",
+         lambda: dl(us.DAS(state["chd"], method="linear", keep_rx=True,
+                           keep_tx=True))),
         ("DAS(volumetric)", das_vol),
         ("bfDAS", lambda: dl(us.bfDAS(state["chd"]))),
         ("bfDASLUT", daslut),
