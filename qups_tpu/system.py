@@ -1699,6 +1699,23 @@ def _calc_hp(us, scan: Optional[Scan] = None, seq: Optional[Sequence] = None,
 
     Returns ``out='max'``: the max-pressure map ``(I1, I2, I3, M)``;
     ``out='field'``: ``(p (T, I, M), t0)`` full time series.
+
+    Example:
+        import numpy as np
+        import qups_tpu as q
+        xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=3e6)
+        pf = np.array([[0.0], [0.0], [20e-3]])
+        us = q.UltrasoundSystem(
+            tx=xdc, rx=xdc, seq=q.Sequence(type="FC", focus=pf, c0=1540.0),
+            scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 9),
+                                 z=np.linspace(16e-3, 24e-3, 9)),
+            fs=12e6)
+        p = np.asarray(us.calc_hp())     # (I1, I2, I3, M) max pressure
+        assert p.shape == (9, 9, 1, 1) and np.isfinite(p).all()
+        # the focused transmit concentrates pressure ON AXIS (x = 0)
+        P = us.scan.positions().reshape(3, -1)
+        k = int(p[..., 0].reshape(-1).argmax())
+        assert abs(P[0, k]) < 1e-3
     """
     scan = scan or us.scan
     seq = seq or us.seq

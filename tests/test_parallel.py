@@ -354,3 +354,29 @@ def test_das_sharded_pallas_single_axis_mesh():
         mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
         im_shape=(16, 128, 1), interpret=True)).squeeze()
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_greens_freq_sharded_attenuation():
+    """alpha0 attenuation through the sharded freq engine matches the
+    single-device greens_freq."""
+    from qups_tpu.ops.greens_freq import greens_freq
+    from qups_tpu.parallel import make_mesh, greens_freq_sharded
+
+    fs, c0, r = 20e6, 1500.0, 15e-3
+    kern = np.hanning(41).astype(np.float32)
+    rng = np.random.default_rng(2)
+    S = 24
+    ps = np.stack([rng.uniform(-3e-3, 3e-3, S), np.zeros(S),
+                   rng.uniform(10e-3, 20e-3, S)], -1).astype(np.float32)
+    amp = rng.uniform(0.5, 1.0, S).astype(np.float32)
+    pn = np.stack([np.linspace(-3e-3, 3e-3, 6), np.zeros(6),
+                   np.zeros(6)], -1)[:, None, :].astype(np.float32)
+    pv = pn[:4].copy()
+    T = int(2 * 25e-3 / c0 * fs) + 64
+    kw = dict(T=T, s0=0.0, t0k=0.0, fs=fs, cinv=1 / c0, R0=1e-3,
+              alpha0=0.7, out="complex")
+    ref = np.asarray(greens_freq(kern, ps, amp, pn, pv, engine="xla", **kw))
+    mesh = make_mesh(jax.devices()[:4], axes=("rx", "tx"), shape=(2, 2))
+    got = np.asarray(greens_freq_sharded(mesh, kern, ps, amp, pn, pv,
+                                         engine="xla", **kw))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
