@@ -14,7 +14,9 @@ range-block trick of ``greens.cu:628-715``:
 * per (tile, rx n, tx m): compute the two-way delay in-register, take the
   rx-group's min sample index (scalar), dynamic-slice W = 128 contiguous
   trace samples into a lane vector, broadcast across sublanes, and fetch
-  both linear-interp taps with lane gathers; tiles whose spread exceeds one
+  the interp taps with lane gathers — all four reference samplers
+  (nearest/linear/cubic/lanczos3) run in-kernel, and under ``bf16pair``
+  the 4 cubic taps ride TWO packed gathers; tiles whose spread exceeds one
   window use J > 1 shifted windows. J is per-row-stripe, host-computed from
   a conservative geometry bound, and passed as a SCALAR-PREFETCH array so
   every stripe shares ONE compiled kernel (a dynamic ``fori_loop`` bound);
