@@ -116,4 +116,38 @@ with tempfile.TemporaryDirectory() as d:
     assert np.allclose(load_checkpoint(os.path.join(d, "ckpt"))["img"],
                        np.asarray(b))
 
+# ------------------------------------------------------- round-3 additions
+# attenuating scatterers (MUST absorption model): alpha0 [dB/cm/MHz]
+scat_att = q.Scatterers(pos=target, c0=c0, alpha0=0.5)
+chd_att = us.greens(scat_att, impl="freq")
+assert np.abs(np.asarray(chd_att.data)).max() \
+    < np.abs(np.asarray(us.greens(scat, impl="freq").data)).max()
+
+# transmit synthesis via the per-bin frequency GEMM (exact band-limited
+# interpolation; the TPU default for focusTx/greens/calc_scat_multi)
+chd_fsa = us.replace(seq=seq_fsa).greens(scat)
+enc = us.focusTx(chd_fsa, seq_pw, method="freq")
+assert enc.data.shape[2] == seq_pw.num_pulse
+
+# BF mode: keep BOTH rx and tx axes (per-pair images)
+bboth = us.DAS(chd, keep_rx=True, keep_tx=True, method="linear")
+assert bboth.shape[-2:] == (xdc.numel, seq_pw.num_pulse)
+
+# walking-aperture focused sequence (per-tx apodization at the aperture)
+apd_walk = q.Sequence.ap_walking(xdc.numel, 8, stride=4)
+seq_walk = q.Sequence(type="FC", focus=seq_fc.focus_array[:, :apd_walk.shape[1]],
+                      c0=c0, apd=apd_walk[:, :seq_fc.num_pulse])
+
+# multi-chip: shard channel data over a (rx, tx) device mesh; on one
+# device this is a no-op mesh (the same code scales to pods)
+import jax  # noqa: E402
+from qups_tpu.parallel import make_mesh, das_sharded  # noqa: E402
+mesh = make_mesh(jax.devices()[:1], axes=("rx",), shape=(1,))
+pv_, nv_, model_ = us._tx_geometry()
+bsh = das_sharded(mesh, np.asarray(chd.data), us._pixels(),
+                  us.rx.positions().T, pv_, nv_,
+                  np.asarray(chd.t0_host).reshape(-1), 1 / c0,
+                  fs=float(chd.fs), tx_model=model_, method="linear")
+assert np.isfinite(np.asarray(bsh)).all()
+
 print("cheat sheet OK")

@@ -137,27 +137,29 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         apod = tuple(padded)
 
     have_frame = "frame" in mesh.axis_names and np.ndim(x) >= 4
+    rxa = "rx" if "rx" in mesh.axis_names else None
+    txa = "tx" if "tx" in mesh.axis_names else None
     fspec = "frame" if have_frame else None
-    xspec = P(None, "rx", "tx", fspec) if np.ndim(x) >= 4 else P(None, "rx", "tx")
+    xspec = P(None, rxa, txa, fspec) if np.ndim(x) >= 4 else P(None, rxa, txa)
 
     apod = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
     apod = tuple(jnp.asarray(a).reshape(np.shape(a) + (1,) * (5 - np.ndim(a)))
                  for a in apod)  # (I1', I2', I3', N', M')
     apod_specs = tuple(
         P(None, None, None,
-          "rx" if a.shape[3] != 1 else None,
-          "tx" if a.shape[4] != 1 else None)
+          rxa if a.shape[3] != 1 else None,
+          txa if a.shape[4] != 1 else None)
         for a in apod)
     cinv = jnp.asarray(cinv, jnp.float32)
     cinv_spec = P() if cinv.ndim == 0 else P(None)
     t0 = jnp.asarray(t0, jnp.float32).reshape(-1)
     Mp = np.shape(pv)[0]  # padded transmit count
-    t0_spec = P("tx") if t0.shape[0] == Mp else P(None)
+    t0_spec = P(txa) if t0.shape[0] == Mp else P(None)
 
-    in_specs = (xspec, P(None, None), P("rx", None), P("tx", None),
-                P("tx", None), t0_spec, cinv_spec, apod_specs)
-    out_rx = "rx" if keep_rx else None
-    out_tx = "tx" if keep_tx else None
+    in_specs = (xspec, P(None, None), P(rxa, None), P(txa, None),
+                P(txa, None), t0_spec, cinv_spec, apod_specs)
+    out_rx = rxa if keep_rx else None
+    out_tx = txa if keep_tx else None
     out_spec = P(None, out_rx, out_tx, fspec) if np.ndim(x) >= 4 \
         else P(None, out_rx, out_tx)
 
@@ -166,9 +168,9 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                   fmod=fmod, tx_model=tx_model, keep_rx=keep_rx,
                   keep_tx=keep_tx, method=method,
                   im_shape=tuple(im_shape) if im_shape else None)
-        if not keep_rx:
+        if not keep_rx and "rx" in mesh.axis_names:
             img = jax.lax.psum(img, "rx")
-        if not keep_tx:
+        if not keep_tx and "tx" in mesh.axis_names:
             img = jax.lax.psum(img, "tx")
         return img
 
