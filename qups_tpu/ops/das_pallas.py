@@ -1239,43 +1239,65 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     CB = taur.shape[2] // 128
     nch = len(xs)
     iq = nch == 2
-    M, N, T = xs[0].shape[-3], xs[0].shape[-2], xs[0].shape[-1]
+    xsh = xs[0].shape  # (F, M, N, T) or (M, N, T)
+    F = xsh[0] if len(xsh) == 4 else 1
+    M, N, T = xsh[-3], xsh[-2], xsh[-1]
     NCc = N // NC
     MTc = M // MC
+    goff = 1 if F > 1 else 0
 
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model="lut", planar=True,
-        iq=iq, fmod=fmod, MC=MC, NC=NC, F=1, keep_rx=keep_rx,
+        iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
         pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
         method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB)
 
-    grid = (NCc, MTc, RB, CB)
-    tile = pl.BlockSpec((8, 128), lambda ncc, mtc, rb, cb, *_: (rb, cb),
+    grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
+
+    def gix(*a):
+        """Strip the optional leading frame index."""
+        return a[goff:goff + 4]
+
+    tile = pl.BlockSpec((8, 128), lambda *a: gix(*a)[2:4],
                         memory_space=pltpu.VMEM)
-    taur_spec = pl.BlockSpec((NC, 8, 128),
-                             lambda ncc, mtc, rb, cb, *_: (ncc, rb, cb),
+    taur_spec = pl.BlockSpec(
+        (NC, 8, 128),
+        lambda *a: (gix(*a)[0], gix(*a)[2], gix(*a)[3]),
+        memory_space=pltpu.VMEM)
+    taut_spec = pl.BlockSpec(
+        (MC, 8, 128),
+        lambda *a: (gix(*a)[1], gix(*a)[2], gix(*a)[3]),
+        memory_space=pltpu.VMEM)
+    if F > 1:
+        trace = pl.BlockSpec((1, MC, NC, T),
+                             lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, 0),
                              memory_space=pltpu.VMEM)
-    taut_spec = pl.BlockSpec((MC, 8, 128),
-                             lambda ncc, mtc, rb, cb, *_: (mtc, rb, cb),
-                             memory_space=pltpu.VMEM)
-    trace = pl.BlockSpec((MC, NC, T),
-                         lambda ncc, mtc, rb, cb, *_: (mtc, ncc, 0),
-                         memory_space=pltpu.VMEM)
-    I1p, I2p = taur.shape[1], taur.shape[2]
-    if keep_rx:
-        ospec = pl.BlockSpec((NC, 8, 128),
-                             lambda ncc, mtc, rb, cb, *_: (ncc, rb, cb),
-                             memory_space=pltpu.VMEM)
-        oshape = jax.ShapeDtypeStruct((N, I1p, I2p), jnp.float32)
-    elif keep_tx:
-        ospec = pl.BlockSpec((MC, 8, 128),
-                             lambda ncc, mtc, rb, cb, *_: (mtc, rb, cb),
-                             memory_space=pltpu.VMEM)
-        oshape = jax.ShapeDtypeStruct((M, I1p, I2p), jnp.float32)
     else:
-        ospec = tile
-        oshape = jax.ShapeDtypeStruct((I1p, I2p), jnp.float32)
+        trace = pl.BlockSpec((MC, NC, T),
+                             lambda ncc, mtc, rb, cb, *_: (mtc, ncc, 0),
+                             memory_space=pltpu.VMEM)
+    I1p, I2p = taur.shape[1], taur.shape[2]
+    fdim = (1,) if F > 1 else ()
+    fshape = (F,) if F > 1 else ()
+    if keep_rx:
+        ospec = pl.BlockSpec(
+            fdim + (NC, 8, 128),
+            lambda *a: (a[:goff] + (gix(*a)[0], gix(*a)[2], gix(*a)[3])),
+            memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct(fshape + (N, I1p, I2p), jnp.float32)
+    elif keep_tx:
+        ospec = pl.BlockSpec(
+            fdim + (MC, 8, 128),
+            lambda *a: (a[:goff] + (gix(*a)[1], gix(*a)[2], gix(*a)[3])),
+            memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct(fshape + (M, I1p, I2p), jnp.float32)
+    else:
+        ospec = pl.BlockSpec(
+            fdim + (8, 128),
+            lambda *a: (a[:goff] + gix(*a)[2:4]),
+            memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct(fshape + (I1p, I2p), jnp.float32)
 
     in_specs = [taur_spec, taut_spec,
                 pl.BlockSpec(memory_space=pltpu.SMEM)]  # tv (1, Mpad)
@@ -1409,7 +1431,7 @@ def prep_lut_sharded(tau_rx, tau_tx, t0, *, fs: float, T: int,
 
 
 def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
-                 cplx: bool = False,
+                 Fn: Optional[int] = None, cplx: bool = False,
                  im_shape: Optional[Tuple[int, ...]] = None,
                  out: str = "complex", keep_rx: bool = False,
                  keep_tx: bool = False, fmod: float = 0.0,
@@ -1512,12 +1534,21 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
         allfast = bool(span.max() + tapext < 128 - 2)
 
     def prep_real(xr):
+        if xr.dtype == jnp.uint16:  # bf16-bits wire format (_upload_trace)
+            xr = jax.lax.bitcast_convert_type(
+                xr, jnp.bfloat16).astype(jnp.float32)
+        elif xr.dtype == jnp.bfloat16:
+            xr = xr.astype(jnp.float32)
         if four:  # edge-replicate one sample each end
             xr = jnp.concatenate([xr[:1], xr, xr[-1:]], axis=0)
         Te = xr.shape[0]
         if Tp != Te or Np8 != N:
-            xr = jnp.pad(xr, [(0, Tp - Te), (0, Np8 - N), (0, 0)])
-        xr = jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
+            padc = [(0, Tp - Te), (0, Np8 - N)] + [(0, 0)] * (xr.ndim - 2)
+            xr = jnp.pad(xr, padc)
+        if Fn is not None:
+            xr = jnp.transpose(xr, (3, 2, 1, 0))  # (F, M, N, T)
+        else:
+            xr = jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
         if pair:
             xr = _pack_pairs(xr)
         return xr
@@ -1532,7 +1563,7 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
     def run(xr, xi=None):
         xs = (xr,) if xi is None else (xr, xi)
         keep_n = (Np8,) if keep_rx else ((M,) if keep_tx else ())
-        oshape = keep_n + (I1p, I2p)
+        oshape = ((Fn,) if Fn else ()) + keep_n + (I1p, I2p)
         accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
         outs = _das_lut_call(
             rxb_j, txb_j, taur_j, taut_j, tv_j, xs, accs, fs=float(fs),
@@ -1541,14 +1572,16 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
             method=method, vmax=float(T), lut_tiles=lut_tiles)
         res = []
         for o in outs:
+            if Fn:
+                o = jnp.moveaxis(o, 0, -1)  # (..., F)
             if keep_rx:
                 o = jnp.moveaxis(o[:N, :I1, :I2], 0, 2)
-                o = o.reshape((I, N, 1))
+                o = o.reshape((I, N, 1) + o.shape[3:])
             elif keep_tx:
                 o = jnp.moveaxis(o[:M, :I1, :I2], 0, 2)
-                o = o.reshape((I, 1, M))
+                o = o.reshape((I, 1, M) + o.shape[3:])
             else:
-                o = o[:I1, :I2].reshape((I, 1, 1))
+                o = o[:I1, :I2].reshape((I, 1, 1) + o.shape[2:])
             res.append(o)
         return res
 
@@ -1606,16 +1639,17 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     multi-window loop arm automatically. For repeated frames against fixed
     tables use :func:`das_lut_plan` (one table upload, reusable handle).
     """
-    if np.ndim(x) > 3:
-        raise ValueError("das_lut_tiled: frame dims not supported; loop "
-                         "frames or use qups_tpu.ops.das.das_lut")
+    if np.ndim(x) > 4:
+        raise ValueError("das_lut_tiled supports (T, N, M[, F]) data")
     T, N, M = x.shape[:3]
+    Fn = x.shape[3] if np.ndim(x) >= 4 else None
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype",
                                                           np.float32))))
-    plan = das_lut_plan(tau_rx, tau_tx, t0, fs=fs, T=T, N=N, M=M, cplx=cplx,
-                        im_shape=im_shape, out=out, keep_rx=keep_rx,
-                        keep_tx=keep_tx, fmod=fmod, method=method,
-                        interpret=interpret, precision=precision)
+    plan = das_lut_plan(tau_rx, tau_tx, t0, fs=fs, T=T, N=N, M=M, Fn=Fn,
+                        cplx=cplx, im_shape=im_shape, out=out,
+                        keep_rx=keep_rx, keep_tx=keep_tx, fmod=fmod,
+                        method=method, interpret=interpret,
+                        precision=precision)
     return plan(x)
 
 

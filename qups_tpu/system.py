@@ -798,7 +798,7 @@ class UltrasoundSystem:
         if method == "auto":
             method = "cubic"
         eligible = (not apod_t and not (keep_rx and keep_tx)
-                    and chd.data.ndim == 3 and np.ndim(t0) <= 1
+                    and chd.data.ndim in (3, 4) and np.ndim(t0) <= 1
                     and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
                     and method in ("nearest", "linear", "cubic", "lanczos3")
                     and on_tpu)

@@ -440,3 +440,22 @@ def test_keep_both_cubic():
                                im_shape=(16, 128, 1), keep_rx=True,
                                keep_tx=True, interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_lut_frames():
+    """The LUT kernel carries frame batches (T, N, M, F) like the
+    geometry kernel (reference threads F through bfDASLUT)."""
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    x, pi, pr, pv, nv, t0 = problem()
+    F = 3
+    xf = np.stack([x * (f + 1) for f in range(F)], axis=-1)
+    tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
+              / 1540.0).astype(np.float32)
+    tau_tx = (pi @ nv.T / 1540.0).astype(np.float32)
+    ref = np.asarray(das_lut(xf, tau_rx, tau_tx, t0, fs=4e6,
+                             method="cubic"))
+    got = np.asarray(das_lut_tiled(xf, tau_rx, tau_tx, t0, fs=4e6,
+                                   method="cubic", interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
