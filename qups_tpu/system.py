@@ -685,6 +685,29 @@ class UltrasoundSystem:
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         eligible = self._pallas_das_eligible(chd.data.ndim, apod_t, cinv,
                                              keep_rx, keep_tx, method)
+        if (kernel == "auto" and on_tpu and cinv.ndim > 0 and not apod_t
+                and not (keep_rx and keep_tx) and chd.data.ndim in (3, 4)
+                and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
+                and method in ("nearest", "linear", "cubic", "lanczos3")):
+            # per-pixel sound-speed map (heterogeneous c,
+            # ``kern/das_spec.m:169``): build per-pixel delay TABLES and
+            # ride the Pallas LUT kernel — the fast path for
+            # bring-your-own-delays IS the fast path for per-pixel c
+            from .ops.das import tx_distance
+            import jax.numpy as jnp
+            pi = jnp.asarray(self._pixels(), jnp.float32)
+            prj = jnp.asarray(self.rx.positions().T, jnp.float32)
+            cv = jnp.asarray(cinv, jnp.float32).reshape(-1, 1)
+            dr = jnp.sqrt(jnp.sum(
+                (pi[:, None, :] - prj[None, :, :]) ** 2, -1))
+            dv = jax.vmap(lambda p, n: tx_distance(pi, p, n, model),
+                          in_axes=0, out_axes=1)(
+                jnp.asarray(pv, jnp.float32), jnp.asarray(nv, jnp.float32))
+            tau_rx = np.asarray(dr * cv)
+            tau_tx = np.asarray(dv * cv)
+            return self.bfDASLUT(chd, tau_rx, tau_tx, fmod=fmod,
+                                 keep_tx=keep_tx, keep_rx=keep_rx,
+                                 method=method, out=out)
         if kernel == "auto" and on_tpu and not eligible:
             import warnings
             warnings.warn(

@@ -236,3 +236,38 @@ def test_focus_tx_freq_blocked_matches():
     # blocked freq GEMMs differ from the fused one only by f32 reduction
     # order (the sample2sep path is bit-for-bit; GEMM shapes are not)
     assert np.abs(a - b).max() < 1e-5 * np.abs(a).max()
+
+
+def test_per_pixel_c_lut_tables_match_das():
+    """Per-pixel sound-speed DAS == LUT beamforming with tables
+    tau = cinv_px * distance (the TPU fast-path routing for heterogeneous
+    c, ``kern/das_spec.m:169``)."""
+    from qups_tpu.ops.das import das, das_lut, tx_distance
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    T, N, M, I1, I2 = 256, 8, 3, 12, 16
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    xs = np.linspace(-3e-3, 3e-3, I2)
+    zs = np.linspace(15e-3, 25e-3, I1)
+    Z, X = np.meshgrid(zs, xs, indexing="ij")
+    pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()],
+                  -1).astype(np.float32)
+    pr = np.stack([np.linspace(-3e-3, 3e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    th = np.radians(np.linspace(-5, 5, M))
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.stack([np.sin(th), np.zeros(M), np.cos(th)],
+                  -1).astype(np.float32)
+    t0 = np.zeros(M, np.float32)
+    cinv = (1.0 / rng.uniform(1400, 1600, pi.shape[0])).astype(np.float32)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, cinv[:, None], fs=8e6,
+                         tx_model="plane", method="cubic"))
+    dr = np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
+    dv = np.asarray(jax.vmap(
+        lambda p, n: tx_distance(jnp.asarray(pi), p, n, "plane"),
+        in_axes=0, out_axes=1)(jnp.asarray(pv), jnp.asarray(nv)))
+    got = np.asarray(das_lut(x, dr * cinv[:, None], dv * cinv[:, None], t0,
+                             fs=8e6, method="cubic"))
+    # f32 distributivity: cinv*(dv+dr) != cinv*dv + cinv*dr to the ulp
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
