@@ -112,6 +112,9 @@ def main():
         ("DAS(keep_both BF)",
          lambda: dl(us.DAS(state["chd"], method="linear", keep_rx=True,
                            keep_tx=True))),
+        ("DAS(per-pixel c -> LUT fast path)",
+         lambda: dl(us.DAS(state["chd"],
+                           c0=np.full(us.scan.shape, 1540.0, np.float32)))),
         ("DAS(volumetric)", das_vol),
         ("bfDAS", lambda: dl(us.bfDAS(state["chd"]))),
         ("bfDASLUT", daslut),
