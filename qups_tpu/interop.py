@@ -747,6 +747,13 @@ def load_uff(path):
                 t0 = 0.0
             out["chd"] = ChannelData(data=np.asarray(data), fs=fs,
                                      t0=np.asarray(t0, np.float64))
+        if "modulation_frequency" in g:
+            # demodulated (IQ) data: USTB stores the carrier here; feed it
+            # to DAS(fmod=...) on import (``src/ChannelData.m:93-114``)
+            fmod = float(np.squeeze(
+                _uff_read_value(g["modulation_frequency"])))
+            if fmod:
+                out["fmod"] = fmod
         if "scan" in g:
             sg = g["scan"]
             cls = _uff_attr(sg, "class")

@@ -262,6 +262,91 @@ def test_load_uff_ustb_dialect(tmp_path):
     assert np.allclose(nv[2], np.cos(angles), atol=1e-6)
 
 
+def test_load_uff_ustb_picmus_iq_end_to_end(tmp_path):
+    """PICMUS-convention round trip: a plane-wave IQ acquisition written in
+    the MATLAB-USTB on-disk layout (complex data as a real/imag group with
+    column-major axes, ``modulation_frequency``, uff.wave sequence children
+    with plane wavefronts, uff.linear_array probe, uff.linear_scan) loads
+    into a (chd, xdc, seq, scan, fmod) bundle that beamforms to the correct
+    PSF — the full import->image pipeline the reference drives through
+    USTB's PICMUS datasets (``src/ChannelData.m:180-240``,
+    ``examples/...PICMUS``)."""
+    h5py = pytest.importorskip("h5py")
+    path = tmp_path / "picmus_like.uff"
+    c0, fc = 1540.0, 3e6
+    target = np.array([0.0, 0.0, 20e-3])
+    angles = np.radians([-5.0, 0.0, 5.0])
+    xdc = q.TransducerArray(numel=32, pitch=0.3e-3, fc=fc)
+    seq = q.SequenceRadial(type="PW", angles=np.degrees(angles), c0=c0)
+    scan = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 41),
+                           z=np.linspace(16e-3, 24e-3, 41))
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=seq, scan=scan, fs=24e6)
+    chd = us.greens(q.Scatterers(pos=target.reshape(3, 1), c0=c0))
+    iq = chd.downmix(fc)  # complex baseband, the PICMUS data format
+    data = np.asarray(iq.data)  # (T, N, M)
+    t0 = float(np.asarray(chd.t0_host).reshape(-1)[0])
+
+    def chararr(s):
+        return np.array([ord(c) for c in s], np.uint16)
+
+    with h5py.File(path, "w") as f:
+        f.attrs["version"] = chararr("v1.2.0")
+        g = f.create_group("channel_data")
+        g.attrs["class"] = chararr("uff.channel_data")
+        dg = g.create_group("data")  # USTB complex: real/imag pair
+        dg.attrs["complex"] = np.int16(1)
+        # MATLAB column-major: axes appear reversed through h5py
+        dg.create_dataset("real", data=np.transpose(data.real))
+        dg.create_dataset("imag", data=np.transpose(data.imag))
+        g.create_dataset("sampling_frequency", data=np.float64(us.fs))
+        g.create_dataset("initial_time", data=np.float64(t0))
+        g.create_dataset("sound_speed", data=np.float64(c0))
+        g.create_dataset("modulation_frequency", data=np.float64(fc))
+        pg = g.create_group("probe")
+        pg.attrs["class"] = chararr("uff.linear_array")
+        xs = (np.arange(32) - 31 / 2) * 0.3e-3
+        geom = np.stack([xs, np.zeros(32), np.zeros(32), np.zeros(32),
+                         np.zeros(32), np.full(32, 0.27e-3),
+                         np.full(32, 5e-3)])  # (7, N) column-major
+        pg.create_dataset("geometry", data=geom)
+        pg.create_dataset("pitch", data=np.float64(0.3e-3))
+        pg.create_dataset("N", data=np.float64(32))
+        pu = g.create_group("pulse")
+        pu.attrs["class"] = chararr("uff.pulse")
+        pu.create_dataset("center_frequency", data=np.float64(fc))
+        sg = g.create_group("sequence")
+        sg.attrs["array"] = chararr("1")
+        for i, a in enumerate(angles):
+            w = sg.create_group(f"sequence_{i + 1:04d}")
+            w.attrs["class"] = chararr("uff.wave")
+            w.create_dataset("wavefront", data=np.int32(0))  # plane
+            w.create_dataset("delay", data=np.float64(0.0))
+            sp = w.create_group("source")
+            sp.attrs["class"] = chararr("uff.point")
+            sp.create_dataset("azimuth", data=np.float64(a))
+            sp.create_dataset("elevation", data=np.float64(0.0))
+            sp.create_dataset("distance", data=np.float64(np.inf))
+        cg = g.create_group("scan")
+        cg.attrs["class"] = chararr("uff.linear_scan")
+        cg.create_dataset("x_axis", data=np.asarray(scan.x, np.float64))
+        cg.create_dataset("y_axis", data=np.zeros(1))
+        cg.create_dataset("z_axis", data=np.asarray(scan.z, np.float64))
+
+    out = interop.load_uff(path)
+    assert out["fmod"] == fc
+    chd2, xdc2, seq2, scan2 = out["chd"], out["xdc"], out["seq"], out["scan"]
+    assert np.iscomplexobj(np.asarray(chd2.data))
+    assert np.allclose(np.asarray(chd2.data), data, atol=1e-6)
+    assert isinstance(scan2, q.ScanCartesian) and scan2.shape[:2] == (41, 41)
+    us2 = q.UltrasoundSystem(tx=xdc2, rx=xdc2, seq=seq2, scan=scan2,
+                             fs=float(chd2.fs))
+    b = np.abs(np.asarray(us2.DAS(chd2, fmod=out["fmod"]))).squeeze()
+    i, j = np.unravel_index(np.argmax(b), b.shape)
+    P = us2.scan.positions()
+    assert abs(P[0, i, j, 0] - target[0]) < 1.1e-3
+    assert abs(P[2, i, j, 0] - target[2]) < 1.1e-3
+
+
 def test_load_uff_ustb_focused_vs(tmp_path):
     """USTB spherical waves with finite-distance sources map to a VS
     sequence with t0 = delay - |focus|/c0 (``src/ChannelData.m:222``)."""
