@@ -175,7 +175,8 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             pair: bool = False, allfast: bool = False,
             interp_mode: bool = False, lut: bool = False,
             method: str = "linear", vmax: float = 0.0,
-            lut_tiles: bool = False, CB: int = 0):
+            lut_tiles: bool = False, CB: int = 0,
+            stream_rx: bool = False):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -226,14 +227,29 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         pv_ref = refs[k]; k += 1
     nch = 2 if iq else 1
     x_refs = refs[k:k + nch]; k += nch
-    acc_refs = refs[k:k + nch]; k += nch
-    out_refs = refs[k:k + nch]; k += nch
+    if stream_rx:
+        # streaming keep_rx (see _das_call): no aliased accumulator
+        # inputs — per-rx bands accumulate across transmit chunks in VMEM
+        # scratch refs, which trail the output refs
+        acc_refs = None
+        out_refs = refs[k:k + nch]; k += nch
+        scratch_refs = refs[k:k + nch]; k += nch
+    else:
+        acc_refs = refs[k:k + nch]; k += nch
+        out_refs = refs[k:k + nch]; k += nch
 
     goff = 1 if F > 1 else 0
     ncc = pl.program_id(goff + 0)
-    mtc = pl.program_id(goff + 1)
-    rb = pl.program_id(goff + 2)
-    cb = pl.program_id(goff + 3)
+    if stream_rx:
+        # grid ([F,] NCc, CB, MTc, RB): transmit chunks sweep INSIDE each
+        # pixel-column stripe so the kept-rx band accumulates in VMEM
+        cb = pl.program_id(goff + 1)
+        mtc = pl.program_id(goff + 2)
+        rb = pl.program_id(goff + 3)
+    else:
+        mtc = pl.program_id(goff + 1)
+        rb = pl.program_id(goff + 2)
+        cb = pl.program_id(goff + 3)
     if not lut:
         zlo = boxes_ref[rb, cb, 0]
         zhi = boxes_ref[rb, cb, 1]
@@ -882,6 +898,38 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                             acc_refs[ch][0, c, sl] + band
                     else:
                         out_refs[ch][c, sl] = acc_refs[ch][c, sl] + band
+    elif keep_rx and stream_rx:
+        # streaming keep_rx: the (NC, 8, 128) band for this (tile, rx
+        # chunk) accumulates across the MTc transmit chunks in a VMEM
+        # scratch column (NC, I1p, 128) — the old aliased-HBM accumulator
+        # cost MTc read+write sweeps of the (N, I1, I2) image (~128 GB at
+        # the full 1024^2 x 256x256 config, the measured 1.6x keep_rx
+        # overhead); here the band leaves VMEM exactly once, on the final
+        # transmit chunk (the out index map parks earlier steps on a
+        # dummy row block that the caller crops).
+        MTcg = pl.num_programs(goff + 2)
+        for g in range(G):
+            accs64 = rx_group(g, tuple(z64 for _ in range(nch)))
+            gsl = pl.ds(g * 8, 8)
+            rsl = pl.ds(rb * 8, 8)
+            for ch in range(nch):
+                band = accs64[ch].reshape(8, 8, 128)
+                if MTcg == 1:  # single transmit chunk: direct write
+                    oset(out_refs[ch], band, gsl)
+                    continue
+                sref = scratch_refs[ch]
+
+                @pl.when(mtc == 0)
+                def _(sref=sref, band=band, gsl=gsl, rsl=rsl):
+                    sref[gsl, rsl] = band
+
+                @pl.when(mtc != 0)
+                def _(sref=sref, band=band, gsl=gsl, rsl=rsl):
+                    sref[gsl, rsl] = sref[gsl, rsl] + band
+
+                @pl.when(mtc == MTcg - 1)
+                def _(sref=sref, ch=ch, gsl=gsl, rsl=rsl):
+                    oset(out_refs[ch], sref[gsl, rsl], gsl)
     elif keep_rx:
         for g in range(G):
             accs64 = rx_group(g, tuple(z64 for _ in range(nch)))
@@ -1103,7 +1151,18 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
               tx_apods, MC, NC, interpret=False, pair=False,
               allfast=False, method="linear", vmax=0.0):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
-    CB) with image tiles innermost (trace blocks stream once)."""
+    CB) with image tiles innermost (trace blocks stream once).
+
+    keep_rx rides a STREAMING grid ([F,] NCc, CB, MTc, RB) instead: the
+    transmit chunks sweep inside each pixel-column stripe and the kept
+    (NC, 8, 128) bands accumulate in a VMEM scratch column, leaving the
+    chip exactly once (on the final transmit chunk, via an out index map
+    that parks earlier steps on a dummy row block). Trade: the trace set
+    re-streams once per column stripe (CB x reads, ~8 GB at the full
+    config — milliseconds) against the aliased-HBM accumulator's MTc
+    read+write image sweeps (~128 GB, the measured 1.6x keep_rx
+    overhead). Disable with QUPS_DAS_STREAMRX=0 for A/B runs."""
+    import os as _os
     RB = pz.shape[0] // 8
     CB = pz.shape[1] // 128
     nch = len(xs)
@@ -1116,28 +1175,54 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     MTc = M // MC
     goff = 1 if F > 1 else 0
 
+    scratch_bytes = nch * NC * pz.shape[0] * 128 * 4
+    stream_rx = (keep_rx and not keep_tx
+                 and scratch_bytes <= 64 * 2**20
+                 and _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1")
+
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
         has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret,
-        method=method, vmax=vmax)
+        method=method, vmax=vmax, stream_rx=stream_rx)
 
-    grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
+    if stream_rx:
+        grid = ((F,) if F > 1 else ()) + (NCc, CB, MTc, RB)
 
-    def tidx(*a):
-        # (..., ncc, mtc, rb, cb, boxes, gbox) -> tile block (rb, cb)
-        return (a[goff + 2], a[goff + 3])
+        def tidx(*a):
+            # (..., ncc, cb, mtc, rb, boxes, gbox) -> tile block (rb, cb)
+            return (a[goff + 3], a[goff + 1])
 
-    tile = pl.BlockSpec((8, 128), tidx, memory_space=pltpu.VMEM)
-    if F > 1:
-        trace = pl.BlockSpec((1, MC, NC, T),
-                             lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, 0),
-                             memory_space=pltpu.VMEM)
+        tile = pl.BlockSpec((8, 128), tidx, memory_space=pltpu.VMEM)
+        if F > 1:
+            trace = pl.BlockSpec(
+                (1, MC, NC, T),
+                lambda f, ncc, cb, mtc, rb, *_: (f, mtc, ncc, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            trace = pl.BlockSpec(
+                (MC, NC, T),
+                lambda ncc, cb, mtc, rb, *_: (mtc, ncc, 0),
+                memory_space=pltpu.VMEM)
     else:
-        trace = pl.BlockSpec((MC, NC, T),
-                             lambda ncc, mtc, rb, cb, *_: (mtc, ncc, 0),
-                             memory_space=pltpu.VMEM)
+        grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
+
+        def tidx(*a):
+            # (..., ncc, mtc, rb, cb, boxes, gbox) -> tile block (rb, cb)
+            return (a[goff + 2], a[goff + 3])
+
+        tile = pl.BlockSpec((8, 128), tidx, memory_space=pltpu.VMEM)
+        if F > 1:
+            trace = pl.BlockSpec(
+                (1, MC, NC, T),
+                lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            trace = pl.BlockSpec(
+                (MC, NC, T),
+                lambda ncc, mtc, rb, cb, *_: (mtc, ncc, 0),
+                memory_space=pltpu.VMEM)
 
     if keep_rx and keep_tx:
         if F > 1:
@@ -1154,6 +1239,26 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct(
                 (M, N, pz.shape[0], pz.shape[1]), jnp.float32)
+    elif keep_rx and stream_rx:
+        # out rows gain one dummy 8-row block (index RB): non-final
+        # transmit-chunk steps park there so the real rows are written
+        # exactly once (cropped before returning)
+        if F > 1:
+            ospec = pl.BlockSpec(
+                (1, NC, 8, 128),
+                lambda f, ncc, cb, mtc, rb, *_: (
+                    f, ncc, jnp.where(mtc == MTc - 1, rb, RB), cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct(
+                (F, N, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
+        else:
+            ospec = pl.BlockSpec(
+                (NC, 8, 128),
+                lambda ncc, cb, mtc, rb, *_: (
+                    ncc, jnp.where(mtc == MTc - 1, rb, RB), cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct(
+                (N, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
     elif keep_rx:
         if F > 1:
             ospec = pl.BlockSpec(
@@ -1200,17 +1305,30 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),   # pr (8, Npad)
                  pl.BlockSpec(memory_space=pltpu.SMEM)]   # pv (8, Mpad)
     in_specs += [trace] * nch
-    in_specs += [ospec] * nch  # aliased accumulator inputs
-
-    # input_output_aliases: indices count ALL operands incl. scalar-prefetch
-    n_lead = 2 + len(in_specs) - nch
-    aliases = {n_lead + ch: ch for ch in range(nch)}
+    if stream_rx:
+        # no aliased accumulator inputs: bands accumulate in VMEM scratch
+        aliases = {}
+        scratch = [pltpu.VMEM((NC, pz.shape[0], 128), jnp.float32)] * nch
+        acc_args = ()
+        params = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(scratch_bytes * 1.5) + 32 * 2**20,
+                                 100 * 2**20)))
+    else:
+        in_specs += [ospec] * nch  # aliased accumulator inputs
+        # input_output_aliases: indices count ALL operands incl.
+        # scalar-prefetch
+        n_lead = 2 + len(in_specs) - nch
+        aliases = {n_lead + ch: ch for ch in range(nch)}
+        scratch = []
+        acc_args = tuple(accs)
+        params = {}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kern,
@@ -1218,9 +1336,13 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
         out_shape=tuple([oshape] * nch) if nch > 1 else oshape,
         input_output_aliases=aliases,
         interpret=interpret,
+        **params,
     )(boxes, gbox, pz, px, py, *((lat,) if has_lat else ()), pr, pv,
-      *xs, *accs)
-    return out if nch > 1 else (out,)
+      *xs, *acc_args)
+    outs = out if nch > 1 else (out,)
+    if stream_rx:  # crop the dummy row block
+        outs = tuple(o[..., :pz.shape[0], :] for o in outs)
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1234,7 +1356,14 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
 
     rxb (RB, G, 2) / txb (RB, MTc, 2): per-row-stripe LUT bounds (scalar
     prefetch); taur (N, I1p, I2p) / taut (M, I1p, I2p): per-pixel delay
-    tables [s]; tv (1, Mpad): per-transmit t0 [s] (SMEM)."""
+    tables [s]; tv (1, Mpad): per-transmit t0 [s] (SMEM).
+
+    keep_rx rides the STREAMING grid like :func:`_das_call` (transmit
+    chunks inside each column stripe; kept bands accumulate in VMEM
+    scratch; out written once through a dummy-row-parked index map) —
+    table/trace re-stream costs are unchanged/CB-fold small next to the
+    aliased accumulator's MTc image sweeps."""
+    import os as _os
     RB = taur.shape[1] // 8
     CB = taur.shape[2] // 128
     nch = len(xs)
@@ -1246,18 +1375,31 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     MTc = M // MC
     goff = 1 if F > 1 else 0
 
+    scratch_bytes = nch * NC * taur.shape[1] * 128 * 4
+    stream_rx = (keep_rx and not keep_tx
+                 and scratch_bytes <= 64 * 2**20
+                 and _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1")
+
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model="lut", planar=True,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
         pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
-        method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB)
+        method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB,
+        stream_rx=stream_rx)
 
-    grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
+    if stream_rx:
+        grid = ((F,) if F > 1 else ()) + (NCc, CB, MTc, RB)
 
-    def gix(*a):
-        """Strip the optional leading frame index."""
-        return a[goff:goff + 4]
+        def gix(*a):
+            """Grid indices in semantic (ncc, mtc, rb, cb) order."""
+            return (a[goff + 0], a[goff + 2], a[goff + 3], a[goff + 1])
+    else:
+        grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
+
+        def gix(*a):
+            """Strip the optional leading frame index."""
+            return a[goff:goff + 4]
 
     tile = pl.BlockSpec((8, 128), lambda *a: gix(*a)[2:4],
                         memory_space=pltpu.VMEM)
@@ -1269,18 +1411,26 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         (MC, 8, 128),
         lambda *a: (gix(*a)[1], gix(*a)[2], gix(*a)[3]),
         memory_space=pltpu.VMEM)
-    if F > 1:
-        trace = pl.BlockSpec((1, MC, NC, T),
-                             lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, 0),
-                             memory_space=pltpu.VMEM)
-    else:
-        trace = pl.BlockSpec((MC, NC, T),
-                             lambda ncc, mtc, rb, cb, *_: (mtc, ncc, 0),
-                             memory_space=pltpu.VMEM)
+    trace = pl.BlockSpec(
+        ((1,) if F > 1 else ()) + (MC, NC, T),
+        lambda *a: (a[:goff] + (gix(*a)[1], gix(*a)[0], 0)),
+        memory_space=pltpu.VMEM)
     I1p, I2p = taur.shape[1], taur.shape[2]
     fdim = (1,) if F > 1 else ()
     fshape = (F,) if F > 1 else ()
-    if keep_rx:
+    if keep_rx and stream_rx:
+        # dummy row block RB parks non-final transmit-chunk steps (see
+        # _das_call); cropped before returning
+        ospec = pl.BlockSpec(
+            fdim + (NC, 8, 128),
+            lambda *a: (a[:goff] + (
+                gix(*a)[0],
+                jnp.where(gix(*a)[1] == MTc - 1, gix(*a)[2], RB),
+                gix(*a)[3])),
+            memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct(fshape + (N, I1p + 8, I2p),
+                                      jnp.float32)
+    elif keep_rx:
         ospec = pl.BlockSpec(
             fdim + (NC, 8, 128),
             lambda *a: (a[:goff] + (gix(*a)[0], gix(*a)[2], gix(*a)[3])),
@@ -1302,15 +1452,27 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     in_specs = [taur_spec, taut_spec,
                 pl.BlockSpec(memory_space=pltpu.SMEM)]  # tv (1, Mpad)
     in_specs += [trace] * nch
-    in_specs += [ospec] * nch  # aliased accumulator inputs
-    n_lead = 2 + len(in_specs) - nch
-    aliases = {n_lead + ch: ch for ch in range(nch)}
+    if stream_rx:
+        aliases = {}
+        scratch = [pltpu.VMEM((NC, I1p, 128), jnp.float32)] * nch
+        acc_args = ()
+        params = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(scratch_bytes * 1.5) + 32 * 2**20,
+                                 100 * 2**20)))
+    else:
+        in_specs += [ospec] * nch  # aliased accumulator inputs
+        n_lead = 2 + len(in_specs) - nch
+        aliases = {n_lead + ch: ch for ch in range(nch)}
+        scratch = []
+        acc_args = tuple(accs)
+        params = {}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kern,
@@ -1318,8 +1480,12 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         out_shape=tuple([oshape] * nch) if nch > 1 else oshape,
         input_output_aliases=aliases,
         interpret=interpret,
-    )(rxb, txb, taur, taut, tv, *xs, *accs)
-    return out if nch > 1 else (out,)
+        **params,
+    )(rxb, txb, taur, taut, tv, *xs, *acc_args)
+    outs = out if nch > 1 else (out,)
+    if stream_rx:  # crop the dummy row block
+        outs = tuple(o[..., :I1p, :] for o in outs)
+    return outs
 
 
 def _pack_bounds16(lo, hi):

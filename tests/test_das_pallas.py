@@ -101,6 +101,38 @@ def test_keep_rx():
     assert np.abs(got - ref).max() / scale < 1e-4
 
 
+@pytest.mark.parametrize("variant", ["plain", "frames", "iq", "cubic"])
+def test_keep_rx_streaming_multichunk(variant, monkeypatch):
+    """The streaming keep_rx path's VMEM-scratch accumulation across
+    MULTIPLE transmit chunks (MTc > 1: band set at mtc=0, accumulated
+    mid-sweep, flushed through the dummy-row-parked out block on the final
+    chunk) — M=16 with the default MC=4 gives 4 chunks. Checked against
+    the XLA path and against the non-streaming kernel (QUPS_DAS_STREAMRX=0
+    forces the aliased-HBM accumulator)."""
+    from qups_tpu.ops import das_pallas as dp
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=16,
+                                    cplx=variant == "iq")
+    if variant == "frames":
+        x = np.stack([x, 2 * x + 1], axis=-1)  # (T, N, M, F=2)
+    method = "cubic" if variant == "cubic" else "linear"
+    fmod = 3e5 if variant == "iq" else 0.0
+    kw = dict(fs=4e6, tx_model="plane", keep_rx=True)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, method=method,
+                         fmod=fmod, **kw))
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0,
+                               im_shape=(16, 128, 1), interpret=True,
+                               method=method, fmod=fmod, **kw))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-4
+    # NOTE: the pre-streaming aliased-HBM accumulator (QUPS_DAS_STREAMRX=0)
+    # cannot be A/B'd here — input_output_aliases accumulation across
+    # block revisits is compiled-TPU-only (interpret mode re-reads the
+    # original accumulator input each step, so MTc > 1 keep_rx was never
+    # interpret-testable). The streaming path is, which is the point.
+    del dp, monkeypatch
+
+
 def test_frames():
     x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
     F = 3
@@ -328,6 +360,27 @@ def test_lut_matches_das_lut():
         scale = np.abs(ref).max()
         assert scale > 0
         assert np.abs(got - ref).max() / scale < 1e-4, keep
+
+
+def test_lut_keep_rx_streaming_multichunk():
+    """LUT-kernel streaming keep_rx across MULTIPLE transmit chunks
+    (MTc > 1): VMEM-scratch band accumulation + dummy-row-parked flush,
+    vs the XLA das_lut oracle (bfDASLUT/bfEikonal coherence imaging)."""
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    T, N, M, I1, I2 = 256, 16, 16, 16, 128
+    x, pi, pr, pv, nv, t0 = problem(T=T, N=N, M=M, I1=I1, I2=I2)
+    c0 = 1540.0
+    tau_rx = np.linalg.norm(pi[:, None, :] - pr[None], axis=-1) / c0
+    tau_tx = np.einsum("ik,mk->im", pi, nv) / c0
+    ref = np.asarray(das_lut(x, tau_rx, tau_tx, t0, method="linear",
+                             keep_rx=True, fs=4e6))
+    got = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0,
+                                   im_shape=(I1, I2, 1), keep_rx=True,
+                                   interpret=True, fs=4e6))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
 
 
 def test_lut_wide_spread_falls_to_window_loop():
