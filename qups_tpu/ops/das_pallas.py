@@ -176,7 +176,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             interp_mode: bool = False, lut: bool = False,
             method: str = "linear", vmax: float = 0.0,
             lut_tiles: bool = False, CB: int = 0,
-            stream_rx: bool = False):
+            stream_rx: bool = False, stream_tx: bool = False):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -227,10 +227,10 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         pv_ref = refs[k]; k += 1
     nch = 2 if iq else 1
     x_refs = refs[k:k + nch]; k += nch
-    if stream_rx:
-        # streaming keep_rx (see _das_call): no aliased accumulator
-        # inputs — per-rx bands accumulate across transmit chunks in VMEM
-        # scratch refs, which trail the output refs
+    if stream_rx or stream_tx:
+        # streaming keep_rx/keep_tx (see _das_call): no aliased
+        # accumulator inputs — kept bands accumulate across the summed
+        # chunk axis in VMEM scratch refs, which trail the output refs
         acc_refs = None
         out_refs = refs[k:k + nch]; k += nch
         scratch_refs = refs[k:k + nch]; k += nch
@@ -239,14 +239,22 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         out_refs = refs[k:k + nch]; k += nch
 
     goff = 1 if F > 1 else 0
-    ncc = pl.program_id(goff + 0)
     if stream_rx:
         # grid ([F,] NCc, CB, MTc, RB): transmit chunks sweep INSIDE each
         # pixel-column stripe so the kept-rx band accumulates in VMEM
+        ncc = pl.program_id(goff + 0)
         cb = pl.program_id(goff + 1)
         mtc = pl.program_id(goff + 2)
         rb = pl.program_id(goff + 3)
+    elif stream_tx:
+        # grid ([F,] MTc, CB, NCc, RB): rx chunks sweep inside each
+        # stripe; the kept-tx tiles accumulate in VMEM
+        mtc = pl.program_id(goff + 0)
+        cb = pl.program_id(goff + 1)
+        ncc = pl.program_id(goff + 2)
+        rb = pl.program_id(goff + 3)
     else:
+        ncc = pl.program_id(goff + 0)
         mtc = pl.program_id(goff + 1)
         rb = pl.program_id(goff + 2)
         cb = pl.program_id(goff + 3)
@@ -941,6 +949,36 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                     out_refs[ch][0, sl] = acc_refs[ch][0, sl] + band
                 else:
                     out_refs[ch][sl] = acc_refs[ch][sl] + band
+    elif keep_tx and stream_tx:
+        # streaming keep_tx: per-transmit tiles accumulate across the
+        # NCc receive chunks in VMEM scratch (MC, I1p, 128); written out
+        # once on the final rx chunk (dummy-row parking, as keep_rx)
+        NCcg = pl.num_programs(goff + 2)
+        rsl = pl.ds(rb * 8, 8)
+        for c in range(MC):
+            def gbody(g, accs64, c=c):
+                return rx_group(g, accs64, c_only=c)
+
+            accs64 = jax.lax.fori_loop(0, G, gbody,
+                                       tuple(z64 for _ in range(nch)))
+            for ch in range(nch):
+                tile = jnp.sum(accs64[ch].reshape(8, 8, 128), axis=0)
+                if NCcg == 1:  # single rx chunk: direct write
+                    oset(out_refs[ch], tile, c)
+                    continue
+                sref = scratch_refs[ch]
+
+                @pl.when(ncc == 0)
+                def _(sref=sref, tile=tile, c=c, rsl=rsl):
+                    sref[c, rsl] = tile
+
+                @pl.when(ncc != 0)
+                def _(sref=sref, tile=tile, c=c, rsl=rsl):
+                    sref[c, rsl] = sref[c, rsl] + tile
+
+                @pl.when(ncc == NCcg - 1)
+                def _(sref=sref, ch=ch, c=c, rsl=rsl):
+                    oset(out_refs[ch], sref[c, rsl], c)
     elif keep_tx:
         for c in range(MC):
             def gbody(g, accs64, c=c):
@@ -1175,36 +1213,41 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     MTc = M // MC
     goff = 1 if F > 1 else 0
 
-    scratch_bytes = nch * NC * pz.shape[0] * 128 * 4
-    stream_rx = (keep_rx and not keep_tx
-                 and scratch_bytes <= 64 * 2**20
-                 and _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1")
+    stream_env = _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1"
+    stream_rx = (keep_rx and not keep_tx and stream_env
+                 and nch * NC * pz.shape[0] * 128 * 4 <= 64 * 2**20)
+    stream_tx = (keep_tx and not keep_rx and stream_env
+                 and nch * MC * pz.shape[0] * 128 * 4 <= 64 * 2**20)
+    scratch_bytes = nch * (NC if stream_rx else MC) * pz.shape[0] * 128 * 4
 
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
         iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
         has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret,
-        method=method, vmax=vmax, stream_rx=stream_rx)
+        method=method, vmax=vmax, stream_rx=stream_rx, stream_tx=stream_tx)
 
-    if stream_rx:
-        grid = ((F,) if F > 1 else ()) + (NCc, CB, MTc, RB)
+    if stream_rx or stream_tx:
+        # kept-axis chunks OUTER, summed-axis chunks sweep inside each
+        # pixel-column stripe (grid ([F,] kept, CB, summed, RB))
+        grid = ((F,) if F > 1 else ()) + (
+            (NCc, CB, MTc, RB) if stream_rx else (MTc, CB, NCc, RB))
 
         def tidx(*a):
-            # (..., ncc, cb, mtc, rb, boxes, gbox) -> tile block (rb, cb)
+            # (..., kept, cb, summed, rb, boxes, gbox) -> tile (rb, cb)
             return (a[goff + 3], a[goff + 1])
 
         tile = pl.BlockSpec((8, 128), tidx, memory_space=pltpu.VMEM)
-        if F > 1:
-            trace = pl.BlockSpec(
-                (1, MC, NC, T),
-                lambda f, ncc, cb, mtc, rb, *_: (f, mtc, ncc, 0),
-                memory_space=pltpu.VMEM)
-        else:
-            trace = pl.BlockSpec(
-                (MC, NC, T),
-                lambda ncc, cb, mtc, rb, *_: (mtc, ncc, 0),
-                memory_space=pltpu.VMEM)
+
+        def xix(*a):
+            # trace block (mtc, ncc): kept chunk at goff+0, summed at
+            # goff+2 — rx-kept means the summed axis is tx and vice versa
+            kc, sc = a[goff + 0], a[goff + 2]
+            mn = (sc, kc) if stream_rx else (kc, sc)
+            return (a[:goff] + mn + (0,))
+
+        trace = pl.BlockSpec(((1,) if F > 1 else ()) + (MC, NC, T), xix,
+                             memory_space=pltpu.VMEM)
     else:
         grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
 
@@ -1274,6 +1317,24 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct((N, pz.shape[0], pz.shape[1]),
                                           jnp.float32)
+    elif keep_tx and stream_tx:
+        # dummy row block (index RB) parks non-final rx-chunk steps
+        if F > 1:
+            ospec = pl.BlockSpec(
+                (1, MC, 8, 128),
+                lambda f, mtc, cb, ncc, rb, *_: (
+                    f, mtc, jnp.where(ncc == NCc - 1, rb, RB), cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct(
+                (F, M, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
+        else:
+            ospec = pl.BlockSpec(
+                (MC, 8, 128),
+                lambda mtc, cb, ncc, rb, *_: (
+                    mtc, jnp.where(ncc == NCc - 1, rb, RB), cb),
+                memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct(
+                (M, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
     elif keep_tx:
         if F > 1:
             ospec = pl.BlockSpec(
@@ -1305,10 +1366,11 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),   # pr (8, Npad)
                  pl.BlockSpec(memory_space=pltpu.SMEM)]   # pv (8, Mpad)
     in_specs += [trace] * nch
-    if stream_rx:
+    if stream_rx or stream_tx:
         # no aliased accumulator inputs: bands accumulate in VMEM scratch
         aliases = {}
-        scratch = [pltpu.VMEM((NC, pz.shape[0], 128), jnp.float32)] * nch
+        scratch = [pltpu.VMEM((NC if stream_rx else MC, pz.shape[0], 128),
+                              jnp.float32)] * nch
         acc_args = ()
         params = dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(scratch_bytes * 1.5) + 32 * 2**20,
@@ -1340,7 +1402,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     )(boxes, gbox, pz, px, py, *((lat,) if has_lat else ()), pr, pv,
       *xs, *acc_args)
     outs = out if nch > 1 else (out,)
-    if stream_rx:  # crop the dummy row block
+    if stream_rx or stream_tx:  # crop the dummy row block
         outs = tuple(o[..., :pz.shape[0], :] for o in outs)
     return outs
 
@@ -1375,10 +1437,12 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     MTc = M // MC
     goff = 1 if F > 1 else 0
 
-    scratch_bytes = nch * NC * taur.shape[1] * 128 * 4
-    stream_rx = (keep_rx and not keep_tx
-                 and scratch_bytes <= 64 * 2**20
-                 and _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1")
+    stream_env = _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1"
+    stream_rx = (keep_rx and not keep_tx and stream_env
+                 and nch * NC * taur.shape[1] * 128 * 4 <= 64 * 2**20)
+    stream_tx = (keep_tx and not keep_rx and stream_env
+                 and nch * MC * taur.shape[1] * 128 * 4 <= 64 * 2**20)
+    scratch_bytes = nch * (NC if stream_rx else MC) * taur.shape[1] * 128 * 4
 
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model="lut", planar=True,
@@ -1386,7 +1450,7 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
         pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
         method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB,
-        stream_rx=stream_rx)
+        stream_rx=stream_rx, stream_tx=stream_tx)
 
     if stream_rx:
         grid = ((F,) if F > 1 else ()) + (NCc, CB, MTc, RB)
@@ -1394,6 +1458,12 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         def gix(*a):
             """Grid indices in semantic (ncc, mtc, rb, cb) order."""
             return (a[goff + 0], a[goff + 2], a[goff + 3], a[goff + 1])
+    elif stream_tx:
+        grid = ((F,) if F > 1 else ()) + (MTc, CB, NCc, RB)
+
+        def gix(*a):
+            """Grid indices in semantic (ncc, mtc, rb, cb) order."""
+            return (a[goff + 2], a[goff + 0], a[goff + 3], a[goff + 1])
     else:
         grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
 
@@ -1436,6 +1506,16 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
             lambda *a: (a[:goff] + (gix(*a)[0], gix(*a)[2], gix(*a)[3])),
             memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct(fshape + (N, I1p, I2p), jnp.float32)
+    elif keep_tx and stream_tx:
+        ospec = pl.BlockSpec(
+            fdim + (MC, 8, 128),
+            lambda *a: (a[:goff] + (
+                gix(*a)[1],
+                jnp.where(gix(*a)[0] == NCc - 1, gix(*a)[2], RB),
+                gix(*a)[3])),
+            memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct(fshape + (M, I1p + 8, I2p),
+                                      jnp.float32)
     elif keep_tx:
         ospec = pl.BlockSpec(
             fdim + (MC, 8, 128),
@@ -1452,9 +1532,10 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     in_specs = [taur_spec, taut_spec,
                 pl.BlockSpec(memory_space=pltpu.SMEM)]  # tv (1, Mpad)
     in_specs += [trace] * nch
-    if stream_rx:
+    if stream_rx or stream_tx:
         aliases = {}
-        scratch = [pltpu.VMEM((NC, I1p, 128), jnp.float32)] * nch
+        scratch = [pltpu.VMEM((NC if stream_rx else MC, I1p, 128),
+                              jnp.float32)] * nch
         acc_args = ()
         params = dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(scratch_bytes * 1.5) + 32 * 2**20,
@@ -1483,7 +1564,7 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         **params,
     )(rxb, txb, taur, taut, tv, *xs, *acc_args)
     outs = out if nch > 1 else (out,)
-    if stream_rx:  # crop the dummy row block
+    if stream_rx or stream_tx:  # crop the dummy row block
         outs = tuple(o[..., :I1p, :] for o in outs)
     return outs
 

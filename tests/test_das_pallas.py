@@ -133,6 +133,39 @@ def test_keep_rx_streaming_multichunk(variant, monkeypatch):
     del dp, monkeypatch
 
 
+def test_keep_tx_streaming_multichunk():
+    """Streaming keep_tx across MULTIPLE rx chunks (NCc > 1: per-transmit
+    tiles accumulate in VMEM scratch; N=64 with the default NC=16 gives 4
+    chunks), vs the XLA path — the MUL-mode mirror of keep_rx."""
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=64, M=4)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear", keep_tx=True))
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               keep_tx=True, interpret=True))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_lut_keep_tx_streaming_multichunk():
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    T, N, M, I1, I2 = 256, 64, 4, 16, 128
+    x, pi, pr, pv, nv, t0 = problem(T=T, N=N, M=M, I1=I1, I2=I2)
+    c0 = 1540.0
+    tau_rx = np.linalg.norm(pi[:, None, :] - pr[None], axis=-1) / c0
+    tau_tx = np.einsum("ik,mk->im", pi, nv) / c0
+    ref = np.asarray(das_lut(x, tau_rx, tau_tx, t0, method="linear",
+                             keep_tx=True, fs=4e6))
+    got = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0,
+                                   im_shape=(I1, I2, 1), keep_tx=True,
+                                   interpret=True, fs=4e6))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
+
+
 def test_frames():
     x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=4)
     F = 3
