@@ -260,15 +260,12 @@ def greens_freq(kern, ps, amp, pn, pv, *, T: int, s0: float, t0k: float,
     if engine == "pallas" and not single_sub:
         raise ValueError("engine='pallas' supports single sub-element"
                          " geometry only (element_subdivisions=(1, 1))")
-    if engine == "pallas" and att:
-        raise ValueError("engine='pallas' does not support attenuation"
-                         " (alpha0 != 0); use engine='xla'")
     on_cpu = jax.devices()[0].platform == "cpu"
     use_pallas = engine == "pallas" or (
-        engine == "auto" and single_sub and not on_cpu and not att)
+        engine == "auto" and single_sub and not on_cpu)
     if use_pallas:
         from .greens_freq_pallas import freq_gemm_pallas
-        gemm = partial(freq_gemm_pallas, interpret=on_cpu)
+        gemm = partial(freq_gemm_pallas, interpret=on_cpu, att=att)
     else:
         gemm = partial(_freq_gemm, att=att)
 

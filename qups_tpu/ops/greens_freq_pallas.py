@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 _TWO_PI = 6.283185307179586
 
 
-def _kernel(*refs, FB: int, k0: int, bf16: bool, has_dir: bool = False):
+def _kernel(*refs, FB: int, k0: int, bf16: bool, has_dir: bool = False,
+            att_q: float = 0.0):
     """Grid (nF, nS) — bin blocks OUTER, scatterer chunks INNER so each
     (FB, 2, N, M) spectrum block accumulates in VMEM across the chunk
     sweep. Per step: re-init the chunk phasors at bin kb = k0 + fb*FB
@@ -81,6 +82,20 @@ def _kernel(*refs, FB: int, k0: int, bf16: bool, has_dir: bool = False):
     e2r, e2i = init(q2, w2)
     d1r, d1i = step_phasor(q1)
     d2r, d2i = step_phasor(q2)
+    if att_q:
+        # frequency-linear attenuation exp(-a(f) r): per-bin decay
+        # exp(-att_q q) rides the SAME multiplicative recurrence as the
+        # phase (att_q = nepers per unit q per bin; q is proportional to
+        # r, so no extra geometry operands). Re-init at the absolute bin
+        # kb keeps it drift-free like the phase.
+        dec1 = jnp.exp(-jnp.float32(att_q) * q1)
+        dec2 = jnp.exp(-jnp.float32(att_q) * q2)
+        di1 = jnp.exp((-att_q * kb) * q1)
+        di2 = jnp.exp((-att_q * kb) * q2)
+        e1r, e1i = e1r * di1, e1i * di1
+        e2r, e2i = e2r * di2, e2i * di2
+        d1r, d1i = d1r * dec1, d1i * dec1
+        d2r, d2i = d2r * dec2, d2i * dec2
 
     @pl.when(s == 0)
     def _():
@@ -136,9 +151,10 @@ def _prologue(phc_over_2pi, ps, amp, pn, pv, *, R0: float, fsr: float):
 
 
 @functools.partial(jax.jit, static_argnames=("F", "FB", "SC", "k0", "bf16",
-                                             "interpret"))
+                                             "interpret", "att_q"))
 def _gf_call(q1, w1, q2, w2, s1=None, s2=None, *, F: int, FB: int, SC: int,
-             k0: int, bf16: bool, interpret: bool = False):
+             k0: int, bf16: bool, interpret: bool = False,
+             att_q: float = 0.0):
     """pallas_call wrapper: pads S/N/M/F to tile multiples and crops the
     result to (F, N, M, 2). ``s1``/``s2`` (both or neither): per-unit-bin
     sinc directivity slopes."""
@@ -170,7 +186,7 @@ def _gf_call(q1, w1, q2, w2, s1=None, s2=None, *, F: int, FB: int, SC: int,
     grid = (nF, Sp // SC)
     out = pl.pallas_call(
         functools.partial(_kernel, FB=FB, k0=k0, bf16=bf16,
-                          has_dir=has_dir),
+                          has_dir=has_dir, att_q=att_q),
         grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec((FB, 2, Np, Mp), lambda fb, s: (fb, 0, 0, 0)),
@@ -188,14 +204,18 @@ def _gf_call(q1, w1, q2, w2, s1=None, s2=None, *, F: int, FB: int, SC: int,
 
 def freq_gemm_pallas(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int,
                      R0: float, fsr: float, precision: str = "highest",
-                     B: int = 8, SC: int = 512, interpret: bool = False):
+                     B: int = 8, SC: int = 512, interpret: bool = False,
+                     att: float = 0.0):
     """Drop-in replacement for :func:`greens_freq._freq_gemm` (same
     signature modulo the tiling knobs; ``B`` is accepted and ignored).
     Requires single sub-element geometry — callers fall back to the XLA
     engine for ``En/Em > 1``. ``precision='bf16'`` runs the MXU dots on
     bf16 phasors with f32 accumulation (~4x dot rate, ~0.2% rel err);
     here the cast is VMEM-resident so, unlike the XLA engine, it costs
-    nothing in HBM traffic.
+    nothing in HBM traffic. ``att`` (nepers/m per rfft bin,
+    :func:`greens_freq.alpha_np_per_bin`) applies frequency-linear
+    attenuation through the phasor recurrence (decay slope proportional
+    to the phase slope — no extra operands).
     """
     pn = jnp.asarray(pn, jnp.float32)
     pv = jnp.asarray(pv, jnp.float32)
@@ -221,8 +241,11 @@ def freq_gemm_pallas(phc, ps, amp, pn, pv, *, L: int, k0: int, F: int,
     FB = int(max(1, min(64, (16 * 2**20) // (2 * Np * Mp * 4))))
     FB = int(os.environ.get("QUPS_GF_FB", FB))  # perf-sweep knob
     FB = max(1, min(FB, F))  # narrow bands: don't compute padded bins
+    # q = (phc / 2 pi) r  =>  decay exp(-att r) = exp(-att 2 pi / phc q)
+    att_q = float(att) * _TWO_PI / float(phc) if att else 0.0
     return _gf_call(q1, w1, q2, w2, F=F, FB=FB, SC=SC, k0=k0,
-                    bf16=(precision == "bf16"), interpret=interpret)
+                    bf16=(precision == "bf16"), interpret=interpret,
+                    att_q=att_q)
 
 
 @functools.partial(jax.jit, static_argnames=("baffle",))

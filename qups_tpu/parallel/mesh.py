@@ -575,15 +575,12 @@ def greens_freq_sharded(mesh: Mesh, kern, ps, amp, pn, pv, *, T: int,
     if engine == "pallas" and not single_sub:
         raise ValueError("engine='pallas' supports single sub-element"
                          " geometry only (element_subdivisions=(1, 1))")
-    if engine == "pallas" and att:
-        raise ValueError("engine='pallas' does not support attenuation"
-                         " (alpha0 != 0); use engine='xla'")
     on_cpu = jax.devices()[0].platform == "cpu"
     use_pallas = engine == "pallas" or (
-        engine == "auto" and single_sub and not on_cpu and not att)
+        engine == "auto" and single_sub and not on_cpu)
     if use_pallas:
         from ..ops.greens_freq_pallas import freq_gemm_pallas
-        gemm = _part(freq_gemm_pallas, interpret=on_cpu)
+        gemm = _part(freq_gemm_pallas, interpret=on_cpu, att=att)
     else:
         gemm = _part(_freq_gemm, att=att)
     ntx = mesh.shape["tx"]

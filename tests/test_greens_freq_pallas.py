@@ -36,6 +36,17 @@ def test_odd_sizes_pad():
     assert rel < 2e-4, rel
 
 
+def test_attenuation_matches_xla_engine():
+    """alpha0 decay through the fused engine's phasor recurrence (the
+    exp(-att_q q) magnitude fold) vs the XLA engine's weighted phasors."""
+    want, got = _pair(alpha0=0.5)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-4, rel
+    # and attenuation actually attenuates
+    want0, _ = _pair(alpha0=0.0)
+    assert np.abs(want).max() < 0.9 * np.abs(want0).max()
+
+
 def test_subelements_rejected():
     kern, ps, amp, pn, pv, kw = problem(S=7)
     pn3 = np.repeat(pn, 2, axis=1)  # En = 2
