@@ -282,7 +282,8 @@ def _simus_prologue(ps, amp, pn, nn_az, pv, nv_az, widths, dq, sl, *,
 def simus_spectrum_pallas(ps, amp, pn, nn_az, pv, nv_az, widths, *,
                           k0: int, F: int, T: int, fs: float, c0: float,
                           baffle: str = "soft", precision: str = "highest",
-                          SC: int = 512, interpret: bool = False):
+                          SC: int = 512, interpret: bool = False,
+                          att: float = 0.0):
     """Fused-engine analog of :func:`qups_tpu.ops.simus._simus_spectrum`:
     geometry + rectangular-element sinc directivity spectrum X[k, n, e]
     for bins [k0, k0+F) as device-resident complex64 (F, N, E)."""
@@ -304,7 +305,10 @@ def simus_spectrum_pallas(ps, amp, pn, nn_az, pv, nv_az, widths, *,
     FB = int(max(1, min(16, (2 * 2**20) // (2 * Np * Mp * 4))))
     FB = int(os.environ.get("QUPS_GF_FB", FB))  # perf-sweep knob
     FB = max(1, min(FB, F))  # narrow bands: don't compute padded bins
+    # q = sl r  =>  per-bin decay exp(-att r) = exp(-(att / sl) q)
+    att_q = float(att) / float(sl) if att else 0.0
     G = _gf_call(q1, w1, q2, w2, s1, s2, F=F, FB=FB, SC=SC, k0=k0,
-                 bf16=(precision == "bf16"), interpret=interpret)
+                 bf16=(precision == "bf16"), interpret=interpret,
+                 att_q=att_q)
     from ..utils.cpx import cjoin
     return cjoin(G[..., 0], G[..., 1])

@@ -167,12 +167,8 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
     if bin_idx.size == 0:
         return jnp.zeros((T, np.shape(pn)[0], np.shape(pv)[0]), jnp.float32)
     att = alpha_np_per_bin(alpha0, fs, T) if alpha0 else 0.0
-    if engine == "pallas" and att:
-        raise ValueError("engine='pallas' does not support attenuation"
-                         " (alpha0 != 0); use engine='xla'")
     on_cpu = jax.devices()[0].platform == "cpu"
-    use_pallas = engine == "pallas" or (engine == "auto" and not on_cpu
-                                        and not att)
+    use_pallas = engine == "pallas" or (engine == "auto" and not on_cpu)
     # contiguous runs (short gaps absorbed as zero spectrum): sparse /
     # multi-lobe selections never pay GEMMs across dead bands
     Xs, spec_ris, k0s = [], [], []
@@ -188,7 +184,7 @@ def simus_fsa(ps, amp, pn, nn_az, pv, nv_az, widths, spec, bin_idx, *,
             X = simus_spectrum_pallas(
                 ps, amp, pn, nn_az, pv, nv_az, widths, k0=int(k0),
                 F=int(F), T=T, fs=float(fs), c0=float(c0), baffle=baffle,
-                precision=precision, interpret=on_cpu)
+                precision=precision, interpret=on_cpu, att=att)
         else:
             X = _simus_spectrum(
                 jnp.asarray(ps, jnp.float32), jnp.asarray(amp, jnp.float32),

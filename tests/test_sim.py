@@ -205,6 +205,33 @@ def test_simus_sparse_bins_split_runs():
     np.testing.assert_allclose(split, hull, atol=2e-5 * np.abs(hull).max())
 
 
+def test_simus_attenuation_pallas_matches_xla():
+    """simus alpha0 absorption on the fused Pallas engine (interpret) vs
+    the XLA engine — the in-recurrence decay with the sinc directivity."""
+    from qups_tpu.ops.simus import simus_fsa
+    rng = np.random.default_rng(7)
+    S, N, E, T, fs, c0 = 5, 4, 3, 256, 10e6, 1540.0
+    ps = np.stack([rng.uniform(-2e-3, 2e-3, S), np.zeros(S),
+                   rng.uniform(8e-3, 12e-3, S)], -1).astype(np.float32)
+    amp = np.ones(S, np.float32)
+    pn = np.stack([np.linspace(-2e-3, 2e-3, N), np.zeros(N), np.zeros(N)],
+                  -1).astype(np.float32)
+    pv = pn[:E].copy()
+    az = np.zeros(N, np.float32)
+    bins = np.arange(10, 40, dtype=np.int32)
+    spec = (rng.standard_normal(bins.size)
+            + 1j * rng.standard_normal(bins.size)).astype(np.complex64)
+    kw = dict(T=T, fs=fs, c0=c0, alpha0=1.0)
+    a = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E],
+                             np.array([0.3e-3, 0.3e-3]), spec, bins,
+                             engine="xla", **kw))
+    b = np.asarray(simus_fsa(ps, amp, pn, az, pv, az[:E],
+                             np.array([0.3e-3, 0.3e-3]), spec, bins,
+                             engine="pallas", **kw))
+    rel = np.linalg.norm(b - a) / np.linalg.norm(a)
+    assert rel < 2e-4, rel
+
+
 def test_simus_tof_oracle():
     """Native frequency-domain simulator: echo peak at the analytic
     time-of-flight within 1 wavelength (the SimTest SIMUS tolerance,
