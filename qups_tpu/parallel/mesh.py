@@ -195,7 +195,8 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
                             precision: str = "f32", method: str = "linear",
                             apod=(), orientations=None, lat=None,
                             keep_rx: bool = False, keep_tx: bool = False,
-                            fmod: float = 0.0, out: str = "auto"):
+                            fmod: float = 0.0, out: str = "auto",
+                            post: Optional[str] = None, lags=None):
     """Prepare a REUSABLE jitted sharded-DAS handle: host-side per-shard
     planning happens once and ``apply(xr[, xi])`` (REAL (T, N, M[, F])
     channel/quadrature arrays) runs as ONE compiled shard_map program —
@@ -222,11 +223,34 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
 
     Returns (I, 1|N, 1|M[, F]); complex (or ri-stacked ``(..., 2)`` when
     ``out='ri'`` or on TPU with ``out='auto'``) for IQ/fmod inputs.
+
+    ``post``: 'cohfac' | 'slsc' — compute the aperture-coherence reduction
+    INSIDE the shard_map (implies ``keep_rx``): each device reduces its own
+    rx band and the cross-chip communication is two image-sized ``psum``s
+    (cohfac: coherent sum + power; slsc: the lag-pair sums, with the
+    cross-shard pairs served by a ``ppermute`` halo of the next shard's
+    first L channels) — instead of gathering the (I, N) volume over ICI.
+    The multi-chip form of BASELINE config #5 (``kern/cohfac.m:64``,
+    ``kern/slsc.m:187-202``). Returns a real coherence image (I,[ F]).
+    ``lags`` as in :func:`qups_tpu.ops.coherence.slsc`.
     """
     from ..ops.das_pallas import _das_call, _pack_pairs, prep_sharded
 
     if keep_rx and keep_tx:
         raise ValueError("das_sharded_pallas keeps at most one of rx/tx")
+    if post is not None:
+        if post not in ("cohfac", "slsc"):
+            raise ValueError(f"unknown post {post!r}")
+        if keep_tx:
+            raise ValueError("post reductions run across the rx aperture")
+        keep_rx = True
+    if post == "slsc":
+        if lags is None:
+            lags = max(1, N // 4)
+        lag_list = list(range(1, lags + 1)) if np.isscalar(lags) \
+            else [int(v) for v in lags]
+    else:
+        lag_list = []
     shard_map = jax.shard_map
     nrx = mesh.shape.get("rx", 1)
     ntx = mesh.shape.get("tx", 1)
@@ -245,6 +269,9 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
                               lat=lat, nch=2 if iq else 1)
     Tp, Nsh, Msh = st["Tp"], st["Nsh"], st["Msh"]
     Fp = (-(-Fn // nfr) * nfr) if Fn is not None else None
+    if post == "slsc" and max(lag_list) > Nsh:
+        raise ValueError(f"slsc max lag {max(lag_list)} exceeds the rx "
+                         f"shard width {Nsh} (halo spans one shard)")
 
     def prep_real(xr):
         """(T, N, M[, F]) -> ([Fp,] Mp, Np, Tp) padded/packed."""
@@ -291,6 +318,69 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
             if not keep_tx and "tx" in mesh.axis_names:
                 o = jax.lax.psum(o, "tx")
             res.append(o)
+        if post is not None:
+            # aperture reduction inside the mesh: the kept bands
+            # ([Fsh,] Nsh, I1p, I2p) reduce locally, cross-chip traffic is
+            # image-sized psums (+ an L-channel ppermute halo for slsc)
+            rxa_ = "rx" if "rx" in mesh.axis_names else None
+            br = res[0]
+            bi = res[1] if nch > 1 else None
+            if post == "cohfac":
+                sr = jnp.sum(br, axis=-3)
+                pw = jnp.sum(br * br, axis=-3)
+                si = None
+                if bi is not None:
+                    si = jnp.sum(bi, axis=-3)
+                    pw = pw + jnp.sum(bi * bi, axis=-3)
+                if rxa_:
+                    sr = jax.lax.psum(sr, rxa_)
+                    pw = jax.lax.psum(pw, rxa_)
+                    if si is not None:
+                        si = jax.lax.psum(si, rxa_)
+                num = sr * sr + (si * si if si is not None else 0.0)
+                den = pw * np.float32(N)
+                return num / jnp.where(den == 0, 1.0, den)
+            # slsc 'average' (``kern/slsc.m:187-202``): unit-normalize per
+            # sample, then lag-pair sums; pairs crossing the shard edge
+            # read a ppermute'd halo of the NEXT shard's first L channels
+            # (zeroed on the last shard — those pairs exceed the aperture;
+            # zero-padded channels already contribute nothing)
+            Lmax = max(lag_list)
+            pw = br * br + (bi * bi if bi is not None else 0.0)
+            mag = jnp.sqrt(pw)
+            nrm = jnp.where(mag == 0, 1.0, mag)
+            xr_ = br / nrm
+            xi_ = bi / nrm if bi is not None else None
+
+            def with_halo(v):
+                h = jax.lax.slice_in_dim(v, 0, Lmax, axis=-3)
+                if rxa_ and nrx > 1:
+                    perm = [((i + 1) % nrx, i) for i in range(nrx)]
+                    h = jax.lax.ppermute(h, rxa_, perm)
+                    h = jnp.where(
+                        jax.lax.axis_index(rxa_) == nrx - 1, 0.0, h)
+                else:
+                    h = jnp.zeros_like(h)
+                return jnp.concatenate([v, h], axis=-3)
+
+            er = with_halo(xr_)
+            ei = with_halo(xi_) if xi_ is not None else None
+            z = jnp.zeros(br.shape[:-3] + br.shape[-2:], jnp.float32)
+            Ltot = len(lag_list)
+            for l in lag_list:
+                w = np.float32(1.0 / (N - l) / 2.0 / Ltot)
+                c = jnp.sum(jax.lax.slice_in_dim(er, 0, Nsh, axis=-3)
+                            * jax.lax.slice_in_dim(er, l, Nsh + l, axis=-3),
+                            axis=-3)
+                if ei is not None:
+                    c = c + jnp.sum(
+                        jax.lax.slice_in_dim(ei, 0, Nsh, axis=-3)
+                        * jax.lax.slice_in_dim(ei, l, Nsh + l, axis=-3),
+                        axis=-3)
+                z = z + (2.0 * w) * c
+            if rxa_:
+                z = jax.lax.psum(z, rxa_)
+            return z
         return tuple(res) if nch > 1 else res[0]
 
     rxa = "rx" if "rx" in mesh.axis_names else None
@@ -303,10 +393,14 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
     keep_spec = (kr,) if keep_rx else ((kt,) if keep_tx else ())
     ospec = P(*(((fspec,) if Fn is not None else ()) + keep_spec
                 + (None, None)))
+    if post is not None:  # replicated coherence image ([Fsh,] I1p, I2p)
+        ospecs = P(*(((fspec,) if Fn is not None else ()) + (None, None)))
+    else:
+        ospecs = tuple([ospec] * nch) if nch > 1 else ospec
     f = shard_map(local, mesh=mesh,
                   in_specs=(P(rxa, None, None), P(rxa, None, None),
                             P(txa, None, None)) + (xspec,) * nch,
-                  out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+                  out_specs=ospecs,
                   check_vma=False)
 
     gboxes_j = jnp.asarray(arrays["gboxes"])
@@ -323,6 +417,11 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
         else:
             xs = (prep_real(xr),)
         outs = f(gboxes_j, prs_j, pvs_j, *xs)
+        if post is not None:
+            o = outs  # ([Fp,] I1p, I2p) real coherence image
+            if Fn is not None:
+                o = jnp.moveaxis(o, 0, -1)[..., :Fn]
+            return o[:I1, :I2f].reshape((I,) + o.shape[2:])
         outs = outs if nch > 1 else (outs,)
         res = []
         for o in outs:
@@ -361,9 +460,11 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
                        precision: str = "f32", method: str = "linear",
                        apod=(), orientations=None, lat=None,
                        keep_rx: bool = False, keep_tx: bool = False,
-                       fmod: float = 0.0, out: str = "auto"):
+                       fmod: float = 0.0, out: str = "auto",
+                       post: Optional[str] = None, lags=None):
     """One-shot sharded DAS (see :func:`das_sharded_pallas_plan` for the
-    reusable jitted handle and the full feature list)."""
+    reusable jitted handle and the full feature list — including
+    ``post='cohfac'|'slsc'`` in-mesh coherence reductions)."""
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(
         x, "dtype", np.float32))))
     T, N, M = np.shape(x)[:3]
@@ -373,7 +474,7 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
         iq=cplx, tx_model=tx_model, im_shape=im_shape, interpret=interpret,
         precision=precision, method=method, apod=apod,
         orientations=orientations, lat=lat, keep_rx=keep_rx,
-        keep_tx=keep_tx, fmod=fmod, out=out)
+        keep_tx=keep_tx, fmod=fmod, out=out, post=post, lags=lags)
     if cplx:
         if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
             xh = np.asarray(x)

@@ -271,6 +271,45 @@ def test_das_sharded_pallas_keep_rx():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
+@pytest.mark.parametrize("kind", ["cohfac", "slsc"])
+@pytest.mark.parametrize("iq", [False, True])
+def test_das_sharded_pallas_post_coherence(kind, iq):
+    """In-mesh coherence reductions (post='cohfac'|'slsc'): each shard
+    reduces its own rx band; cross-chip traffic is image psums (+ the
+    ppermute lag halo for slsc) instead of a (I, N) gather. Reference =
+    the ops reductions on the XLA keep_rx image. Non-divisible N (14 on a
+    4-wide rx axis) exercises padded channels + the last-shard halo
+    zeroing."""
+    import jax
+    from qups_tpu.ops.coherence import cohfac, slsc
+    from qups_tpu.parallel import make_mesh, das_sharded_pallas
+    from qups_tpu.ops.das import das
+
+    x, pi, pr, pv, nv, t0 = _shard_problem()
+    N = pr.shape[0] - 2  # non-divisible on the 4-wide rx axis
+    x = x[:, :N]
+    pr = pr[:N]
+    if iq:
+        x = (x + 1j * x[::-1]).astype(np.complex64)
+    mesh = make_mesh(jax.devices()[:8], axes=("rx", "tx"), shape=(4, 2))
+    brx = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear",
+                         keep_rx=True))[:, :, 0]  # (I, N)
+    lags = 3
+    want = np.asarray(cohfac(brx, axis=1) if kind == "cohfac"
+                      else slsc(brx, axis=1, lags=lags))
+    got = np.asarray(das_sharded_pallas(
+        mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
+        method="linear", im_shape=(16, 128, 1), interpret=True,
+        post=kind, lags=lags))
+    assert got.shape == want.shape == (pi.shape[0],)
+    want = np.real(want)
+    scale = max(np.abs(want).max(), 1e-6)
+    # f32 unit-normalization rounding differs slightly from the complex
+    # reference path
+    assert np.abs(got - want).max() / scale < 5e-4
+
+
 def test_das_sharded_pallas_fused_apod():
     """Fused-geometry apodization (aperture growth) rides the sharded fast
     path; reference = the XLA das with the materialized dense mask."""
