@@ -187,6 +187,80 @@ def das_sharded(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     return img
 
 
+def _post_lags(post, lags, N):
+    """Validate/normalize the in-mesh coherence options -> lag list."""
+    if post not in ("cohfac", "slsc"):
+        raise ValueError(f"unknown post {post!r}")
+    if post != "slsc":
+        return []
+    if lags is None:
+        lags = max(1, N // 4)
+    return list(range(1, lags + 1)) if np.isscalar(lags) \
+        else [int(v) for v in lags]
+
+
+def _post_reduce(post, lag_list, res, *, rxa, nrx, Nsh, N):
+    """Aperture-coherence reduction INSIDE a shard_map body: the kept
+    bands ([F,] Nsh, I1p, I2p) reduce locally and cross-chip traffic is
+    image-sized psums — cohfac = coherent sum + power
+    (``kern/cohfac.m:64``); slsc 'average' (``kern/slsc.m:187-202``)
+    unit-normalizes per sample and serves cross-shard lag pairs from a
+    ppermute'd halo of the NEXT shard's first L channels (zeroed on the
+    last shard — those pairs exceed the aperture; zero-padded channels
+    are inert)."""
+    br = res[0]
+    bi = res[1] if len(res) > 1 else None
+    if post == "cohfac":
+        sr = jnp.sum(br, axis=-3)
+        pw = jnp.sum(br * br, axis=-3)
+        si = None
+        if bi is not None:
+            si = jnp.sum(bi, axis=-3)
+            pw = pw + jnp.sum(bi * bi, axis=-3)
+        if rxa:
+            sr = jax.lax.psum(sr, rxa)
+            pw = jax.lax.psum(pw, rxa)
+            if si is not None:
+                si = jax.lax.psum(si, rxa)
+        num = sr * sr + (si * si if si is not None else 0.0)
+        den = pw * np.float32(N)
+        return num / jnp.where(den == 0, 1.0, den)
+    Lmax = max(lag_list)
+    pw = br * br + (bi * bi if bi is not None else 0.0)
+    mag = jnp.sqrt(pw)
+    nrm = jnp.where(mag == 0, 1.0, mag)
+    xr_ = br / nrm
+    xi_ = bi / nrm if bi is not None else None
+
+    def with_halo(v):
+        h = jax.lax.slice_in_dim(v, 0, Lmax, axis=-3)
+        if rxa and nrx > 1:
+            perm = [((i + 1) % nrx, i) for i in range(nrx)]
+            h = jax.lax.ppermute(h, rxa, perm)
+            h = jnp.where(jax.lax.axis_index(rxa) == nrx - 1, 0.0, h)
+        else:
+            h = jnp.zeros_like(h)
+        return jnp.concatenate([v, h], axis=-3)
+
+    er = with_halo(xr_)
+    ei = with_halo(xi_) if xi_ is not None else None
+    z = jnp.zeros(br.shape[:-3] + br.shape[-2:], jnp.float32)
+    Ltot = len(lag_list)
+    for l in lag_list:
+        w = np.float32(1.0 / (N - l) / 2.0 / Ltot)
+        c = jnp.sum(jax.lax.slice_in_dim(er, 0, Nsh, axis=-3)
+                    * jax.lax.slice_in_dim(er, l, Nsh + l, axis=-3),
+                    axis=-3)
+        if ei is not None:
+            c = c + jnp.sum(jax.lax.slice_in_dim(ei, 0, Nsh, axis=-3)
+                            * jax.lax.slice_in_dim(ei, l, Nsh + l, axis=-3),
+                            axis=-3)
+        z = z + (2.0 * w) * c
+    if rxa:
+        z = jax.lax.psum(z, rxa)
+    return z
+
+
 def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
                             fs: float, T: int, N: int, M: int,
                             Fn: Optional[int] = None, iq: bool = False,
@@ -239,16 +313,10 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
     if keep_rx and keep_tx:
         raise ValueError("das_sharded_pallas keeps at most one of rx/tx")
     if post is not None:
-        if post not in ("cohfac", "slsc"):
-            raise ValueError(f"unknown post {post!r}")
         if keep_tx:
             raise ValueError("post reductions run across the rx aperture")
         keep_rx = True
-    if post == "slsc":
-        if lags is None:
-            lags = max(1, N // 4)
-        lag_list = list(range(1, lags + 1)) if np.isscalar(lags) \
-            else [int(v) for v in lags]
+        lag_list = _post_lags(post, lags, N)
     else:
         lag_list = []
     shard_map = jax.shard_map
@@ -319,68 +387,10 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
                 o = jax.lax.psum(o, "tx")
             res.append(o)
         if post is not None:
-            # aperture reduction inside the mesh: the kept bands
-            # ([Fsh,] Nsh, I1p, I2p) reduce locally, cross-chip traffic is
-            # image-sized psums (+ an L-channel ppermute halo for slsc)
-            rxa_ = "rx" if "rx" in mesh.axis_names else None
-            br = res[0]
-            bi = res[1] if nch > 1 else None
-            if post == "cohfac":
-                sr = jnp.sum(br, axis=-3)
-                pw = jnp.sum(br * br, axis=-3)
-                si = None
-                if bi is not None:
-                    si = jnp.sum(bi, axis=-3)
-                    pw = pw + jnp.sum(bi * bi, axis=-3)
-                if rxa_:
-                    sr = jax.lax.psum(sr, rxa_)
-                    pw = jax.lax.psum(pw, rxa_)
-                    if si is not None:
-                        si = jax.lax.psum(si, rxa_)
-                num = sr * sr + (si * si if si is not None else 0.0)
-                den = pw * np.float32(N)
-                return num / jnp.where(den == 0, 1.0, den)
-            # slsc 'average' (``kern/slsc.m:187-202``): unit-normalize per
-            # sample, then lag-pair sums; pairs crossing the shard edge
-            # read a ppermute'd halo of the NEXT shard's first L channels
-            # (zeroed on the last shard — those pairs exceed the aperture;
-            # zero-padded channels already contribute nothing)
-            Lmax = max(lag_list)
-            pw = br * br + (bi * bi if bi is not None else 0.0)
-            mag = jnp.sqrt(pw)
-            nrm = jnp.where(mag == 0, 1.0, mag)
-            xr_ = br / nrm
-            xi_ = bi / nrm if bi is not None else None
-
-            def with_halo(v):
-                h = jax.lax.slice_in_dim(v, 0, Lmax, axis=-3)
-                if rxa_ and nrx > 1:
-                    perm = [((i + 1) % nrx, i) for i in range(nrx)]
-                    h = jax.lax.ppermute(h, rxa_, perm)
-                    h = jnp.where(
-                        jax.lax.axis_index(rxa_) == nrx - 1, 0.0, h)
-                else:
-                    h = jnp.zeros_like(h)
-                return jnp.concatenate([v, h], axis=-3)
-
-            er = with_halo(xr_)
-            ei = with_halo(xi_) if xi_ is not None else None
-            z = jnp.zeros(br.shape[:-3] + br.shape[-2:], jnp.float32)
-            Ltot = len(lag_list)
-            for l in lag_list:
-                w = np.float32(1.0 / (N - l) / 2.0 / Ltot)
-                c = jnp.sum(jax.lax.slice_in_dim(er, 0, Nsh, axis=-3)
-                            * jax.lax.slice_in_dim(er, l, Nsh + l, axis=-3),
-                            axis=-3)
-                if ei is not None:
-                    c = c + jnp.sum(
-                        jax.lax.slice_in_dim(ei, 0, Nsh, axis=-3)
-                        * jax.lax.slice_in_dim(ei, l, Nsh + l, axis=-3),
-                        axis=-3)
-                z = z + (2.0 * w) * c
-            if rxa_:
-                z = jax.lax.psum(z, rxa_)
-            return z
+            return _post_reduce(post, lag_list, res,
+                                rxa="rx" if "rx" in mesh.axis_names
+                                else None,
+                                nrx=nrx, Nsh=Nsh, N=N)
         return tuple(res) if nch > 1 else res[0]
 
     rxa = "rx" if "rx" in mesh.axis_names else None
@@ -490,7 +500,8 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
                            im_shape=None, method: str = "linear",
                            keep_rx: bool = False, keep_tx: bool = False,
                            fmod: float = 0.0, interpret: bool = False,
-                           precision: str = "f32", out: str = "auto"):
+                           precision: str = "f32", out: str = "auto",
+                           post: Optional[str] = None, lags=None):
     """Sharded LUT delay-and-sum riding the Pallas LUT kernel per shard —
     the multi-chip spine of ``bfDAS``/``bfDASLUT``/``bfEikonal`` (the
     reference parallelizes exactly these over pool workers,
@@ -501,12 +512,24 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
     Each device runs :func:`qups_tpu.ops.das_pallas._das_lut_call` on its
     table/trace block and partial images are psum-reduced over the summed
     axes (``keep_rx`` output stays rx-sharded). All four samplers.
+
+    ``post``: 'cohfac' | 'slsc' — in-mesh aperture-coherence reduction
+    (see :func:`das_sharded_pallas_plan`); bfEikonal/bfDASLUT coherence
+    imaging across chips without gathering the (I, N) volume.
     """
     from ..ops.das_pallas import (_das_lut_call, _pack_pairs,
                                   prep_lut_sharded)
 
     if keep_rx and keep_tx:
         raise ValueError("das_lut_sharded_pallas keeps at most one of rx/tx")
+    N_true = np.shape(x)[1]
+    if post is not None:
+        if keep_tx:
+            raise ValueError("post reductions run across the rx aperture")
+        keep_rx = True
+        lag_list = _post_lags(post, lags, N_true)
+    else:
+        lag_list = []
     shard_map = jax.shard_map
     nrx = mesh.shape.get("rx", 1)
     ntx = mesh.shape.get("tx", 1)
@@ -524,6 +547,9 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
                                   ntx=ntx, method=method, pair=pair,
                                   nch=2 if iq else 1)
     Tp, Nsh, Msh = st["Tp"], st["Nsh"], st["Msh"]
+    if post == "slsc" and max(lag_list) > Nsh:
+        raise ValueError(f"slsc max lag {max(lag_list)} exceeds the rx "
+                         f"shard width {Nsh} (halo spans one shard)")
 
     def prep_real(xr):
         if four:
@@ -555,6 +581,11 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
             if not keep_tx and "tx" in mesh.axis_names:
                 o = jax.lax.psum(o, "tx")
             res.append(o)
+        if post is not None:
+            return _post_reduce(post, lag_list, res,
+                                rxa="rx" if "rx" in mesh.axis_names
+                                else None,
+                                nrx=nrx, Nsh=Nsh, N=N_true)
         return tuple(res) if nch > 1 else res[0]
 
     rxa = "rx" if "rx" in mesh.axis_names else None
@@ -562,14 +593,16 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
     kr = rxa if keep_rx else None
     kt = txa if keep_tx else None
     keep_spec = (kr,) if keep_rx else ((kt,) if keep_tx else ())
-    ospec = P(*(keep_spec + (None, None)))
+    ospec = P(None, None) if post is not None \
+        else P(*(keep_spec + (None, None)))
     f = shard_map(local, mesh=mesh,
                   in_specs=(P(rxa, None, None), P(txa, None, None),
                             P(rxa, None, None, None),
                             P(txa, None, None, None),
                             P(txa, None, None))
                   + (P(txa, rxa, None),) * nch,
-                  out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+                  out_specs=ospec if post is not None or nch == 1
+                  else tuple([ospec] * nch),
                   check_vma=False)
 
     if cplx:
@@ -588,9 +621,11 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
     outs = f(jnp.asarray(arrays["rxb"]), jnp.asarray(arrays["txb"]),
              jnp.asarray(arrays["taur"]), jnp.asarray(arrays["taut"]),
              jnp.asarray(arrays["tv"]), *xs)
-    outs = outs if nch > 1 else (outs,)
     I1, I2, I3 = im_shape
     I2f = I2 * I3
+    if post is not None:  # (I1p, I2p) real coherence image
+        return outs[:I1, :I2f].reshape(I)
+    outs = outs if nch > 1 else (outs,)
     res = []
     for o in outs:
         if keep_rx:

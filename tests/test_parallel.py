@@ -310,6 +310,29 @@ def test_das_sharded_pallas_post_coherence(kind, iq):
     assert np.abs(got - want).max() / scale < 5e-4
 
 
+def test_das_lut_sharded_pallas_post_coherence():
+    """In-mesh cohfac on the sharded LUT kernel (bfEikonal/bfDASLUT
+    coherence across chips)."""
+    import jax
+    from qups_tpu.ops.coherence import cohfac
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.parallel import das_lut_sharded_pallas, make_mesh
+
+    x, pi, pr, pv, nv, t0 = _shard_problem()
+    c0 = 1540.0
+    tau_rx = np.linalg.norm(pi[:, None, :] - pr[None], axis=-1) / c0
+    tau_tx = np.einsum("ik,mk->im", pi, nv) / c0
+    mesh = make_mesh(jax.devices()[:8], axes=("rx", "tx"), shape=(4, 2))
+    brx = np.asarray(das_lut(x, tau_rx, tau_tx, t0, method="linear",
+                             keep_rx=True, fs=4e6))[:, :, 0]
+    want = np.asarray(cohfac(brx, axis=1))
+    got = np.asarray(das_lut_sharded_pallas(
+        mesh, x, tau_rx, tau_tx, t0, fs=4e6, im_shape=(16, 128, 1),
+        method="linear", interpret=True, post="cohfac"))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-6) < 1e-4
+
+
 def test_das_sharded_pallas_fused_apod():
     """Fused-geometry apodization (aperture growth) rides the sharded fast
     path; reference = the XLA das with the materialized dense mask."""
