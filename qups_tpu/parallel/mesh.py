@@ -307,6 +307,28 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
     The multi-chip form of BASELINE config #5 (``kern/cohfac.m:64``,
     ``kern/slsc.m:187-202``). Returns a real coherence image (I,[ F]).
     ``lags`` as in :func:`qups_tpu.ops.coherence.slsc`.
+
+    Example:
+        import jax
+        import numpy as np
+        from qups_tpu.parallel import make_mesh, das_sharded_pallas
+        rng = np.random.default_rng(0)
+        T, N, M = 128, 16, 4
+        x = rng.standard_normal((T, N, M)).astype(np.float32)
+        pi = np.stack([np.zeros(2048), np.zeros(2048),
+                       np.linspace(10e-3, 25e-3, 2048)],
+                      -1).astype(np.float32)
+        pr = np.stack([np.linspace(-2e-3, 2e-3, N), np.zeros(N),
+                       np.zeros(N)], -1).astype(np.float32)
+        pv = np.zeros((M, 3), np.float32)
+        nv = np.tile([0.0, 0.0, 1.0], (M, 1)).astype(np.float32)
+        mesh = make_mesh(jax.devices(), axes=("rx", "tx"))
+        interp = jax.devices()[0].platform == "cpu"
+        cf = das_sharded_pallas(
+            mesh, x, pi, pr, pv, nv, np.zeros(M, np.float32), 1 / 1540.0,
+            fs=4e6, tx_model="plane", im_shape=(16, 128, 1),
+            interpret=interp, post="cohfac")
+        assert cf.shape == (2048,) and float(np.max(np.asarray(cf))) <= 1.0
     """
     from ..ops.das_pallas import _das_call, _pack_pairs, prep_sharded
 
