@@ -133,6 +133,28 @@ def test_keep_rx_streaming_multichunk(variant, monkeypatch):
     del dp, monkeypatch
 
 
+def test_keep_rx_streaming_with_fused_apod():
+    """Streaming keep_rx combined with a fused-geometry apodization
+    (aperture growth) across multiple transmit chunks."""
+    from qups_tpu.ops.das_pallas import Fused
+    x, pi, pr, pv, nv, t0 = problem(T=256, N=16, M=16)
+    N = pr.shape[0]
+    d = pi[:, None, 0] - pr[None, :, 0]
+    z = pi[:, None, 2] - pr[None, :, 2]
+    apd = (np.abs(z) > 2.0 * np.abs(d)).astype(np.float32)
+    apd = apd.reshape(pi.shape[0], 1, 1, N, 1)
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear", keep_rx=True,
+                         apod=(apd,)))
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", im_shape=(16, 128, 1),
+                               keep_rx=True, interpret=True,
+                               apod=(Fused("aperture_growth", f=1.0),)))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
+
+
 def test_keep_tx_streaming_multichunk():
     """Streaming keep_tx across MULTIPLE rx chunks (NCc > 1: per-transmit
     tiles accumulate in VMEM scratch; N=64 with the default NC=16 gives 4
