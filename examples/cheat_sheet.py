@@ -150,4 +150,19 @@ bsh = das_sharded(mesh, np.asarray(chd.data), us._pixels(),
                   fs=float(chd.fs), tx_model=model_, method="linear")
 assert np.isfinite(np.asarray(bsh)).all()
 
+# in-mesh coherence: the aperture reduction runs INSIDE the shard_map —
+# cross-chip traffic is two image psums instead of the (I, N) volume
+from qups_tpu.parallel import das_sharded_pallas  # noqa: E402
+mesh2 = make_mesh(jax.devices()[:1], axes=("rx",), shape=(1,))
+xr = np.ascontiguousarray(np.real(np.asarray(chd.data)).astype(np.float32))
+cf = das_sharded_pallas(
+    mesh2, xr, us._pixels(), us.rx.positions().T.astype(np.float32),
+    pv_.astype(np.float32), nv_.astype(np.float32),
+    np.broadcast_to(np.asarray(chd.t0_host, np.float32).reshape(-1),
+                    (xr.shape[2],)), 1 / c0, fs=float(chd.fs),
+    tx_model=model_, im_shape=tuple(us.scan.shape),
+    interpret=jax.devices()[0].platform == "cpu", post="cohfac")
+assert cf.shape[0] == us._pixels().shape[0]
+assert float(np.max(np.asarray(cf))) <= 1.0 + 1e-6
+
 print("cheat sheet OK")
