@@ -310,6 +310,28 @@ def test_das_sharded_pallas_post_coherence(kind, iq):
     assert np.abs(got - want).max() / scale < 5e-4
 
 
+def test_das_sharded_pallas_keep_rx_frames():
+    """Streaming keep_rx with a 'frame' mesh axis: kept bands accumulate
+    per frame shard and gather back rx-complete per frame."""
+    import jax
+    from qups_tpu.parallel import make_mesh, das_sharded_pallas
+    from qups_tpu.ops.das import das
+
+    x, pi, pr, pv, nv, t0 = _shard_problem()
+    F = 2
+    x = np.stack([x, 3 * x - 1], axis=-1)  # (T, N, M, F)
+    mesh = make_mesh(jax.devices()[:8], axes=("frame", "rx", "tx"),
+                     shape=(2, 2, 2))
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear", keep_rx=True))
+    got = np.asarray(das_sharded_pallas(
+        mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
+        method="linear", keep_rx=True, im_shape=(16, 128, 1),
+        interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
 def test_das_lut_sharded_pallas_post_coherence():
     """In-mesh cohfac on the sharded LUT kernel (bfEikonal/bfDASLUT
     coherence across chips)."""
