@@ -170,7 +170,7 @@ def _method_exts(method: str, pair: bool):
 
 def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             tx_model: str, planar: bool, iq: bool, fmod: float,
-            MC: int, NC: int, F: int, keep_rx: bool, keep_tx: bool,
+            MC: int, NC: int, has_f: bool, keep_rx: bool, keep_tx: bool,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool,
             pair: bool = False, allfast: bool = False,
             interp_mode: bool = False, lut: bool = False,
@@ -238,7 +238,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         acc_refs = refs[k:k + nch]; k += nch
         out_refs = refs[k:k + nch]; k += nch
 
-    goff = 1 if F > 1 else 0
+    goff = 1 if has_f else 0
     if stream_rx:
         # grid ([F,] NCc, CB, MTc, RB): transmit chunks sweep INSIDE each
         # pixel-column stripe so the kept-rx band accumulates in VMEM
@@ -615,7 +615,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
 
             def slab_at(q):
                 ws = pl.multiple_of(q * W, W)
-                if F > 1:
+                if has_f:
                     return [xr[0, c, pl.ds(g * 8, 8), pl.ds(ws, W)]
                             for xr in x_refs]
                 return [xr[c, pl.ds(g * 8, 8), pl.ds(ws, W)]
@@ -877,10 +877,10 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
     # --- accumulate ---
     def oref(ref, *idx):
         """Index past the leading frame block dim when present."""
-        return ref[(0,) + idx] if F > 1 else (ref[idx] if idx else ref[:])
+        return ref[(0,) + idx] if has_f else (ref[idx] if idx else ref[:])
 
     def oset(ref, val, *idx):
-        if F > 1:
+        if has_f:
             ref[(0,) + idx] = val
         elif idx:
             ref[idx] = val
@@ -901,7 +901,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 for ch in range(nch):
                     band = accs64[ch].reshape(8, 8, 128)
                     sl = slice(g * 8, g * 8 + 8)
-                    if F > 1:
+                    if has_f:
                         out_refs[ch][0, c, sl] = \
                             acc_refs[ch][0, c, sl] + band
                     else:
@@ -945,7 +945,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 # one (8, 8, 128) slice write per group, not 8 row writes
                 band = accs64[ch].reshape(8, 8, 128)
                 sl = slice(g * 8, g * 8 + 8)
-                if F > 1:
+                if has_f:
                     out_refs[ch][0, sl] = acc_refs[ch][0, sl] + band
                 else:
                     out_refs[ch][sl] = acc_refs[ch][sl] + band
@@ -1207,11 +1207,14 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     iq = nch == 2
     has_lat = lat is not None
     xsh = xs[0].shape  # (F, M, N, T) or (M, N, T)
-    F = xsh[0] if len(xsh) == 4 else 1
+    # has_f keys on operand RANK, not F > 1: a frame-sharded shard_map
+    # shard sees Fsh == 1 on a 4-D array and still needs 4-D BlockSpecs
+    has_f = len(xsh) == 4
+    F = xsh[0] if has_f else 1
     M, N, T = xsh[-3], xsh[-2], xsh[-1]
     NCc = N // NC
     MTc = M // MC
-    goff = 1 if F > 1 else 0
+    goff = 1 if has_f else 0
 
     stream_env = _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1"
     stream_rx = (keep_rx and not keep_tx and stream_env
@@ -1222,7 +1225,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
 
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
-        iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
+        iq=iq, fmod=fmod, MC=MC, NC=NC, has_f=has_f, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
         has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret,
         method=method, vmax=vmax, stream_rx=stream_rx, stream_tx=stream_tx)
@@ -1230,7 +1233,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     if stream_rx or stream_tx:
         # kept-axis chunks OUTER, summed-axis chunks sweep inside each
         # pixel-column stripe (grid ([F,] kept, CB, summed, RB))
-        grid = ((F,) if F > 1 else ()) + (
+        grid = ((F,) if has_f else ()) + (
             (NCc, CB, MTc, RB) if stream_rx else (MTc, CB, NCc, RB))
 
         def tidx(*a):
@@ -1246,17 +1249,17 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
             mn = (sc, kc) if stream_rx else (kc, sc)
             return (a[:goff] + mn + (0,))
 
-        trace = pl.BlockSpec(((1,) if F > 1 else ()) + (MC, NC, T), xix,
+        trace = pl.BlockSpec(((1,) if has_f else ()) + (MC, NC, T), xix,
                              memory_space=pltpu.VMEM)
     else:
-        grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
+        grid = ((F,) if has_f else ()) + (NCc, MTc, RB, CB)
 
         def tidx(*a):
             # (..., ncc, mtc, rb, cb, boxes, gbox) -> tile block (rb, cb)
             return (a[goff + 2], a[goff + 3])
 
         tile = pl.BlockSpec((8, 128), tidx, memory_space=pltpu.VMEM)
-        if F > 1:
+        if has_f:
             trace = pl.BlockSpec(
                 (1, MC, NC, T),
                 lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, 0),
@@ -1268,7 +1271,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                 memory_space=pltpu.VMEM)
 
     if keep_rx and keep_tx:
-        if F > 1:
+        if has_f:
             ospec = pl.BlockSpec(
                 (1, MC, NC, 8, 128),
                 lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, rb, cb),
@@ -1286,7 +1289,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
         # out rows gain one dummy 8-row block (index RB): non-final
         # transmit-chunk steps park there so the real rows are written
         # exactly once (cropped before returning)
-        if F > 1:
+        if has_f:
             ospec = pl.BlockSpec(
                 (1, NC, 8, 128),
                 lambda f, ncc, cb, mtc, rb, *_: (
@@ -1303,7 +1306,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
             oshape = jax.ShapeDtypeStruct(
                 (N, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
     elif keep_rx:
-        if F > 1:
+        if has_f:
             ospec = pl.BlockSpec(
                 (1, NC, 8, 128),
                 lambda f, ncc, mtc, rb, cb, *_: (f, ncc, rb, cb),
@@ -1319,7 +1322,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                                           jnp.float32)
     elif keep_tx and stream_tx:
         # dummy row block (index RB) parks non-final rx-chunk steps
-        if F > 1:
+        if has_f:
             ospec = pl.BlockSpec(
                 (1, MC, 8, 128),
                 lambda f, mtc, cb, ncc, rb, *_: (
@@ -1336,7 +1339,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
             oshape = jax.ShapeDtypeStruct(
                 (M, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
     elif keep_tx:
-        if F > 1:
+        if has_f:
             ospec = pl.BlockSpec(
                 (1, MC, 8, 128),
                 lambda f, ncc, mtc, rb, cb, *_: (f, mtc, rb, cb),
@@ -1351,7 +1354,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
             oshape = jax.ShapeDtypeStruct((M, pz.shape[0], pz.shape[1]),
                                           jnp.float32)
     else:
-        if F > 1:
+        if has_f:
             ospec = pl.BlockSpec(
                 (1, 8, 128), lambda f, ncc, mtc, rb, cb, *_: (f, rb, cb),
                 memory_space=pltpu.VMEM)
@@ -1431,11 +1434,13 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     nch = len(xs)
     iq = nch == 2
     xsh = xs[0].shape  # (F, M, N, T) or (M, N, T)
-    F = xsh[0] if len(xsh) == 4 else 1
+    # rank-keyed, not F > 1 — see _das_call (frame-sharded Fsh == 1)
+    has_f = len(xsh) == 4
+    F = xsh[0] if has_f else 1
     M, N, T = xsh[-3], xsh[-2], xsh[-1]
     NCc = N // NC
     MTc = M // MC
-    goff = 1 if F > 1 else 0
+    goff = 1 if has_f else 0
 
     stream_env = _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1"
     stream_rx = (keep_rx and not keep_tx and stream_env
@@ -1446,26 +1451,26 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
 
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model="lut", planar=True,
-        iq=iq, fmod=fmod, MC=MC, NC=NC, F=F, keep_rx=keep_rx,
+        iq=iq, fmod=fmod, MC=MC, NC=NC, has_f=has_f, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
         pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
         method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB,
         stream_rx=stream_rx, stream_tx=stream_tx)
 
     if stream_rx:
-        grid = ((F,) if F > 1 else ()) + (NCc, CB, MTc, RB)
+        grid = ((F,) if has_f else ()) + (NCc, CB, MTc, RB)
 
         def gix(*a):
             """Grid indices in semantic (ncc, mtc, rb, cb) order."""
             return (a[goff + 0], a[goff + 2], a[goff + 3], a[goff + 1])
     elif stream_tx:
-        grid = ((F,) if F > 1 else ()) + (MTc, CB, NCc, RB)
+        grid = ((F,) if has_f else ()) + (MTc, CB, NCc, RB)
 
         def gix(*a):
             """Grid indices in semantic (ncc, mtc, rb, cb) order."""
             return (a[goff + 2], a[goff + 0], a[goff + 3], a[goff + 1])
     else:
-        grid = ((F,) if F > 1 else ()) + (NCc, MTc, RB, CB)
+        grid = ((F,) if has_f else ()) + (NCc, MTc, RB, CB)
 
         def gix(*a):
             """Strip the optional leading frame index."""
@@ -1482,12 +1487,12 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         lambda *a: (gix(*a)[1], gix(*a)[2], gix(*a)[3]),
         memory_space=pltpu.VMEM)
     trace = pl.BlockSpec(
-        ((1,) if F > 1 else ()) + (MC, NC, T),
+        ((1,) if has_f else ()) + (MC, NC, T),
         lambda *a: (a[:goff] + (gix(*a)[1], gix(*a)[0], 0)),
         memory_space=pltpu.VMEM)
     I1p, I2p = taur.shape[1], taur.shape[2]
-    fdim = (1,) if F > 1 else ()
-    fshape = (F,) if F > 1 else ()
+    fdim = (1,) if has_f else ()
+    fshape = (F,) if has_f else ()
     if keep_rx and stream_rx:
         # dummy row block RB parks non-final transmit-chunk steps (see
         # _das_call); cropped before returning

@@ -486,6 +486,35 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
     return apply
 
 
+def _content_key(*items):
+    """Stable content hash over arrays / scalars / descriptors for the
+    eager-call plan cache (geometry + statics, NOT the trace data)."""
+    import hashlib
+    h = hashlib.sha1()
+    for it in items:
+        if it is None:
+            h.update(b"\x00none")
+        elif isinstance(it, (np.ndarray, jnp.ndarray)):
+            a = np.asarray(it)
+            h.update(str((a.dtype.str, a.shape)).encode())
+            h.update(np.ascontiguousarray(a).tobytes())
+        elif isinstance(it, (tuple, list)):
+            h.update(b"(")
+            h.update(_content_key(*it).encode())
+            h.update(b")")
+        elif hasattr(it, "kind") and hasattr(it, "params"):  # Fused apod
+            # params is already a sorted tuple of (name, value) pairs
+            h.update(_content_key(it.kind, tuple(it.params)).encode())
+        else:
+            h.update(repr(it).encode())
+        h.update(b"|")
+    return h.hexdigest()
+
+
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 8
+
+
 def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
                        fs: float, tx_model: str = "virtual",
                        im_shape=None, interpret: bool = False,
@@ -496,17 +525,38 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
                        post: Optional[str] = None, lags=None):
     """One-shot sharded DAS (see :func:`das_sharded_pallas_plan` for the
     reusable jitted handle and the full feature list — including
-    ``post='cohfac'|'slsc'`` in-mesh coherence reductions)."""
+    ``post='cohfac'|'slsc'`` in-mesh coherence reductions).
+
+    Repeated eager calls with the same geometry/statics reuse a cached
+    plan (keyed on a content hash of everything except the trace data), so
+    only the first call pays host planning + trace/compile (a re-plan
+    measured 18.8 s vs the 0.65 s kernel at the full config) — the
+    reference's reusable kernel-handle behavior (``kern/das_spec.m:72-86``)
+    on the *main* entry point."""
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(
         x, "dtype", np.float32))))
     T, N, M = np.shape(x)[:3]
     Fn = np.shape(x)[3] if np.ndim(x) >= 4 else None
-    apply = das_sharded_pallas_plan(
-        mesh, pi, pr, pv, nv, t0, cinv, fs=fs, T=T, N=N, M=M, Fn=Fn,
-        iq=cplx, tx_model=tx_model, im_shape=im_shape, interpret=interpret,
-        precision=precision, method=method, apod=apod,
-        orientations=orientations, lat=lat, keep_rx=keep_rx,
-        keep_tx=keep_tx, fmod=fmod, out=out, post=post, lags=lags)
+    mesh_key = (mesh.axis_names, mesh.devices.shape,
+                tuple(getattr(d, "id", i)
+                      for i, d in enumerate(mesh.devices.flat)))
+    key = _content_key(
+        mesh_key, pi, pr, pv, nv, t0, cinv, fs, T, N, M, Fn, cplx,
+        tx_model, tuple(im_shape) if im_shape is not None else None,
+        interpret, precision, method, tuple(apod), orientations, lat,
+        keep_rx, keep_tx, fmod, out, post,
+        tuple(np.atleast_1d(lags).tolist()) if lags is not None else None)
+    apply = _PLAN_CACHE.get(key)
+    if apply is None:
+        apply = das_sharded_pallas_plan(
+            mesh, pi, pr, pv, nv, t0, cinv, fs=fs, T=T, N=N, M=M, Fn=Fn,
+            iq=cplx, tx_model=tx_model, im_shape=im_shape,
+            interpret=interpret, precision=precision, method=method,
+            apod=apod, orientations=orientations, lat=lat, keep_rx=keep_rx,
+            keep_tx=keep_tx, fmod=fmod, out=out, post=post, lags=lags)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:  # FIFO eviction
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = apply
     if cplx:
         if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
             xh = np.asarray(x)

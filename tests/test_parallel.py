@@ -332,6 +332,86 @@ def test_das_sharded_pallas_keep_rx_frames():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
+def test_das_sharded_pallas_keep_tx_frames():
+    """Streaming keep_tx with a 'frame' mesh axis — the MUL-mode mirror of
+    the keep_rx frame-shard case: each shard sees Fsh=1 on a 4-D operand
+    (regression for keying BlockSpecs on F > 1 instead of operand rank)."""
+    import jax
+    from qups_tpu.parallel import make_mesh, das_sharded_pallas
+    from qups_tpu.ops.das import das
+
+    x, pi, pr, pv, nv, t0 = _shard_problem()
+    x = np.stack([x, 3 * x - 1], axis=-1)  # (T, N, M, F=2)
+    mesh = make_mesh(jax.devices()[:8], axes=("frame", "rx", "tx"),
+                     shape=(2, 2, 2))
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear", keep_tx=True))
+    got = np.asarray(das_sharded_pallas(
+        mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
+        method="linear", keep_tx=True, im_shape=(16, 128, 1),
+        interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_das_pallas_rank4_single_frame():
+    """Direct das_tiled on a rank-4 (T, N, M, F=1) operand: every grid/
+    BlockSpec branch must key on the frame AXIS being present, not F > 1
+    (the shard_map Fsh=1 view). Covers summed, streaming keep_rx, and
+    streaming keep_tx branches. N/M sized so MTc == NCc == 1: the summed
+    branch accumulates through input_output_aliases, which interpret mode
+    does not replay across grid steps (compiled-only; see NOTES.md)."""
+    from qups_tpu.ops.das import das
+    from qups_tpu.ops.das_pallas import das_tiled
+
+    x, pi, pr, pv, nv, t0 = _shard_problem(N=16, M=4)
+    x4 = x[..., None]  # (T, N, M, F=1)
+    for kw in (dict(), dict(keep_rx=True), dict(keep_tx=True)):
+        ref = np.asarray(das(x4, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                             tx_model="plane", method="linear", **kw))
+        got = np.asarray(das_tiled(
+            x4, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
+            method="linear", im_shape=(16, 128, 1), interpret=True, **kw))
+        assert got.shape == ref.shape, kw
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, kw
+
+
+def test_das_sharded_pallas_eager_plan_cache():
+    """Repeated eager das_sharded_pallas calls with the same geometry reuse
+    the cached plan — no re-plan/re-trace (the reference returns a reusable
+    kernel handle from its main entry, kern/das_spec.m:72-86)."""
+    import jax
+    from qups_tpu.parallel import make_mesh, das_sharded_pallas
+    from qups_tpu.parallel import mesh as mesh_mod
+
+    x, pi, pr, pv, nv, t0 = _shard_problem()
+    mesh = make_mesh(jax.devices()[:8], axes=("rx", "tx"), shape=(4, 2))
+    kw = dict(fs=4e6, tx_model="plane", method="linear",
+              im_shape=(16, 128, 1), interpret=True)
+    calls = {"n": 0}
+    orig = mesh_mod.das_sharded_pallas_plan
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    mesh_mod.das_sharded_pallas_plan, bak = counting, orig
+    try:
+        mesh_mod._PLAN_CACHE.clear()
+        a1 = np.asarray(das_sharded_pallas(mesh, x, pi, pr, pv, nv, t0,
+                                           1 / 1540.0, **kw))
+        a2 = np.asarray(das_sharded_pallas(mesh, 2 * x, pi, pr, pv, nv, t0,
+                                           1 / 1540.0, **kw))
+        assert calls["n"] == 1  # second call hit the cache
+        # different statics -> new plan
+        das_sharded_pallas(mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0,
+                           **{**kw, "method": "nearest"})
+        assert calls["n"] == 2
+    finally:
+        mesh_mod.das_sharded_pallas_plan = bak
+    assert np.allclose(a2, 2 * a1, atol=1e-4 * np.abs(a1).max())
+
+
 def test_das_lut_sharded_pallas_post_coherence():
     """In-mesh cohfac on the sharded LUT kernel (bfEikonal/bfDASLUT
     coherence across chips)."""
