@@ -1493,7 +1493,17 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     I1p, I2p = taur.shape[1], taur.shape[2]
     fdim = (1,) if has_f else ()
     fshape = (F,) if has_f else ()
-    if keep_rx and stream_rx:
+    if keep_rx and keep_tx:
+        # BF mode (bf.cu flag bits 3+4 together) on the LUT path: one
+        # (8, 8, 128) band per (transmit, rx-group); block (MC, NC, 8, 128)
+        ospec = pl.BlockSpec(
+            fdim + (MC, NC, 8, 128),
+            lambda *a: (a[:goff] + (gix(*a)[1], gix(*a)[0],
+                                    gix(*a)[2], gix(*a)[3])),
+            memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct(fshape + (M, N, I1p, I2p),
+                                      jnp.float32)
+    elif keep_rx and stream_rx:
         # dummy row block RB parks non-final transmit-chunk steps (see
         # _das_call); cropped before returning
         ospec = pl.BlockSpec(
@@ -1694,9 +1704,10 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
     ``apply(x)`` beamforms any (T, N, M) trace set against the resident
     tables — the analog of the reference's reusable CUDAKernel handle
     (``kern/das_spec.m:72-86``, ``kern/wsinterpd2.m:99``). Use this for
-    repeated frames; :func:`das_lut_tiled` is the one-shot wrapper."""
-    if keep_rx and keep_tx:
-        raise ValueError("das_lut_tiled keeps at most one of rx/tx")
+    repeated frames; :func:`das_lut_tiled` is the one-shot wrapper.
+    ``keep_rx & keep_tx`` together (BF mode, ``bf.cu:129-140`` bits 3+4)
+    keeps the full (I, N, M) volume — small configs only (output traffic
+    is I*N*M floats)."""
     if precision not in ("f32", "bf16pair"):
         raise ValueError(f"unknown precision {precision!r}")
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
@@ -1814,7 +1825,8 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
 
     def run(xr, xi=None):
         xs = (xr,) if xi is None else (xr, xi)
-        keep_n = (Np8,) if keep_rx else ((M,) if keep_tx else ())
+        keep_n = ((M, Np8) if (keep_rx and keep_tx) else
+                  ((Np8,) if keep_rx else ((M,) if keep_tx else ())))
         oshape = ((Fn,) if Fn else ()) + keep_n + (I1p, I2p)
         accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
         outs = _das_lut_call(
@@ -1826,7 +1838,11 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
         for o in outs:
             if Fn:
                 o = jnp.moveaxis(o, 0, -1)  # (..., F)
-            if keep_rx:
+            if keep_rx and keep_tx:
+                # (M, N, I1p, I2p[, F]) -> (I, N, M[, F])
+                o = jnp.moveaxis(o[:M, :N, :I1, :I2], (0, 1), (3, 2))
+                o = o.reshape((I, N, M) + o.shape[4:])
+            elif keep_rx:
                 o = jnp.moveaxis(o[:N, :I1, :I2], 0, 2)
                 o = o.reshape((I, N, 1) + o.shape[3:])
             elif keep_tx:
@@ -1890,9 +1906,12 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     delays work — wide per-stripe delay spreads fall back to the
     multi-window loop arm automatically. For repeated frames against fixed
     tables use :func:`das_lut_plan` (one table upload, reusable handle).
+
+    Arbitrary trailing frame dims ``(T, N, M, F1, F2, ...)`` fold into one
+    frame axis for the kernel and unfold on return (the reference threads
+    ``F x ...`` through every kernel, ``kern/das_spec.m:180-181``).
     """
-    if np.ndim(x) > 4:
-        raise ValueError("das_lut_tiled supports (T, N, M[, F]) data")
+    x, fdims = _fold_frames(x)
     T, N, M = x.shape[:3]
     Fn = x.shape[3] if np.ndim(x) >= 4 else None
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype",
@@ -1902,7 +1921,27 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
                         keep_rx=keep_rx, keep_tx=keep_tx, fmod=fmod,
                         method=method, interpret=interpret,
                         precision=precision)
-    return plan(x)
+    return _unfold_frames(plan(x), fdims)
+
+
+def _fold_frames(x):
+    """Fold arbitrary trailing frame dims (T, N, M, F1, F2, ...) into ONE
+    frame axis (T, N, M, F) for the Pallas kernels; returns (x, fdims)
+    where ``fdims`` is () for plain (T, N, M[, F]) inputs (no unfold
+    needed). The reference threads arbitrary ``F x ...`` dims through
+    every kernel (``kern/das_spec.m:180-181``)."""
+    if np.ndim(x) <= 4:
+        return x, ()
+    fdims = tuple(x.shape[3:])
+    return x.reshape(x.shape[:3] + (int(np.prod(fdims)),)), fdims
+
+
+def _unfold_frames(img, fdims):
+    """Unfold the frame axis of a kernel result (I, n, m, F[, 2]) back to
+    the caller's trailing dims (I, n, m, F1, F2, ...[, 2])."""
+    if not fdims:
+        return img
+    return img.reshape(img.shape[:3] + fdims + img.shape[4:])
 
 
 def _split_fused(apod, cinv, lat_spatial: bool):
@@ -2171,6 +2210,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             raise ValueError("das_tiled apodization must be Fused descriptors")
     pair = precision == "bf16pair"
 
+    x, fdims = _fold_frames(x)  # (T, N, M, F1, F2, ...) -> one F axis
     x_in = x
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype", np.float32))))
     pi = np.asarray(pi, np.float32)
@@ -2347,11 +2387,13 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         if len(res) == 2:
             if out == "ri":
                 # TPU-boundary-safe: never materialize device complex
-                return jnp.stack(res, axis=-1)
-            return (res[0] + 1j * res[1]).astype(jnp.complex64)
+                return _unfold_frames(jnp.stack(res, axis=-1), fdims)
+            return _unfold_frames(
+                (res[0] + 1j * res[1]).astype(jnp.complex64), fdims)
         if out == "ri":
-            return jnp.stack([res[0], jnp.zeros_like(res[0])], axis=-1)
-        return res[0]
+            return _unfold_frames(
+                jnp.stack([res[0], jnp.zeros_like(res[0])], axis=-1), fdims)
+        return _unfold_frames(res[0], fdims)
 
     if cplx:
         # split re/im without eager device-complex ops (boundary-restricted

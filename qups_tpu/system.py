@@ -667,8 +667,10 @@ class UltrasoundSystem:
         and a supported sampler. All keep modes — summed, keep_rx,
         keep_tx, and keep-both (BF) — run in-kernel."""
         from .ops.das_pallas import Fused
+        # data_ndim >= 3: arbitrary trailing frame dims fold into one F
+        # axis inside das_tiled (kern/das_spec.m:180-181)
         return (all(isinstance(a, Fused) for a in apod_t)
-                and np.ndim(cinv) == 0 and data_ndim in (3, 4)
+                and np.ndim(cinv) == 0 and data_ndim >= 3
                 # iso-depth-major flatten (volumetric scans flatten the
                 # trailing axes into the kernel's 128-lane rows)
                 and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
@@ -686,7 +688,7 @@ class UltrasoundSystem:
         eligible = self._pallas_das_eligible(chd.data.ndim, apod_t, cinv,
                                              keep_rx, keep_tx, method)
         if (kernel == "auto" and on_tpu and cinv.ndim > 0 and not apod_t
-                and not (keep_rx and keep_tx) and chd.data.ndim in (3, 4)
+                and chd.data.ndim >= 3
                 and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
                 and method in ("nearest", "linear", "cubic", "lanczos3")):
             # per-pixel sound-speed map (heterogeneous c,
@@ -820,8 +822,11 @@ class UltrasoundSystem:
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         if method == "auto":
             method = "cubic"
-        eligible = (not apod_t and not (keep_rx and keep_tx)
-                    and chd.data.ndim in (3, 4) and np.ndim(t0) <= 1
+        # keep_rx & keep_tx (BF mode) and arbitrary trailing frame dims
+        # both ride the fast path now (das_lut_tiled folds F... into one
+        # axis; the kernel runs bf.cu bits 3+4 together in LUT mode too)
+        eligible = (not apod_t
+                    and chd.data.ndim >= 3 and np.ndim(t0) <= 1
                     and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
                     and method in ("nearest", "linear", "cubic", "lanczos3")
                     and on_tpu)

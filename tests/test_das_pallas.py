@@ -567,3 +567,53 @@ def test_lut_frames():
                                    method="cubic", interpret=True))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_lut_keep_both():
+    """LUT-mode keep_rx & keep_tx (BF mode, bf.cu:129-140 bits 3+4
+    together on the bring-your-own-delays path): the full (I, N, M)
+    volume from delay tables matches the XLA das_lut."""
+    from qups_tpu.ops.das import das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    x, pi, pr, pv, nv, t0 = problem(N=8, M=4)
+    tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
+              / 1540.0).astype(np.float32)
+    tau_tx = (pi @ nv.T / 1540.0).astype(np.float32)
+    ref = np.asarray(das_lut(x, tau_rx, tau_tx, t0, fs=4e6,
+                             method="linear", keep_rx=True, keep_tx=True))
+    got = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0, fs=4e6,
+                                   method="linear", keep_rx=True,
+                                   keep_tx=True, im_shape=(16, 128, 1),
+                                   interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_multi_frame_dims_fold():
+    """Arbitrary trailing frame dims (T, N, M, F1, F2) fold into one F
+    axis inside the Pallas wrappers and unfold on return — the
+    reference's F x ... threading (kern/das_spec.m:180-181)."""
+    from qups_tpu.ops.das import das, das_lut
+    from qups_tpu.ops.das_pallas import das_lut_tiled, das_tiled
+    x, pi, pr, pv, nv, t0 = problem()
+    F1, F2 = 2, 3
+    xf = np.stack([np.stack([x * (1 + f1 + F1 * f2) for f2 in range(F2)],
+                            axis=-1) for f1 in range(F1)], axis=-2)
+    assert xf.shape == x.shape + (F1, F2)
+    ref = np.asarray(das(xf, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear"))
+    got = np.asarray(das_tiled(xf, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", method="linear",
+                               im_shape=(16, 128, 1), interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
+              / 1540.0).astype(np.float32)
+    tau_tx = (pi @ nv.T / 1540.0).astype(np.float32)
+    ref = np.asarray(das_lut(xf, tau_rx, tau_tx, t0, fs=4e6,
+                             method="linear"))
+    got = np.asarray(das_lut_tiled(xf, tau_rx, tau_tx, t0, fs=4e6,
+                                   method="linear", im_shape=(16, 128, 1),
+                                   interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
