@@ -179,3 +179,65 @@ def test_baseline_config3_convex_walking_polar():
     k = int(img.reshape(-1).argmax())
     err = np.linalg.norm(P[:, k] - np.array([0.0, 0.0, 25e-3]))
     assert err < 2.5e-3, err
+
+
+@pytest.mark.parametrize("ck", ["sphere", "generic"])
+@pytest.mark.parametrize("bf", ["DAS", "bfDAS"])
+def test_spherical_generic_localization(ck, bf):
+    """{DAS, bfDAS} x {ScanSpherical, ScanGeneric} with a localization
+    oracle — the reference's USTest sweeps all four scan types through its
+    beamformers (test/USTest.m:14-72); the earlier sweep rows only checked
+    shape/finiteness for these two. FSA: the 2-angle PW set leaves the
+    coarse spherical grid azimuth-ambiguous (symmetric edge maxima)."""
+    xdc = make_xdc("array")
+    us = q.UltrasoundSystem(tx=xdc, rx=xdc, seq=make_seq("FSA", xdc.numel),
+                            scan=make_scan(ck), fs=12e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [25e-3]], c0=C0)
+    chd = us.greens(scat)
+    b = getattr(us, bf)(chd)
+    img = np.abs(np.asarray(b)).squeeze()
+    P = us.scan.positions().reshape(3, -1)
+    k = int(img.reshape(-1).argmax())
+    p = P[:, k]
+    # a 1-D (y=0) aperture cannot resolve elevation, so the spherical
+    # scan's peak may sit anywhere along an elevation arc — the honest
+    # oracle is range + azimuth (the axes the aperture resolves)
+    r_err = abs(np.linalg.norm(p) - 25e-3)
+    az_err = abs(np.degrees(np.arctan2(p[0], p[2])))
+    assert r_err < 2e-3, (ck, bf, r_err)
+    assert az_err < 4.0, (ck, bf, az_err)
+
+
+def test_volumetric_sharded_das():
+    """A matrix-probe 3-D volume through das_sharded_pallas on the CPU
+    mesh: the volumetric flatten (trailing axes C-order into 128-lane
+    rows) composed with rx/tx sharding (VERDICT r3 #8)."""
+    import jax
+    from qups_tpu.ops.das import das
+    from qups_tpu.parallel import make_mesh, das_sharded_pallas
+
+    rng = np.random.default_rng(11)
+    xdc = q.TransducerMatrix(numd=(4, 4), pitch2=(0.4e-3, 0.4e-3), fc=3e6)
+    N = M = xdc.numel  # 16
+    T = 256
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    pr = xdc.positions().T.astype(np.float32)
+    pv = np.zeros((M, 3), np.float32)
+    nv = np.tile([0.0, 0.0, 1.0], (M, 1)).astype(np.float32)
+    t0 = np.full(M, 2 * 5e-3 / 1540.0, np.float32)
+    scan = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 8),
+                           y=np.linspace(-4e-3, 4e-3, 4),
+                           z=np.linspace(18e-3, 26e-3, 8))
+    # iso-depth-major 3-D flatten: order 'ZXY' puts (x, y) in the lanes
+    pi = scan.positions().reshape(3, -1).T.astype(np.float32)
+    # mesh shape chosen so each shard is single-chunk (Msh=4 -> MTc=1):
+    # the summed path accumulates through input_output_aliases, which
+    # interpret mode does not replay across grid steps (see NOTES.md)
+    mesh = make_mesh(jax.devices()[:8], axes=("rx", "tx"), shape=(2, 4))
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear"))
+    got = np.asarray(das_sharded_pallas(
+        mesh, x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6, tx_model="plane",
+        method="linear", im_shape=scan.shape, interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
