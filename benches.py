@@ -314,6 +314,93 @@ def bench_coherence():
                "T": T, "N": N, "M": M, "precision": prec})
 
 
+def bench_adjoint():
+    """bfAdjoint at the headline config (1024^2 px from 256x256 tx/rx,
+    T=4096): per-frequency steering GEMMs — the most MXU-native beamformer
+    in the repo (``UltrasoundSystem.m:3770-4050`` hot-paths exactly this,
+    bin-thresholded). QUPS_BENCH_ADJ_BINS caps the bin count (default 64,
+    the -40 dB band of a 2-cycle pulse at this T)."""
+    import jax
+    import jax.numpy as jnp
+    import qups_tpu as q
+
+    T, N, M = (256, 16, 16) if _tiny() else (4096, 256, 256)
+    n = 64 if _tiny() else 1024
+    nb = int(os.environ.get("QUPS_BENCH_ADJ_BINS", "16" if _tiny()
+                            else "64"))
+    fs, fc = 31.25e6, 5e6
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    xdc = q.TransducerArray(numel=N, pitch=0.2e-3, fc=fc)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=M, c0=1540.0),
+        scan=q.ScanCartesian(x=np.linspace(-12e-3, 12e-3, n),
+                             z=np.linspace(5e-3, 45e-3, n)), fs=fs)
+    chd = q.ChannelData(data=jnp.asarray(x), fs=fs, t0=0.0)
+    # explicit bins around fc: bin selection is shape-affecting, so fixing
+    # it keeps the repeated call jit-clean (and the count comparable)
+    k0 = int(round(fc / fs * T))
+    bins = np.arange(k0 - nb // 2, k0 + nb - nb // 2, dtype=np.int32)
+
+    def run():
+        b = us.bfAdjoint(chd, bins=bins)
+        return float(jnp.sum(jnp.abs(b)))
+    try:
+        run()  # compile
+        t1 = time.time()
+        run()
+        dt = time.time() - t1
+    except Exception as e:  # pragma: no cover
+        _emit({"bench": "adjoint", "error": str(e)})
+        return
+    # per-bin work: two complex GEMMs, (I,N)x(N,1)-ish steering products
+    _emit({"bench": "adjoint", "metric": "s/frame", "value": dt,
+           "n_px_side": n, "T": T, "N": N, "M": M, "bins": int(bins.size),
+           "pix_bins_per_s": n * n * bins.size / dt})
+
+
+def bench_refocus():
+    """refocus (REFoCUS transmit decoding, ``UltrasoundSystem.m:3505-3768``)
+    at full scale: decode a Hadamard-encoded (T=4096, N=256, M=256) set
+    back to FSA — the tikhonov per-bin GEMM that gates all encoded-sequence
+    work."""
+    import jax.numpy as jnp
+    import qups_tpu as q
+
+    T, N, M = (256, 16, 16) if _tiny() else (4096, 256, 256)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    xdc = q.TransducerArray(numel=M, pitch=0.2e-3, fc=5e6)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=M, c0=1540.0),
+        scan=q.ScanCartesian(x=[0.0], z=[20e-3]), fs=31.25e6)
+
+    def hadamard(n):
+        H = np.array([[1.0]])
+        while H.shape[0] < n:
+            H = np.block([[H, H], [H, -H]])
+        return H
+
+    seq_enc = q.Sequence(type="FSA", numpulse=M, c0=1540.0,
+                         apd=hadamard(M), del_=np.zeros((M, M)))
+    chd = q.ChannelData(data=jnp.asarray(x), fs=31.25e6, t0=0.0)
+
+    def run():
+        dec = us.refocus(chd, seq_enc, gamma=0.0)
+        return float(jnp.sum(jnp.abs(dec.data)))
+    try:
+        run()  # compile
+        t1 = time.time()
+        run()
+        dt = time.time() - t1
+    except Exception as e:  # pragma: no cover
+        _emit({"bench": "refocus", "error": str(e)})
+        return
+    _emit({"bench": "refocus", "metric": "s/decode", "value": dt,
+           "T": T, "N": N, "M": M,
+           "resamples_per_s": T * N * M * M / dt})
+
+
 def bench_fdtd():
     """FDTD ms/time-step, 225x225 grid (``ParTest.m:298-318``)."""
     import jax.numpy as jnp
@@ -354,6 +441,10 @@ def main():
         bench_lut()
     if which in ("focus", "all"):
         bench_focus()
+    if which in ("adjoint", "all"):
+        bench_adjoint()
+    if which in ("refocus", "all"):
+        bench_refocus()
     if which in ("fdtd", "all"):
         bench_fdtd()
 
