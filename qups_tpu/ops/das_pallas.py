@@ -176,7 +176,8 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             interp_mode: bool = False, lut: bool = False,
             method: str = "linear", vmax: float = 0.0,
             lut_tiles: bool = False, CB: int = 0,
-            stream_rx: bool = False, stream_tx: bool = False):
+            stream_rx: bool = False, stream_tx: bool = False,
+            hostwin: bool = False):
     """See module docstring. Grid: ([F,] NCc, MTc, RB, CB). refs order:
     pz, px, py, [lat], pr(SMEM), pv(SMEM), x (1|2), accin (1|2), out (1|2).
 
@@ -258,7 +259,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         mtc = pl.program_id(goff + 1)
         rb = pl.program_id(goff + 2)
         cb = pl.program_id(goff + 3)
-    if not lut:
+    if not lut and not hostwin:
         zlo = boxes_ref[rb, cb, 0]
         zhi = boxes_ref[rb, cb, 1]
         xbl = boxes_ref[rb, cb, 2]
@@ -380,11 +381,13 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         # pre-shift by t0 and scale to samples (± the f32-skew margin)
         return ((dvlo - t0m) * fs - 2.0, (dvhi - t0m) * fs + 2.0)
 
-    if lut and lut_tiles:
+    if (lut or hostwin) and lut_tiles:
         # per-TILE packed int16 sample bounds (see docstring): one scalar
         # load + two shifts for the whole transmit chunk. Layout: tiles on
         # the LAST (lane) axis so the SMEM arrays need no lane padding —
         # boxes_ref (G, RB*CB) rx, gbox_ref (MTc, RB*CB) tx, both int32.
+        # ``hostwin`` routes the GEOMETRY kernel through this same branch
+        # (bounds host-planned by plan_hostwin; delays stay in-kernel).
         tq = rb * CB + cb
         vtx = gbox_ref[mtc, tq]
         tlo = ((vtx << 16) >> 16).astype(jnp.float32) - 2.0
@@ -463,20 +466,33 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
 
             # scalar-core receive-distance bounds for this (tile, group):
             # box-to-box interval arithmetic, amortized over the MC
-            # transmits of the chunk
+            # transmits of the chunk (or one packed SMEM read when the
+            # bounds were host-planned, QUPS_DAS_HOSTWIN=1)
             gg = ncc * (NC // 8) + g
-            exlo = gbox_ref[gg, 0]
-            exhi = gbox_ref[gg, 1]
-            ezlo = gbox_ref[gg, 4]
-            ezhi = gbox_ref[gg, 5]
-            gx = igap(xbl, xbh, exlo, exhi)
-            sx = ispan(xbl, xbh, exlo, exhi)
-            gz = igap(zlo, zhi, ezlo, ezhi)
-            sz = ispan(zlo, zhi, ezlo, ezhi)
-            if planar:
+            if hostwin:
+                vrx = boxes_ref[gg, rb * CB + cb]
+                drlo = ((vrx << 16) >> 16).astype(jnp.float32)
+                drhi = (vrx >> 16).astype(jnp.float32)
+            elif planar:
+                exlo = gbox_ref[gg, 0]
+                exhi = gbox_ref[gg, 1]
+                ezlo = gbox_ref[gg, 4]
+                ezhi = gbox_ref[gg, 5]
+                gx = igap(xbl, xbh, exlo, exhi)
+                sx = ispan(xbl, xbh, exlo, exhi)
+                gz = igap(zlo, zhi, ezlo, ezhi)
+                sz = ispan(zlo, zhi, ezlo, ezhi)
                 drlo = jnp.sqrt(gx * gx + gz * gz) * fs
                 drhi = jnp.sqrt(sx * sx + sz * sz) * fs
             else:
+                exlo = gbox_ref[gg, 0]
+                exhi = gbox_ref[gg, 1]
+                ezlo = gbox_ref[gg, 4]
+                ezhi = gbox_ref[gg, 5]
+                gx = igap(xbl, xbh, exlo, exhi)
+                sx = ispan(xbl, xbh, exlo, exhi)
+                gz = igap(zlo, zhi, ezlo, ezhi)
+                sz = ispan(zlo, zhi, ezlo, ezhi)
                 eylo = gbox_ref[gg, 2]
                 eyhi = gbox_ref[gg, 3]
                 gy = igap(ybl, ybh, eylo, eyhi)
@@ -1151,6 +1167,111 @@ def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
     return True
 
 
+def plan_hostwin(boxes, gbox, pvs, M, MC, *, fs, tx_model, planar, T,
+                 pair, method="linear", W=128, safety=2):
+    """Host-planned per-(tile, rx-group) / per-(tile, tx-chunk) packed
+    int16 window bounds for the GEOMETRY kernel (``QUPS_DAS_HOSTWIN=1``) —
+    the VERDICT-r3 'compile-time-static windows' experiment, isolated from
+    the LUT kernel's delay-table streaming: the kernel reads ONE packed
+    SMEM word per (group, chunk) instead of running the scalar interval
+    chain. NOTE this does NOT make the window starts trace-time constants
+    (they remain data-dependent scalars feeding dynamic slices); it
+    measures how much of the 19% 'fixedwin' gap is window *computation*
+    vs the irreducible scalar->dynamic-slice dependency.
+
+    Returns ``(rxb (G, pad(RB*CB)) int32, txb (MTc, pad(RB*CB)) int32,
+    allfast, ok)``; ``ok=False`` when the bounds exceed int16 (caller
+    falls back to in-kernel planning)."""
+    f32 = np.float32
+    B = np.asarray(boxes, f32).reshape(-1, 6)
+    Gb = np.asarray(gbox, f32)
+    zlo, zhi = B[:, 0:1], B[:, 1:2]
+    xbl, xbh = B[:, 2:3], B[:, 3:4]
+    ybl, ybh = B[:, 4:5], B[:, 5:6]
+    exlo, exhi = Gb[None, :, 0], Gb[None, :, 1]
+    eylo, eyhi = Gb[None, :, 2], Gb[None, :, 3]
+    ezlo, ezhi = Gb[None, :, 4], Gb[None, :, 5]
+
+    def igap(alo, ahi, blo, bhi):
+        return np.maximum(f32(0), np.maximum(blo - ahi, alo - bhi))
+
+    def ispan(alo, ahi, blo, bhi):
+        return np.maximum(ahi - blo, bhi - alo)
+
+    gx, sx = igap(xbl, xbh, exlo, exhi), ispan(xbl, xbh, exlo, exhi)
+    gz, sz = igap(zlo, zhi, ezlo, ezhi), ispan(zlo, zhi, ezlo, ezhi)
+    if planar:
+        drlo = np.sqrt(gx * gx + gz * gz) * f32(fs)
+        drhi = np.sqrt(sx * sx + sz * sz) * f32(fs)
+    else:
+        gy, sy = igap(ybl, ybh, eylo, eyhi), ispan(ybl, ybh, eylo, eyhi)
+        drlo = np.sqrt(gx * gx + gy * gy + gz * gz) * f32(fs)
+        drhi = np.sqrt(sx * sx + sy * sy + sz * sz) * f32(fs)
+
+    pvs = np.asarray(pvs, f32)
+    pvx, pvy, pvz = pvs[0, :M][None], pvs[1, :M][None], pvs[2, :M][None]
+    nvx, nvy, nvz = pvs[3, :M][None], pvs[4, :M][None], pvs[5, :M][None]
+    t0m = pvs[6, :M][None]
+    if tx_model == "plane":
+        ax0, ax1 = nvx * (xbl - pvx), nvx * (xbh - pvx)
+        az0, az1 = nvz * (zlo - pvz), nvz * (zhi - pvz)
+        dvlo = np.minimum(ax0, ax1) + np.minimum(az0, az1)
+        dvhi = np.maximum(ax0, ax1) + np.maximum(az0, az1)
+        if not planar:
+            ay0, ay1 = nvy * (ybl - pvy), nvy * (ybh - pvy)
+            dvlo = dvlo + np.minimum(ay0, ay1)
+            dvhi = dvhi + np.maximum(ay0, ay1)
+    else:
+        gtx, stx = igap(xbl, xbh, pvx, pvx), ispan(xbl, xbh, pvx, pvx)
+        gtz, stz = igap(zlo, zhi, pvz, pvz), ispan(zlo, zhi, pvz, pvz)
+        if planar:
+            rlo = np.sqrt(gtx * gtx + gtz * gtz)
+            rhi = np.sqrt(stx * stx + stz * stz)
+        else:
+            gty, sty = igap(ybl, ybh, pvy, pvy), ispan(ybl, ybh, pvy, pvy)
+            rlo = np.sqrt(gtx * gtx + gty * gty + gtz * gtz)
+            rhi = np.sqrt(stx * stx + sty * sty + stz * stz)
+        if tx_model == "diverging":
+            dvlo, dvhi = rlo, rhi
+        else:
+            bx0, bx1 = nvx * (xbl - pvx), nvx * (xbh - pvx)
+            bz0, bz1 = nvz * (zlo - pvz), nvz * (zhi - pvz)
+            rdlo = np.minimum(bx0, bx1) + np.minimum(bz0, bz1)
+            rdhi = np.maximum(bx0, bx1) + np.maximum(bz0, bz1)
+            if not planar:
+                by0, by1 = nvy * (ybl - pvy), nvy * (ybh - pvy)
+                rdlo = rdlo + np.minimum(by0, by1)
+                rdhi = rdhi + np.maximum(by0, by1)
+            dvlo = np.where(rdlo >= 0, rlo, -rhi)
+            dvhi = np.where(rdhi <= 0, -rlo, rhi)
+
+    # per-(tile, chunk) transmit unions in samples, t0 folded (the kernel
+    # unpack adds the +-2 f32-skew margin, matching tx_bounds)
+    TB = B.shape[0]
+    MTc = M // MC
+    tvlo = ((dvlo - t0m) * f32(fs)).reshape(TB, MTc, MC).min(2)
+    tvhi = ((dvhi - t0m) * f32(fs)).reshape(TB, MTc, MC).max(2)
+    rlo_i = np.floor(drlo).astype(np.int64).T     # (G, TB)
+    rhi_i = np.ceil(drhi).astype(np.int64).T
+    tlo_i = np.floor(tvlo).astype(np.int64).T     # (MTc, TB)
+    thi_i = np.ceil(tvhi).astype(np.int64).T
+    bmin = min(rlo_i.min(), tlo_i.min())
+    bmax = max(rhi_i.max(), thi_i.max())
+    if not (-32768 <= bmin and bmax <= 32767):
+        return None, None, False, False
+    rxb = _pack_bounds16(rlo_i, rhi_i)
+    txb = _pack_bounds16(tlo_i, thi_i)
+    # allfast proof with the packed ints (mirrors plan_allfast's window)
+    lo_ext, hi_ext = _method_exts(method, pair)
+    lo_t = rlo_i[:, None, :] + tlo_i[None] - 2    # (G, MTc, TB)
+    hi_t = rhi_i[:, None, :] + thi_i[None] + 2
+    lo_i = np.clip(lo_t - lo_ext, 0, T - 2)
+    hi_i = np.clip(hi_t + 1, 0, T - 2)
+    tap_hi = np.minimum(hi_i + hi_ext, T - 1)
+    allfast = bool(int((tap_hi - lo_i).max()) < W - safety)
+    return rxb, txb, allfast, True
+
+
 def _upload_trace(xh, pair: bool):
     """Host trace array -> device, f32 wire format.
 
@@ -1183,11 +1304,11 @@ def _pack_pairs(xr):
 @functools.partial(jax.jit, static_argnames=(
     "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
     "tx_apods", "MC", "NC", "interpret", "pair", "allfast", "method",
-    "vmax"))
+    "vmax", "hostwin"))
 def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
               tx_model, planar, fmod, keep_rx, keep_tx=False, rx_apods,
               tx_apods, MC, NC, interpret=False, pair=False,
-              allfast=False, method="linear", vmax=0.0):
+              allfast=False, method="linear", vmax=0.0, hostwin=False):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once).
 
@@ -1228,7 +1349,8 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
         iq=iq, fmod=fmod, MC=MC, NC=NC, has_f=has_f, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
         has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret,
-        method=method, vmax=vmax, stream_rx=stream_rx, stream_tx=stream_tx)
+        method=method, vmax=vmax, stream_rx=stream_rx, stream_tx=stream_tx,
+        hostwin=hostwin, lut_tiles=hostwin, CB=CB)
 
     if stream_rx or stream_tx:
         # kept-axis chunks OUTER, summed-axis chunks sweep inside each
@@ -2320,6 +2442,21 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     itemsize = 2 if precision == "bf16" else 4
     MC, NC = _choose_chunks(M, Np8, Tp, nch, itemsize=itemsize)
 
+    import os as _os
+    hostwin = _os.environ.get("QUPS_DAS_HOSTWIN", "0") == "1"
+    if hostwin:
+        # VERDICT-r3 static-window experiment: host-planned packed window
+        # bounds replace the in-kernel scalar interval chain (see
+        # plan_hostwin — delays stay in-kernel, unlike the LUT path)
+        rxb_w, txb_w, allfast_w, ok = plan_hostwin(
+            boxes, gbox, pvs, M, MC, fs=fs, tx_model=tx_model,
+            planar=planar, T=Tp, pair=(precision == "bf16pair"),
+            method=method)
+        if ok:
+            boxes, gbox, allfast = rxb_w, txb_w, allfast_w
+        else:
+            hostwin = False
+
     def prep_real(xr):
         """(T, N, M[, F]) -> (F?, M, Np8, Tp) padded."""
         if xr.dtype == jnp.uint16:
@@ -2360,7 +2497,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
             pair=(precision == "bf16pair"), allfast=allfast,
-            method=method, vmax=float(T))
+            method=method, vmax=float(T), hostwin=hostwin)
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:

@@ -617,3 +617,23 @@ def test_multi_frame_dims_fold():
                                    interpret=True))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_hostwin_parity(monkeypatch):
+    """QUPS_DAS_HOSTWIN=1 (host-planned packed window bounds on the
+    geometry kernel — the VERDICT-r3 static-window experiment) matches
+    the default in-kernel window planning exactly."""
+    monkeypatch.setenv("QUPS_DAS_HOSTWIN", "1")
+    for model in ("plane", "virtual"):
+        x, pi, pr, pv, nv, t0 = problem()
+        if model == "virtual":
+            pv = np.stack([np.linspace(-3e-3, 3e-3, 4), np.zeros(4),
+                           np.full(4, 20e-3)], -1).astype(np.float32)
+            nv = np.tile([0, 0, 1.0], (4, 1)).astype(np.float32)
+        ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                             tx_model=model, method="linear")).squeeze()
+        got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0,
+                                   fs=4e6, tx_model=model,
+                                   im_shape=(16, 128, 1),
+                                   interpret=True)).squeeze()
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, model
