@@ -80,14 +80,27 @@ def chd_gif(chd: ChannelData, ax=None, db: bool = True, interval: int = 100):
 
 # -------------------------------------------------------------------- image
 def scan_imagesc(scan: Scan, b, ax=None, dbr: Optional[float] = 60.0,
+                 slice: Optional[str] = None, index: int = 0,
                  **imshow_kw):
     """Display a beamformed image on its scan's axes (``Scan.imagesc``,
     ``src/Scan.m:288``): cartesian scans use the physical extent; polar
     scans are scan-converted first. ``dbr``: dynamic range in dB (None for
-    linear amplitude)."""
+    linear amplitude). For VOLUMES, ``slice``/``index`` pick the plane to
+    display (an axis letter of ``scan.order``, default the first axis of
+    size > 1 beyond the two image axes — ``Scan.m:385-406``)."""
     ax = _get_ax(ax)
     img = np.asarray(b)
     img = img.reshape(tuple(scan.shape) + (-1,))[..., 0]
+    if isinstance(scan, ScanCartesian) and scan.ny > 1:
+        # volumetric: slice along the named (default elevational) axis and
+        # display the remaining plane (``Scan.m:385-406``)
+        order = scan.order
+        sdim = order.index(slice.upper()) if slice else order.index("Y")
+        img = np.take(img, index, axis=sdim)
+        keep = [c for i, c in enumerate(order) if i != sdim]
+        vals = [np.asarray(getattr(scan, c.lower())) for c in keep]
+        sub = ScanCartesian(z=vals[0], x=vals[1], y=[0.0], order="ZXY")
+        return scan_imagesc(sub, img, ax=ax, dbr=dbr, **imshow_kw)
     if isinstance(scan, ScanPolar):
         img2, scan_c = scan.scan_convert(_host_abs(img))
         img2 = np.nan_to_num(np.asarray(img2))
@@ -126,6 +139,61 @@ def scan_plot(scan: Scan, ax=None, **plot_kw):
     ax.set_ylabel("z [mm]")
     ax.invert_yaxis()
     return h
+
+
+def scan_vol3d(scan: Scan, b, axs=None, dbr: Optional[float] = 60.0,
+               mode: str = "mip", **imshow_kw):
+    """3-D volume display (``Scan.vol3d``, ``src/Scan.m:512-562``). The
+    reference stacks translucent image planes (the FileExchange ``vol3d``
+    renderer); the headless-friendly analog here renders the volume as
+    maximum-intensity projections along each scan axis (``mode='mip'``,
+    one subplot per projection) or as an alpha-composited plane stack
+    (``mode='alpha'``, nearest to the reference's look). Returns the list
+    of image handles."""
+    import matplotlib.pyplot as plt
+
+    assert isinstance(scan, ScanCartesian), "vol3d expects a cartesian scan"
+    vol = _host_abs(np.asarray(b).reshape(tuple(scan.shape) + (-1,))[..., 0])
+    if dbr is not None:
+        vol = np.asarray(mod2db(vol + 1e-30))
+        vmax = float(np.nanmax(vol))
+        imshow_kw.setdefault("vmax", vmax)
+        imshow_kw.setdefault("vmin", vmax - dbr)
+        imshow_kw.setdefault("cmap", "gray")
+    order = scan.order
+    axvals = {c: np.asarray(getattr(scan, c.lower())) * 1e3 for c in "XYZ"}
+    if mode == "alpha":
+        # alpha-composited planes along the elevational axis
+        ax = _get_ax(axs[0] if axs else None)
+        ydim = order.index("Y")
+        ny = vol.shape[ydim]
+        lo, hi = imshow_kw.get("vmin", vol.min()), imshow_kw.get(
+            "vmax", vol.max())
+        hs = []
+        for i in range(ny):
+            pl = np.take(vol, i, axis=ydim)
+            a = np.clip((pl - lo) / max(hi - lo, 1e-30), 0, 1)
+            h = ax.imshow(pl, alpha=0.9 * a / ny * 4, aspect="equal",
+                          **imshow_kw)
+            hs.append(h)
+        return hs
+    # MIP triptych: project out each axis in turn
+    if axs is None:
+        _, axs = plt.subplots(1, 3, figsize=(12, 4))
+    hs = []
+    for k, proj in enumerate("YXZ"):  # z-x (en face), z-y, x-y planes
+        pdim = order.index(proj)
+        mip = vol.max(axis=pdim)
+        keep = [c for i, c in enumerate(order) if i != pdim]
+        ext = [axvals[keep[1]][0], axvals[keep[1]][-1],
+               axvals[keep[0]][-1], axvals[keep[0]][0]]
+        h = axs[k].imshow(mip, extent=ext, origin="upper", aspect="equal",
+                          **imshow_kw)
+        axs[k].set_xlabel(f"{keep[1].lower()} [mm]")
+        axs[k].set_ylabel(f"{keep[0].lower()} [mm]")
+        axs[k].set_title(f"MIP over {proj.lower()}")
+        hs.append(h)
+    return hs
 
 
 def image_gif(scan: Scan, frames, ax=None, dbr: float = 60.0,

@@ -1477,6 +1477,14 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
     covering the reference's four projection methods
     (``UltrasoundSystem.m:2649``, ``Transducer.elem2grid``,
     ``src/Transducer.m:578``, ``kWaveArray`` ``src/Transducer.m:734``).
+    'karray-direct'/'karray-depend' are accepted as aliases of 'karray':
+    the reference pair differs only in when the projection weights meet
+    the transmit signals — one (J', M) GEMM up front vs per-transmit
+    application to bound memory (``UltrasoundSystem.m:2810-2837``; same
+    weights, same results). This implementation computes the weights once
+    AND applies them inside the per-transmit simulation loop, so it is
+    simultaneously the direct math and the depend memory profile — the
+    distinction has nothing left to select.
 
     ``record='field'`` additionally snapshots the FULL pressure field every
     ``field_stride`` sim steps (the reference's ``'field'`` sensor mode,
@@ -1488,6 +1496,8 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
     (``UltrasoundSystem.m:2555``)."""
     from .sim.fdtd import kspace_sim_2d
 
+    if el_proj in ("karray-direct", "karray-depend"):
+        el_proj = "karray"  # aliases — see docstring
     if cgrd is None:
         b = us.xdc.bounds()
         lam = us.lmbda
@@ -1570,7 +1580,9 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
                 sub = xdc.bary_centers((K, 1))  # (3, E, K)
                 pts = sub[:, n, :]
             else:
-                raise ValueError(f"unknown el_proj {el_proj!r}")
+                raise ValueError(
+                    f"unknown el_proj {el_proj!r} (one of 'nearest', "
+                    "'linear', 'karray')")
             fc = _cells_of(pts)  # (K, nd) fractional
             K = fc.shape[0]
             if el_proj == "nearest":

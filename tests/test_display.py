@@ -59,3 +59,37 @@ def test_image_gif(tmp_path):
     anim = scan.gif(frames.reshape(16, 16, 1, 4))
     anim.save(tmp_path / "img.gif", writer="pillow", dpi=40)
     assert (tmp_path / "img.gif").stat().st_size > 0
+
+
+def test_scan_imagesc_volume_slice():
+    """3-D volumes display a named slice plane (Scan.imagesc slice/index,
+    src/Scan.m:385-406)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import qups_tpu as q
+    from qups_tpu.display import scan_imagesc
+    scan = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 8),
+                           y=np.linspace(-2e-3, 2e-3, 4),
+                           z=np.linspace(10e-3, 20e-3, 6))
+    vol = np.random.default_rng(0).random(scan.shape)
+    h = scan_imagesc(scan, vol, index=1)          # default: slice Y
+    assert h.get_array().shape == (6, 8)
+    h = scan_imagesc(scan, vol, slice="x", index=3)
+    assert h.get_array().shape == (6, 4)
+
+
+def test_scan_vol3d():
+    """vol3d analog (Scan.vol3d, src/Scan.m:512): MIP triptych and
+    alpha-composited plane stack both render."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import qups_tpu as q
+    from qups_tpu.display import scan_vol3d
+    scan = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 8),
+                           y=np.linspace(-2e-3, 2e-3, 4),
+                           z=np.linspace(10e-3, 20e-3, 6))
+    vol = np.random.default_rng(1).random(scan.shape)
+    hs = scan_vol3d(scan, vol)
+    assert len(hs) == 3
+    hs = scan_vol3d(scan, vol, mode="alpha")
+    assert len(hs) == 4
