@@ -60,9 +60,13 @@ else:
                         interpret=interp, precision=prec)
         return float(jnp.sum(cohfac(brx[..., 0], axis=1)))
 
+print(json.dumps({"phase": "start", "mode": mode, "kernel": kernel,
+                  "device": str(dev)}), flush=True)
 t0c = time.time()
 chk = run()
 compile_s = time.time() - t0c
+print(json.dumps({"phase": "compiled+first-run", "s": compile_s}),
+      flush=True)
 times = []
 for _ in range(2):
     t1 = time.time()
