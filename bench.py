@@ -149,11 +149,25 @@ def main():
 
     dt, compile_s, chk = bench_one(method)
     sums_per_s = sums / dt
+    up_gb = x.nbytes / 1e9
     detail = {
         "config": cfg, "size": size, "latency_s": dt, "method": method,
         "compile_s": compile_s, "upload_s": upload_s,
+        "upload_GBps": up_gb / max(upload_s, 1e-9),
         "device": str(dev), "check": chk, "precision": prec,
     }
+    if upload_s > 60:
+        # the r3 run recorded upload_s=565 s (vs 23.5 s in r2) for the
+        # same 1 GB trace set — a tunnel-transport mode, not a kernel
+        # property (uploads ride the remote-device tunnel here; on a
+        # directly-attached host this is a PCIe copy). When uploads
+        # dominate wall-clock, the host-resident streaming path
+        # (`UltrasoundSystem.DAS(bsize=...)`) overlaps per-block uploads
+        # with compute and is the documented mitigation.
+        detail["upload_anomaly"] = (
+            f"upload {upload_s:.0f}s for {up_gb:.1f} GB — slow tunnel "
+            "transport mode (r2: 23.5s, r3: 565s for the same bytes); "
+            "see NOTES.md, use DAS(bsize=) streaming on real hosts")
     if method == "cubic" and not os.environ.get("QUPS_BENCH_METHOD"):
         dtl, compl, chkl = bench_one("linear")
         detail["linear"] = {"latency_s": dtl, "sums_per_s": sums / dtl,
