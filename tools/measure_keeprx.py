@@ -42,6 +42,11 @@ dev = jax.devices()[0]
 interp = dev.platform == "cpu"
 prec = "bf16pair" if not interp else "f32"
 
+# device-resident ONCE: a numpy trace array would re-upload 1 GB per rep
+# through the tunnel (measured 126 s/GB in degraded transport mode) and
+# swamp the kernel time entirely
+x = jnp.asarray(x)
+
 if kernel == "lut":
     c0 = 1540.0
     tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
