@@ -1312,15 +1312,16 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once).
 
-    keep_rx rides a STREAMING grid ([F,] NCc, CB, MTc, RB) instead: the
+    keep_rx can ride a STREAMING grid ([F,] NCc, CB, MTc, RB) instead:
     transmit chunks sweep inside each pixel-column stripe and the kept
     (NC, 8, 128) bands accumulate in a VMEM scratch column, leaving the
     chip exactly once (on the final transmit chunk, via an out index map
-    that parks earlier steps on a dummy row block). Trade: the trace set
-    re-streams once per column stripe (CB x reads, ~8 GB at the full
-    config — milliseconds) against the aliased-HBM accumulator's MTc
-    read+write image sweeps (~128 GB, the measured 1.6x keep_rx
-    overhead). Disable with QUPS_DAS_STREAMRX=0 for A/B runs."""
+    that parks earlier steps on a dummy row block). MEASURED (r4 A/B,
+    full config, identical checksums): the ALIASED accumulator wins —
+    0.904 s/frame vs streaming's 1.140 s — because the data-dependent
+    out index map costs per-step DMA that outweighs the avoided aliased
+    image sweeps. Compiled default: aliased; interpret default:
+    streaming (aliases are compiled-only). QUPS_DAS_STREAMRX overrides."""
     import os as _os
     RB = pz.shape[0] // 8
     CB = pz.shape[1] // 128
@@ -1337,7 +1338,17 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     MTc = M // MC
     goff = 1 if has_f else 0
 
-    stream_env = _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1"
+    # Streaming vs aliased kept-axis accumulation — MEASURED (r4, full
+    # 1024^2 x 256x256 keep_rx+cohfac, solo, device-resident traces,
+    # identical checksums): aliased 0.904 s/frame vs streaming 1.140 s
+    # (1.26x) — the dummy-row-parked out index map costs more per grid
+    # step than the aliased accumulator's HBM sweeps save. Default is
+    # therefore ALIASED on compiled runs; interpret mode defaults to
+    # streaming because input_output_aliases accumulation is
+    # compiled-only (interpret does not replay aliases across steps).
+    # QUPS_DAS_STREAMRX=0|1 overrides either way.
+    stream_env = _os.environ.get("QUPS_DAS_STREAMRX",
+                                 "1" if interpret else "0") == "1"
     stream_rx = (keep_rx and not keep_tx and stream_env
                  and nch * NC * pz.shape[0] * 128 * 4 <= 64 * 2**20)
     stream_tx = (keep_tx and not keep_rx and stream_env
@@ -1564,7 +1575,10 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
     MTc = M // MC
     goff = 1 if has_f else 0
 
-    stream_env = _os.environ.get("QUPS_DAS_STREAMRX", "1") == "1"
+    # aliased by default on compiled runs, streaming under interpret —
+    # measured decision, see _das_call
+    stream_env = _os.environ.get("QUPS_DAS_STREAMRX",
+                                 "1" if interpret else "0") == "1"
     stream_rx = (keep_rx and not keep_tx and stream_env
                  and nch * NC * taur.shape[1] * 128 * 4 <= 64 * 2**20)
     stream_tx = (keep_tx and not keep_rx and stream_env
