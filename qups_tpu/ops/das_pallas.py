@@ -896,6 +896,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
         return ref[(0,) + idx] if has_f else (ref[idx] if idx else ref[:])
 
     def oset(ref, val, *idx):
+        val = val.astype(ref.dtype)  # bf16 kept-axis accumulator (acc16)
         if has_f:
             ref[(0,) + idx] = val
         elif idx:
@@ -917,11 +918,13 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 for ch in range(nch):
                     band = accs64[ch].reshape(8, 8, 128)
                     sl = slice(g * 8, g * 8 + 8)
+                    odt = out_refs[ch].dtype
                     if has_f:
-                        out_refs[ch][0, c, sl] = \
-                            acc_refs[ch][0, c, sl] + band
+                        out_refs[ch][0, c, sl] = (
+                            acc_refs[ch][0, c, sl] + band).astype(odt)
                     else:
-                        out_refs[ch][c, sl] = acc_refs[ch][c, sl] + band
+                        out_refs[ch][c, sl] = (
+                            acc_refs[ch][c, sl] + band).astype(odt)
     elif keep_rx and stream_rx:
         # streaming keep_rx: the (NC, 8, 128) band for this (tile, rx
         # chunk) accumulates across the MTc transmit chunks in a VMEM
@@ -961,10 +964,13 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 # one (8, 8, 128) slice write per group, not 8 row writes
                 band = accs64[ch].reshape(8, 8, 128)
                 sl = slice(g * 8, g * 8 + 8)
+                odt = out_refs[ch].dtype
                 if has_f:
-                    out_refs[ch][0, sl] = acc_refs[ch][0, sl] + band
+                    out_refs[ch][0, sl] = (
+                        acc_refs[ch][0, sl] + band).astype(odt)
                 else:
-                    out_refs[ch][sl] = acc_refs[ch][sl] + band
+                    out_refs[ch][sl] = (
+                        acc_refs[ch][sl] + band).astype(odt)
     elif keep_tx and stream_tx:
         # streaming keep_tx: per-transmit tiles accumulate across the
         # NCc receive chunks in VMEM scratch (MC, I1p, 128); written out
@@ -1304,11 +1310,12 @@ def _pack_pairs(xr):
 @functools.partial(jax.jit, static_argnames=(
     "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
     "tx_apods", "MC", "NC", "interpret", "pair", "allfast", "method",
-    "vmax", "hostwin"))
+    "vmax", "hostwin", "acc16"))
 def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
               tx_model, planar, fmod, keep_rx, keep_tx=False, rx_apods,
               tx_apods, MC, NC, interpret=False, pair=False,
-              allfast=False, method="linear", vmax=0.0, hostwin=False):
+              allfast=False, method="linear", vmax=0.0, hostwin=False,
+              acc16=False):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
     CB) with image tiles innermost (trace blocks stream once).
 
@@ -1354,6 +1361,9 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
     stream_tx = (keep_tx and not keep_rx and stream_env
                  and nch * MC * pz.shape[0] * 128 * 4 <= 64 * 2**20)
     scratch_bytes = nch * (NC if stream_rx else MC) * pz.shape[0] * 128 * 4
+    # kept-axis output/accumulator dtype: bf16 halves the aliased
+    # accumulator's HBM sweep bytes (QUPS_DAS_ACC16 experiment)
+    kdt = jnp.bfloat16 if acc16 else jnp.float32
 
     kern = functools.partial(
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
@@ -1410,14 +1420,14 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                 lambda f, ncc, mtc, rb, cb, *_: (f, mtc, ncc, rb, cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct(
-                (F, M, N, pz.shape[0], pz.shape[1]), jnp.float32)
+                (F, M, N, pz.shape[0], pz.shape[1]), kdt)
         else:
             ospec = pl.BlockSpec(
                 (MC, NC, 8, 128),
                 lambda ncc, mtc, rb, cb, *_: (mtc, ncc, rb, cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct(
-                (M, N, pz.shape[0], pz.shape[1]), jnp.float32)
+                (M, N, pz.shape[0], pz.shape[1]), kdt)
     elif keep_rx and stream_rx:
         # out rows gain one dummy 8-row block (index RB): non-final
         # transmit-chunk steps park there so the real rows are written
@@ -1429,7 +1439,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                     f, ncc, jnp.where(mtc == MTc - 1, rb, RB), cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct(
-                (F, N, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
+                (F, N, pz.shape[0] + 8, pz.shape[1]), kdt)
         else:
             ospec = pl.BlockSpec(
                 (NC, 8, 128),
@@ -1437,7 +1447,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                     ncc, jnp.where(mtc == MTc - 1, rb, RB), cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct(
-                (N, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
+                (N, pz.shape[0] + 8, pz.shape[1]), kdt)
     elif keep_rx:
         if has_f:
             ospec = pl.BlockSpec(
@@ -1445,14 +1455,14 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                 lambda f, ncc, mtc, rb, cb, *_: (f, ncc, rb, cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct((F, N, pz.shape[0], pz.shape[1]),
-                                          jnp.float32)
+                                          kdt)
         else:
             ospec = pl.BlockSpec(
                 (NC, 8, 128),
                 lambda ncc, mtc, rb, cb, *_: (ncc, rb, cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct((N, pz.shape[0], pz.shape[1]),
-                                          jnp.float32)
+                                          kdt)
     elif keep_tx and stream_tx:
         # dummy row block (index RB) parks non-final rx-chunk steps
         if has_f:
@@ -1462,7 +1472,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                     f, mtc, jnp.where(ncc == NCc - 1, rb, RB), cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct(
-                (F, M, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
+                (F, M, pz.shape[0] + 8, pz.shape[1]), kdt)
         else:
             ospec = pl.BlockSpec(
                 (MC, 8, 128),
@@ -1470,7 +1480,7 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                     mtc, jnp.where(ncc == NCc - 1, rb, RB), cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct(
-                (M, pz.shape[0] + 8, pz.shape[1]), jnp.float32)
+                (M, pz.shape[0] + 8, pz.shape[1]), kdt)
     elif keep_tx:
         if has_f:
             ospec = pl.BlockSpec(
@@ -1478,14 +1488,14 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
                 lambda f, ncc, mtc, rb, cb, *_: (f, mtc, rb, cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct((F, M, pz.shape[0], pz.shape[1]),
-                                          jnp.float32)
+                                          kdt)
         else:
             ospec = pl.BlockSpec(
                 (MC, 8, 128),
                 lambda ncc, mtc, rb, cb, *_: (mtc, rb, cb),
                 memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct((M, pz.shape[0], pz.shape[1]),
-                                          jnp.float32)
+                                          kdt)
     else:
         if has_f:
             ospec = pl.BlockSpec(
@@ -2458,6 +2468,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
 
     import os as _os
     hostwin = _os.environ.get("QUPS_DAS_HOSTWIN", "0") == "1"
+    # bf16 kept-axis accumulator (halves the aliased accumulator's HBM
+    # sweeps; ~3 decimal digits — meant for coherence pipelines that
+    # normalize). Experiment flag; outputs convert back to f32.
+    acc16 = _os.environ.get("QUPS_DAS_ACC16", "0") == "1" \
+        and (keep_rx or keep_tx)
     if hostwin:
         # VERDICT-r3 static-window experiment: host-planned packed window
         # bounds replace the in-kernel scalar interval chain (see
@@ -2501,7 +2516,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         keep_n = ((M, Np8) if keep_both else
                   ((Np8,) if keep_rx else ((M,) if keep_tx else ())))
         oshape = ((Fn,) if Fn else ()) + keep_n + (I1p, I2p)
-        accs = tuple(jnp.zeros(oshape, jnp.float32) for _ in xs)
+        kdt = jnp.bfloat16 if acc16 else jnp.float32
+        accs = tuple(jnp.zeros(oshape, kdt) for _ in xs)
         outs = _das_call(
             jnp.asarray(boxes), jnp.asarray(gbox), jnp.asarray(pzs),
             jnp.asarray(pxs), jnp.asarray(pys),
@@ -2511,7 +2527,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
             pair=(precision == "bf16pair"), allfast=allfast,
-            method=method, vmax=float(T), hostwin=hostwin)
+            method=method, vmax=float(T), hostwin=hostwin, acc16=acc16)
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:
@@ -2531,7 +2547,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                 o = o.reshape((I, 1, M) + o.shape[3:])
             else:
                 o = o[:I1, :I2].reshape((I, 1, 1) + o.shape[2:])
-            res.append(o)
+            res.append(o.astype(jnp.float32) if acc16 else o)
         return res
 
     def pack_out(res):

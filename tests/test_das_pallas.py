@@ -637,3 +637,21 @@ def test_hostwin_parity(monkeypatch):
                                    im_shape=(16, 128, 1),
                                    interpret=True)).squeeze()
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, model
+
+
+def test_acc16_keep_rx(monkeypatch):
+    """QUPS_DAS_ACC16=1: bf16 kept-axis accumulator matches f32 within
+    bf16 tolerance (the aliased-sweep-halving experiment; compiled runs
+    accumulate through the alias, so interpret exercises the streaming
+    arm's bf16 out writes)."""
+    monkeypatch.setenv("QUPS_DAS_ACC16", "1")
+    from qups_tpu.ops.das import das
+    x, pi, pr, pv, nv, t0 = problem()
+    ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                         tx_model="plane", method="linear", keep_rx=True))
+    got = np.asarray(das_tiled(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
+                               tx_model="plane", method="linear",
+                               im_shape=(16, 128, 1), keep_rx=True,
+                               interpret=True))
+    assert got.dtype == np.float32 and got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2  # bf16
