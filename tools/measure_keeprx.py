@@ -1,6 +1,6 @@
 """Full-config keep_rx (coherence) measurement — ONE mode per process.
 
-Usage:  python tools/measure_keeprx.py [stream|alias] [geom|lut]
+Usage:  python tools/measure_keeprx.py [stream|alias|acc16] [geom|lut]
 
 Runs the 1024^2 x 256x256 keep_rx DAS (bf16pair, linear) + cohfac
 reduction, warm-timed, and prints one JSON line. 'alias' sets
@@ -16,6 +16,11 @@ mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
 kernel = sys.argv[2] if len(sys.argv) > 2 else "geom"
 if mode == "alias":
     os.environ["QUPS_DAS_STREAMRX"] = "0"
+elif mode == "acc16":  # aliased + bf16 kept-axis accumulator
+    os.environ["QUPS_DAS_STREAMRX"] = "0"
+    os.environ["QUPS_DAS_ACC16"] = "1"
+elif mode == "stream":
+    os.environ["QUPS_DAS_STREAMRX"] = "1"
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
