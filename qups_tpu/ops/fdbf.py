@@ -33,6 +33,19 @@ def spectral_level(x):
         + 1e-30)
 
 
+@jax.jit
+def geom_delays(pi, pos, cinv):
+    """Device-side geometric delay table ``|pi - pos| * cinv`` — (I, E)
+    from pixels (I, 3) and element positions (E, 3).
+
+    Host-side f64 construction of these tables is a trap at imaging scale:
+    (1e6, 256) f64 is 2 GB of host compute + upload PER TABLE per call
+    (measured 207 s/frame bfAdjoint on a degraded tunnel vs 3.6 s with
+    device-built tables). The reference builds them on-GPU for the same
+    reason (``UltrasoundSystem.m:3941-3952``)."""
+    return jnp.linalg.norm(pi[:, None, :] - pos[None], axis=-1) * cinv
+
+
 @partial(jax.jit, static_argnames=("fs", "fmod", "keep_rx", "keep_tx"))
 def bf_adjoint(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off, fbins, *,
                fs: float, fmod: float = 0.0, keep_rx: bool = False,

@@ -1080,12 +1080,16 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
         assert img.shape == (8, 8)
         assert np.isfinite(img).all() and img.max() > 0
     """
-    from .ops.fdbf import bf_adjoint
+    from .ops.fdbf import bf_adjoint, geom_delays
 
     c0v = float(c0 if c0 is not None else self_c0(us))
-    pi = us._pixels()
-    tau_rx = np.linalg.norm(pi[:, None, :] - us.rx.positions().T[None], axis=-1) / c0v
-    tau_tx = np.linalg.norm(pi[:, None, :] - us.tx.positions().T[None], axis=-1) / c0v
+    # delay tables built ON DEVICE: only the (I, 3) pixel array is
+    # uploaded; host-f64 (I, E) tables cost GBs of upload per call
+    pi32 = np.ascontiguousarray(us._pixels(), np.float32)
+    tau_rx = geom_delays(pi32, np.asarray(us.rx.positions().T, np.float32),
+                         np.float32(1.0 / c0v))
+    tau_tx = geom_delays(pi32, np.asarray(us.tx.positions().T, np.float32),
+                         np.float32(1.0 / c0v))
     del_tx = us.seq.delays(us.tx)          # (M, V)
     apod_tx = us.seq.apodization(us.tx)    # (M, V)
     t0_off = np.broadcast_to(us.seq.t0_offset(), (us.seq.num_pulse,))

@@ -1,11 +1,15 @@
 """Full-config keep_rx (coherence) measurement — ONE mode per process.
 
-Usage:  python tools/measure_keeprx.py [stream|alias|acc16] [geom|lut]
+Usage:  python tools/measure_keeprx.py [stream|alias|acc16|mesh] [geom|lut]
 
 Runs the 1024^2 x 256x256 keep_rx DAS (bf16pair, linear) + cohfac
 reduction, warm-timed, and prints one JSON line. 'alias' sets
 QUPS_DAS_STREAMRX=0 (the pre-streaming aliased-HBM accumulator) for the
-A/B; run each mode in its OWN process (solo timings only — NOTES.md).
+A/B; 'mesh' runs the IN-MESH reduction (das_sharded_pallas_plan with
+post='cohfac' on a 1-device mesh — the single-chip degenerate of the
+multi-chip coherence path, in-kernel rx-band reduction + psum
+composition included). Run each mode in its OWN process (solo timings
+only — NOTES.md).
 """
 import json
 import os
@@ -52,7 +56,22 @@ prec = "bf16pair" if not interp else "f32"
 # swamp the kernel time entirely
 x = jnp.asarray(x)
 
-if kernel == "lut":
+if mode == "mesh":
+    if kernel != "geom":
+        raise SystemExit("mesh mode measures the geometry kernel "
+                         "(das_sharded_pallas_plan post='cohfac')")
+    from qups_tpu.parallel import make_mesh
+    from qups_tpu.parallel.mesh import das_sharded_pallas_plan
+
+    mesh = make_mesh([dev], axes=("rx", "tx"))
+    apply = das_sharded_pallas_plan(
+        mesh, pi, pr, pv, nv, t0, 1 / 1540.0, fs=31.25e6, T=T, N=N, M=M,
+        tx_model="plane", im_shape=(n, n, 1), interpret=interp,
+        precision=prec, post="cohfac")
+
+    def run():
+        return float(jnp.sum(apply(x)))
+elif kernel == "lut":
     c0 = 1540.0
     tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
               / c0).astype(np.float32)
