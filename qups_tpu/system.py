@@ -1776,21 +1776,29 @@ def _calc_hp(us, scan: Optional[Scan] = None, seq: Optional[Sequence] = None,
 
     P = scan.positions().reshape(3, -1)  # (3, I)
     pe = us.tx.positions()               # (3, E)
-    r = np.linalg.norm(P.T[:, None, :] - pe.T[None, :, :], axis=-1)  # (I, E)
     fire = -seq.delays(us.tx)            # (E, M)
     apd = seq.apodization(us.tx)         # (E, M)
     M = seq.num_pulse
 
-    tmin = r.min() / c0 + fire.min() + wv.t0
-    tmax = r.max() / c0 + fire.max() + wv.tend
+    # time bounds from box-to-box interval arithmetic — O(I + E), not the
+    # O(I*E) host f64 distance matrix (the bfAdjoint/greens-planner trap:
+    # GBs of host compute + upload at imaging-grid scale)
+    rmax = float(np.linalg.norm(np.maximum(
+        np.abs(P.max(1) - pe.min(1)), np.abs(pe.max(1) - P.min(1)))))
+    tmin = 0.0 / c0 + fire.min() + wv.t0
+    tmax = rmax / c0 + fire.max() + wv.tend
     n0 = math.floor(tmin * fs)
     T = math.ceil(tmax * fs) - n0 + 1
     s0 = n0 / fs
     G = T + 2 * K
-    I = r.shape[0]
+    I = P.shape[1]
 
-    rj = jnp.asarray(r, jnp.float32)
-    w_r = jnp.asarray(1.0 / np.maximum(r, R0), jnp.float32)  # (I, E)
+    from .ops.fdbf import geom_delays
+    rj = geom_delays(np.ascontiguousarray(P.T, np.float32),
+                     np.ascontiguousarray(pe.T, np.float32),
+                     np.float32(1.0))  # (I, E) distances, on device
+    w_r = jax.jit(lambda r, r0: 1.0 / jnp.maximum(r, r0))(
+        rj, np.float32(R0))
     col = jnp.arange(I)[:, None]
 
     from .ops.conv import convd
