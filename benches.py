@@ -385,18 +385,28 @@ def bench_refocus():
                          apd=hadamard(M), del_=np.zeros((M, M)))
     chd = q.ChannelData(data=jnp.asarray(x), fs=31.25e6, t0=0.0)
 
-    def run():
-        dec = us.refocus(chd, seq_enc, gamma=0.0)
+    from qups_tpu.system import _REFOCUS_OP_CACHE
+
+    def run(c):
+        dec = us.refocus(c, seq_enc, gamma=0.0)
         return float(jnp.sum(jnp.abs(dec.data)))
     try:
-        run()  # compile
+        run(chd)  # compile
+        _REFOCUS_OP_CACHE.clear()
         t1 = time.time()
-        run()
+        run(chd)  # full decode: operator build + apply
         dt = time.time() - t1
+        # repeated frame, same sequence: the cached decode operator makes
+        # this FFT + transmit-GEMM only
+        chd2 = chd.replace(data=chd.data * 0.5)
+        t1 = time.time()
+        run(chd2)
+        dt2 = time.time() - t1
     except Exception as e:  # pragma: no cover
         _emit({"bench": "refocus", "error": str(e)})
         return
     _emit({"bench": "refocus", "metric": "s/decode", "value": dt,
+           "s_per_decode_cached_op": dt2,
            "T": T, "N": N, "M": M,
            "resamples_per_s": T * N * M * M / dt})
 

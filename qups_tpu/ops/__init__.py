@@ -7,7 +7,8 @@ from .greens_freq import greens_freq
 from .greens_pallas import greens_tiled
 from .das_pallas import das_tiled, das_lut_tiled, das_lut_plan, Fused
 from .simus import simus_fsa
-from .fdbf import bf_adjoint, refocus, stolt_migration, focus_tx_freq
+from .fdbf import (bf_adjoint, refocus, refocus_op, refocus_apply,
+                   stolt_migration, focus_tx_freq, geom_delays)
 from .eikonal import msfm, msfm_multi
 from .rays import (wbilerp, wbilerp_dense, xiaolinwu_line, ray_paths,
                    ray_paths_device, global_average_c)

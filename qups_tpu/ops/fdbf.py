@@ -174,23 +174,16 @@ def focus_tx_freq(x, t2, w, *, fs: float):
     return jnp.fft.irfft(Y, n=T, axis=0)
 
 
-@partial(jax.jit, static_argnames=("fs", "method", "gamma"))
-def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
-            method: str = "tikhonov"):
-    """REFoCUS: decode synthesized-transmit data back to FSA
-    (``UltrasoundSystem.refocus``, ``UltrasoundSystem.m:3696-3767``).
-
-    Per frequency f: encoding ``H[v, m] = apd[m, v] exp(+2j pi f tau[m, v])``
-    (matching ``focusTx``: pulse v sums ``x_m(t + tau[m, v])``);
-    inverse by tikhonov ``(H'H + gamma w I) \\ H'``, adjoint, or pinv; then
-    the per-frequency transmit-dim matrix multiply and inverse FFT.
-
-    Args: x (T, N, V); tau (M, V) element firing delays; apd (M, V).
-    Returns: (T, N, M) FSA data (t0 handling is the caller's: the output time
-    axis matches the input's).
-    """
-    x = jnp.asarray(x)
-    T, N, V = x.shape[:3]
+@partial(jax.jit, static_argnames=("T", "fs", "method", "gamma"))
+def refocus_op(tau, apd, *, T: int, fs: float,
+               gamma: Optional[float] = None, method: str = "tikhonov"):
+    """The data-INDEPENDENT REFoCUS decode operator ``Hi (K, M, V)``:
+    per frequency, the (whitened) inverse of the encoding matrix
+    ``H[v, m] = apd[m, v] exp(+2j pi f tau[m, v])``
+    (``UltrasoundSystem.m:3696-3719``). The batched spectral norm + solve
+    is the expensive half of a decode (~5 s of the 5.8 s headline
+    decode), so it is split out for reuse across frames — the analog of
+    the reference hot-pathing ``Hi`` once per sequence."""
     M = tau.shape[0]
     if gamma is None:
         gamma = 10.0 * (M / 10.0) ** 2
@@ -212,7 +205,18 @@ def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
         Hi = jnp.linalg.pinv(H) * w[:, None, None]
     else:
         raise ValueError(method)
-    Hi = jnp.nan_to_num(Hi)
+    return jnp.nan_to_num(Hi)
+
+
+@partial(jax.jit, static_argnames=("fs",))
+def refocus_apply(x, Hi, t0, *, fs: float):
+    """Apply a :func:`refocus_op` operator to (T, N, V) data: FFT,
+    per-frequency transmit-dim GEMM, inverse FFT
+    (``UltrasoundSystem.m:3736-3767``)."""
+    x = jnp.asarray(x)
+    T = x.shape[0]
+    V = Hi.shape[2]
+    f = (jnp.fft.fftfreq(T) * fs).astype(jnp.float32)
     t0 = jnp.asarray(t0, jnp.float32).reshape(-1)
     t0v = jnp.broadcast_to(t0, (V,))
     X = jnp.fft.fft(x, axis=0)
@@ -222,6 +226,27 @@ def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
     t0min = jnp.min(t0)
     Y = Y * cexp(+2 * np.pi * f[:, None, None] * t0min)
     return jnp.fft.ifft(Y, axis=0), t0min
+
+
+def refocus(x, tau, apd, t0, *, fs: float, gamma: Optional[float] = None,
+            method: str = "tikhonov"):
+    """REFoCUS: decode synthesized-transmit data back to FSA
+    (``UltrasoundSystem.refocus``, ``UltrasoundSystem.m:3696-3767``).
+
+    Per frequency f: encoding ``H[v, m] = apd[m, v] exp(+2j pi f tau[m, v])``
+    (matching ``focusTx``: pulse v sums ``x_m(t + tau[m, v])``);
+    inverse by tikhonov ``(H'H + gamma w I) \\ H'``, adjoint, or pinv
+    (:func:`refocus_op`); then the per-frequency transmit-dim matrix
+    multiply and inverse FFT (:func:`refocus_apply`).
+
+    Args: x (T, N, V); tau (M, V) element firing delays; apd (M, V).
+    Returns: (T, N, M) FSA data (t0 handling is the caller's: the output time
+    axis matches the input's).
+    """
+    T = np.shape(x)[0]
+    Hi = refocus_op(np.asarray(tau, np.float32), np.asarray(apd, np.float32),
+                    T=int(T), fs=fs, gamma=gamma, method=method)
+    return refocus_apply(x, Hi, t0, fs=fs)
 
 
 @partial(jax.jit, static_argnames=("fs", "fmod", "keep_tx", "method",

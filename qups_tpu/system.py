@@ -1147,16 +1147,32 @@ def _refocus(us, chd, seq: Optional[Sequence] = None, gamma: Optional[float] = N
         assert dec.data.shape[2] == 4
         assert np.isfinite(np.abs(np.asarray(dec.data))).all()
     """
-    from .ops.fdbf import refocus as _rf
+    from .ops.fdbf import refocus_apply, refocus_op
 
     seq = seq or us.seq
-    tau = seq.delays(us.tx)         # (M, V)
-    apd = seq.apodization(us.tx)    # (M, V)
+    tau = np.asarray(seq.delays(us.tx), np.float32)       # (M, V)
+    apd = np.asarray(seq.apodization(us.tx), np.float32)  # (M, V)
     t0 = chd.t0_host
     t0v = np.broadcast_to(t0, (chd.M,)) if t0.size == 1 else t0
-    y, _ = _rf(chd.data, tau, apd, t0v, fs=float(chd.fs),
-               gamma=gamma, method=method)
+    # the decode operator is data-independent (~5 s of the 5.8 s headline
+    # decode is the batched norm+solve) — cache it per sequence so
+    # repeated frames pay only the FFT + transmit GEMM
+    import hashlib
+    key = (hashlib.sha1(tau.tobytes() + apd.tobytes()).hexdigest(),
+           int(chd.T), float(chd.fs),
+           None if gamma is None else float(gamma), method)
+    Hi = _REFOCUS_OP_CACHE.get(key)
+    if Hi is None:
+        Hi = refocus_op(tau, apd, T=int(chd.T), fs=float(chd.fs),
+                        gamma=gamma, method=method)
+        if len(_REFOCUS_OP_CACHE) >= 4:  # FIFO — operators are ~GBs
+            _REFOCUS_OP_CACHE.pop(next(iter(_REFOCUS_OP_CACHE)))
+        _REFOCUS_OP_CACHE[key] = Hi
+    y, _ = refocus_apply(chd.data, Hi, t0v, fs=float(chd.fs))
     return chd.replace(data=y, t0=float(t0v.min()))
+
+
+_REFOCUS_OP_CACHE: dict = {}
 
 
 def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
