@@ -93,14 +93,18 @@ def scan_imagesc(scan: Scan, b, ax=None, dbr: Optional[float] = 60.0,
     img = img.reshape(tuple(scan.shape) + (-1,))[..., 0]
     if isinstance(scan, ScanCartesian) and scan.ny > 1:
         # volumetric: slice along the named (default elevational) axis and
-        # display the remaining plane (``Scan.m:385-406``)
+        # display the remaining plane (``Scan.m:385-406``) with each kept
+        # axis labeled by its own letter (slicing X leaves a z-y plane)
         order = scan.order
         sdim = order.index(slice.upper()) if slice else order.index("Y")
         img = np.take(img, index, axis=sdim)
         keep = [c for i, c in enumerate(order) if i != sdim]
-        vals = [np.asarray(getattr(scan, c.lower())) for c in keep]
-        sub = ScanCartesian(z=vals[0], x=vals[1], y=[0.0], order="ZXY")
-        return scan_imagesc(sub, img, ax=ax, dbr=dbr, **imshow_kw)
+        axv = {c: np.asarray(getattr(scan, c.lower())) * 1e3 for c in keep}
+        ext = [axv[keep[1]][0], axv[keep[1]][-1],
+               axv[keep[0]][-1], axv[keep[0]][0]]
+        return _imshow_db(ax, _host_abs(img), ext, dbr,
+                          keep[1].lower() + " [mm]",
+                          keep[0].lower() + " [mm]", **imshow_kw)
     if isinstance(scan, ScanPolar):
         img2, scan_c = scan.scan_convert(_host_abs(img))
         img2 = np.nan_to_num(np.asarray(img2))
@@ -115,6 +119,11 @@ def scan_imagesc(scan: Scan, b, ax=None, dbr: Optional[float] = 60.0,
                scan.z[-1] * 1e3, scan.z[0] * 1e3]
     else:
         raise TypeError(f"unsupported scan type {type(scan).__name__}")
+    return _imshow_db(ax, dat, ext, dbr, "x [mm]", "z [mm]", **imshow_kw)
+
+
+def _imshow_db(ax, dat, ext, dbr, xlabel, ylabel, **imshow_kw):
+    """Shared imshow with optional dB compression and mm-axis labels."""
     if dbr is not None:
         dat = mod2db(dat + 1e-30)
         imshow_kw.setdefault("vmax", float(np.nanmax(dat)))
@@ -122,8 +131,8 @@ def scan_imagesc(scan: Scan, b, ax=None, dbr: Optional[float] = 60.0,
         imshow_kw.setdefault("cmap", "gray")
     h = ax.imshow(dat, extent=ext, origin="upper", aspect="equal",
                   **imshow_kw)
-    ax.set_xlabel("x [mm]")
-    ax.set_ylabel("z [mm]")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
     return h
 
 
@@ -164,7 +173,8 @@ def scan_vol3d(scan: Scan, b, axs=None, dbr: Optional[float] = 60.0,
     axvals = {c: np.asarray(getattr(scan, c.lower())) * 1e3 for c in "XYZ"}
     if mode == "alpha":
         # alpha-composited planes along the elevational axis
-        ax = _get_ax(axs[0] if axs else None)
+        first = axs[0] if isinstance(axs, (list, tuple, np.ndarray)) else axs
+        ax = _get_ax(first)
         ydim = order.index("Y")
         ny = vol.shape[ydim]
         lo, hi = imshow_kw.get("vmin", vol.min()), imshow_kw.get(
@@ -173,8 +183,8 @@ def scan_vol3d(scan: Scan, b, axs=None, dbr: Optional[float] = 60.0,
         for i in range(ny):
             pl = np.take(vol, i, axis=ydim)
             a = np.clip((pl - lo) / max(hi - lo, 1e-30), 0, 1)
-            h = ax.imshow(pl, alpha=0.9 * a / ny * 4, aspect="equal",
-                          **imshow_kw)
+            h = ax.imshow(pl, alpha=np.clip(0.9 * a * 4 / ny, 0.0, 1.0),
+                          aspect="equal", **imshow_kw)
             hs.append(h)
         return hs
     # MIP triptych: project out each axis in turn

@@ -473,17 +473,6 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 vrx = boxes_ref[gg, rb * CB + cb]
                 drlo = ((vrx << 16) >> 16).astype(jnp.float32)
                 drhi = (vrx >> 16).astype(jnp.float32)
-            elif planar:
-                exlo = gbox_ref[gg, 0]
-                exhi = gbox_ref[gg, 1]
-                ezlo = gbox_ref[gg, 4]
-                ezhi = gbox_ref[gg, 5]
-                gx = igap(xbl, xbh, exlo, exhi)
-                sx = ispan(xbl, xbh, exlo, exhi)
-                gz = igap(zlo, zhi, ezlo, ezhi)
-                sz = ispan(zlo, zhi, ezlo, ezhi)
-                drlo = jnp.sqrt(gx * gx + gz * gz) * fs
-                drhi = jnp.sqrt(sx * sx + sz * sz) * fs
             else:
                 exlo = gbox_ref[gg, 0]
                 exhi = gbox_ref[gg, 1]
@@ -493,12 +482,16 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 sx = ispan(xbl, xbh, exlo, exhi)
                 gz = igap(zlo, zhi, ezlo, ezhi)
                 sz = ispan(zlo, zhi, ezlo, ezhi)
-                eylo = gbox_ref[gg, 2]
-                eyhi = gbox_ref[gg, 3]
-                gy = igap(ybl, ybh, eylo, eyhi)
-                sy = ispan(ybl, ybh, eylo, eyhi)
-                drlo = jnp.sqrt(gx * gx + gy * gy + gz * gz) * fs
-                drhi = jnp.sqrt(sx * sx + sy * sy + sz * sz) * fs
+                if planar:
+                    drlo = jnp.sqrt(gx * gx + gz * gz) * fs
+                    drhi = jnp.sqrt(sx * sx + sz * sz) * fs
+                else:
+                    eylo = gbox_ref[gg, 2]
+                    eyhi = gbox_ref[gg, 3]
+                    gy = igap(ybl, ybh, eylo, eyhi)
+                    sy = ispan(ybl, ybh, eylo, eyhi)
+                    drlo = jnp.sqrt(gx * gx + gy * gy + gz * gz) * fs
+                    drhi = jnp.sqrt(sx * sx + sy * sy + sz * sz) * fs
 
         def cbody(c, accs64):
             if lut:
@@ -1060,38 +1053,13 @@ def _group_boxes(prs, Np8):
                      ez.min(1), ez.max(1)], -1).astype(np.float32)
 
 
-_ALLFAST_CACHE: dict = {}
-
-
-def plan_allfast_cached(boxes, gbox, pvs, M, **kw):
-    """Memoized :func:`plan_allfast` — repeated eager ``system.DAS`` calls
-    on a fixed geometry re-prove the same plan (~120 ms host at the full
-    config); the operands hash in well under a millisecond."""
-    import hashlib
-    h = hashlib.blake2b(digest_size=16)
-    for a in (boxes, gbox, pvs):
-        a = np.ascontiguousarray(a)
-        # shape/dtype delimiters: concatenated raw bytes alone would let
-        # different row splits of the same bytes collide to one key
-        h.update(repr((a.shape, a.dtype.str)).encode())
-        h.update(a.tobytes())
-    key = (h.hexdigest(), M, tuple(sorted(kw.items())))
-    if key not in _ALLFAST_CACHE:
-        if len(_ALLFAST_CACHE) > 64:
-            _ALLFAST_CACHE.clear()
-        _ALLFAST_CACHE[key] = plan_allfast(boxes, gbox, pvs, M, **kw)
-    return _ALLFAST_CACHE[key]
-
-
-def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
-                 W=128, safety=2, method="linear"):
-    """Host-side proof that EVERY (tile, rx-group, transmit) tap range fits
-    one W-lane window, mirroring the kernel's scalar-core interval math in
-    f32. When true, the kernel compiles the unaligned single-window 'fast'
-    arm unconditionally — one gather per (group, tx, channel), no window
-    masks (measured 74.0 vs 45.2 Gsums/s at the full bench config). The
-    ``safety`` margin absorbs host-vs-scalar-core f32 rounding skew on top
-    of the kernel's own ±2-sample planning margin."""
+def _interval_bounds(boxes, gbox, pvs, M, *, fs, tx_model, planar):
+    """Host f32 box-to-box interval bounds shared by :func:`plan_allfast`
+    and :func:`plan_hostwin` — mirrors the kernel's scalar-core interval
+    math exactly (any change here must track the in-kernel rx/tx bounds
+    branches). Returns ``(drlo, drhi)`` rx distances in SAMPLES
+    ((TB, G)), ``(dvlo, dvhi)`` tx distances in seconds ((TB, M)), and
+    ``t0m`` ((1, M))."""
     f32 = np.float32
     B = np.asarray(boxes, f32).reshape(-1, 6)
     Gb = np.asarray(gbox, f32)
@@ -1154,6 +1122,45 @@ def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
                 rdhi = rdhi + np.maximum(by0, by1)
             dvlo = np.where(rdlo >= 0, rlo, -rhi)
             dvhi = np.where(rdhi <= 0, -rlo, rhi)
+    return drlo, drhi, dvlo, dvhi, t0m
+
+
+_ALLFAST_CACHE: dict = {}
+
+
+def plan_allfast_cached(boxes, gbox, pvs, M, **kw):
+    """Memoized :func:`plan_allfast` — repeated eager ``system.DAS`` calls
+    on a fixed geometry re-prove the same plan (~120 ms host at the full
+    config); the operands hash in well under a millisecond."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for a in (boxes, gbox, pvs):
+        a = np.ascontiguousarray(a)
+        # shape/dtype delimiters: concatenated raw bytes alone would let
+        # different row splits of the same bytes collide to one key
+        h.update(repr((a.shape, a.dtype.str)).encode())
+        h.update(a.tobytes())
+    key = (h.hexdigest(), M, tuple(sorted(kw.items())))
+    if key not in _ALLFAST_CACHE:
+        if len(_ALLFAST_CACHE) > 64:
+            _ALLFAST_CACHE.clear()
+        _ALLFAST_CACHE[key] = plan_allfast(boxes, gbox, pvs, M, **kw)
+    return _ALLFAST_CACHE[key]
+
+
+def plan_allfast(boxes, gbox, pvs, M, *, fs, tx_model, planar, T, pair,
+                 W=128, safety=2, method="linear"):
+    """Host-side proof that EVERY (tile, rx-group, transmit) tap range fits
+    one W-lane window, mirroring the kernel's scalar-core interval math in
+    f32. When true, the kernel compiles the unaligned single-window 'fast'
+    arm unconditionally — one gather per (group, tx, channel), no window
+    masks (measured 74.0 vs 45.2 Gsums/s at the full bench config). The
+    ``safety`` margin absorbs host-vs-scalar-core f32 rounding skew on top
+    of the kernel's own ±2-sample planning margin."""
+    drlo, drhi, dvlo, dvhi, t0m = _interval_bounds(
+        boxes, gbox, pvs, M, fs=fs, tx_model=tx_model, planar=planar)
+    B = np.asarray(boxes, np.float32).reshape(-1, 6)
+    f32 = np.float32
 
     # combine per (tile, group, tx) in tile chunks to bound memory
     lo_ext, hi_ext = _method_exts(method, pair)
@@ -1189,67 +1196,9 @@ def plan_hostwin(boxes, gbox, pvs, M, MC, *, fs, tx_model, planar, T,
     allfast, ok)``; ``ok=False`` when the bounds exceed int16 (caller
     falls back to in-kernel planning)."""
     f32 = np.float32
+    drlo, drhi, dvlo, dvhi, t0m = _interval_bounds(
+        boxes, gbox, pvs, M, fs=fs, tx_model=tx_model, planar=planar)
     B = np.asarray(boxes, f32).reshape(-1, 6)
-    Gb = np.asarray(gbox, f32)
-    zlo, zhi = B[:, 0:1], B[:, 1:2]
-    xbl, xbh = B[:, 2:3], B[:, 3:4]
-    ybl, ybh = B[:, 4:5], B[:, 5:6]
-    exlo, exhi = Gb[None, :, 0], Gb[None, :, 1]
-    eylo, eyhi = Gb[None, :, 2], Gb[None, :, 3]
-    ezlo, ezhi = Gb[None, :, 4], Gb[None, :, 5]
-
-    def igap(alo, ahi, blo, bhi):
-        return np.maximum(f32(0), np.maximum(blo - ahi, alo - bhi))
-
-    def ispan(alo, ahi, blo, bhi):
-        return np.maximum(ahi - blo, bhi - alo)
-
-    gx, sx = igap(xbl, xbh, exlo, exhi), ispan(xbl, xbh, exlo, exhi)
-    gz, sz = igap(zlo, zhi, ezlo, ezhi), ispan(zlo, zhi, ezlo, ezhi)
-    if planar:
-        drlo = np.sqrt(gx * gx + gz * gz) * f32(fs)
-        drhi = np.sqrt(sx * sx + sz * sz) * f32(fs)
-    else:
-        gy, sy = igap(ybl, ybh, eylo, eyhi), ispan(ybl, ybh, eylo, eyhi)
-        drlo = np.sqrt(gx * gx + gy * gy + gz * gz) * f32(fs)
-        drhi = np.sqrt(sx * sx + sy * sy + sz * sz) * f32(fs)
-
-    pvs = np.asarray(pvs, f32)
-    pvx, pvy, pvz = pvs[0, :M][None], pvs[1, :M][None], pvs[2, :M][None]
-    nvx, nvy, nvz = pvs[3, :M][None], pvs[4, :M][None], pvs[5, :M][None]
-    t0m = pvs[6, :M][None]
-    if tx_model == "plane":
-        ax0, ax1 = nvx * (xbl - pvx), nvx * (xbh - pvx)
-        az0, az1 = nvz * (zlo - pvz), nvz * (zhi - pvz)
-        dvlo = np.minimum(ax0, ax1) + np.minimum(az0, az1)
-        dvhi = np.maximum(ax0, ax1) + np.maximum(az0, az1)
-        if not planar:
-            ay0, ay1 = nvy * (ybl - pvy), nvy * (ybh - pvy)
-            dvlo = dvlo + np.minimum(ay0, ay1)
-            dvhi = dvhi + np.maximum(ay0, ay1)
-    else:
-        gtx, stx = igap(xbl, xbh, pvx, pvx), ispan(xbl, xbh, pvx, pvx)
-        gtz, stz = igap(zlo, zhi, pvz, pvz), ispan(zlo, zhi, pvz, pvz)
-        if planar:
-            rlo = np.sqrt(gtx * gtx + gtz * gtz)
-            rhi = np.sqrt(stx * stx + stz * stz)
-        else:
-            gty, sty = igap(ybl, ybh, pvy, pvy), ispan(ybl, ybh, pvy, pvy)
-            rlo = np.sqrt(gtx * gtx + gty * gty + gtz * gtz)
-            rhi = np.sqrt(stx * stx + sty * sty + stz * stz)
-        if tx_model == "diverging":
-            dvlo, dvhi = rlo, rhi
-        else:
-            bx0, bx1 = nvx * (xbl - pvx), nvx * (xbh - pvx)
-            bz0, bz1 = nvz * (zlo - pvz), nvz * (zhi - pvz)
-            rdlo = np.minimum(bx0, bx1) + np.minimum(bz0, bz1)
-            rdhi = np.maximum(bx0, bx1) + np.maximum(bz0, bz1)
-            if not planar:
-                by0, by1 = nvy * (ybl - pvy), nvy * (ybh - pvy)
-                rdlo = rdlo + np.minimum(by0, by1)
-                rdhi = rdhi + np.maximum(by0, by1)
-            dvlo = np.where(rdlo >= 0, rlo, -rhi)
-            dvhi = np.where(rdhi <= 0, -rlo, rhi)
 
     # per-(tile, chunk) transmit unions in samples, t0 folded (the kernel
     # unpack adds the +-2 f32-skew margin, matching tx_bounds)
@@ -2457,10 +2406,6 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
                   and np.all(pvs[1] == 0))
     boxes = _tile_boxes(pzs, pxs, pys)
     gbox = _group_boxes(prs, Np8)
-    allfast = plan_allfast_cached(boxes, gbox, pvs, M, fs=fs,
-                                  tx_model=tx_model, planar=planar, T=Tp,
-                                  pair=(precision == "bf16pair"),
-                                  method=method)
 
     nch = 2 if (cplx or fmod != 0.0) else 1
     itemsize = 2 if precision == "bf16" else 4
@@ -2476,7 +2421,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     if hostwin:
         # VERDICT-r3 static-window experiment: host-planned packed window
         # bounds replace the in-kernel scalar interval chain (see
-        # plan_hostwin — delays stay in-kernel, unlike the LUT path)
+        # plan_hostwin — delays stay in-kernel, unlike the LUT path;
+        # it also proves allfast, so plan_allfast is skipped entirely)
         rxb_w, txb_w, allfast_w, ok = plan_hostwin(
             boxes, gbox, pvs, M, MC, fs=fs, tx_model=tx_model,
             planar=planar, T=Tp, pair=(precision == "bf16pair"),
@@ -2485,6 +2431,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             boxes, gbox, allfast = rxb_w, txb_w, allfast_w
         else:
             hostwin = False
+    if not hostwin:
+        allfast = plan_allfast_cached(boxes, gbox, pvs, M, fs=fs,
+                                      tx_model=tx_model, planar=planar,
+                                      T=Tp, pair=(precision == "bf16pair"),
+                                      method=method)
 
     def prep_real(xr):
         """(T, N, M[, F]) -> (F?, M, Np8, Tp) padded."""

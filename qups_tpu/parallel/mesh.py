@@ -486,6 +486,40 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
     return apply
 
 
+_ARRAY_HASH_MEMO = None  # lazy WeakKeyDictionary: jax.Array -> digest
+
+
+def _array_digest(a) -> bytes:
+    """Content digest of one array. For DEVICE arrays the bytes live on
+    the other side of the tunnel, so the digest is memoized per object —
+    jax arrays are immutable, making object identity a sound cache key;
+    repeated-frame loops then never pay the device->host copy again.
+    Host numpy arrays hash directly (cheap) and are NOT memoized (they
+    are mutable)."""
+    global _ARRAY_HASH_MEMO
+    import hashlib
+    is_dev = isinstance(a, jnp.ndarray) and not isinstance(a, np.ndarray)
+    if is_dev:
+        if _ARRAY_HASH_MEMO is None:
+            import weakref
+            _ARRAY_HASH_MEMO = weakref.WeakKeyDictionary()
+        try:
+            hit = _ARRAY_HASH_MEMO.get(a)
+        except TypeError:  # un-weakref-able
+            hit = None
+        if hit is not None:
+            return hit
+    ah = np.asarray(a)
+    d = hashlib.sha1(str((ah.dtype.str, ah.shape)).encode()
+                     + np.ascontiguousarray(ah).tobytes()).digest()
+    if is_dev:
+        try:
+            _ARRAY_HASH_MEMO[a] = d
+        except TypeError:
+            pass
+    return d
+
+
 def _content_key(*items):
     """Stable content hash over arrays / scalars / descriptors for the
     eager-call plan cache (geometry + statics, NOT the trace data)."""
@@ -495,9 +529,7 @@ def _content_key(*items):
         if it is None:
             h.update(b"\x00none")
         elif isinstance(it, (np.ndarray, jnp.ndarray)):
-            a = np.asarray(it)
-            h.update(str((a.dtype.str, a.shape)).encode())
-            h.update(np.ascontiguousarray(a).tobytes())
+            h.update(_array_digest(it))
         elif isinstance(it, (tuple, list)):
             h.update(b"(")
             h.update(_content_key(*it).encode())

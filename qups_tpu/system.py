@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple, Union
 
@@ -1165,7 +1166,13 @@ def _refocus(us, chd, seq: Optional[Sequence] = None, gamma: Optional[float] = N
     if Hi is None:
         Hi = refocus_op(tau, apd, T=int(chd.T), fs=float(chd.fs),
                         gamma=gamma, method=method)
-        if len(_REFOCUS_OP_CACHE) >= 4:  # FIFO — operators are ~GBs
+        # FIFO-evict by BYTES — a headline-scale operator is ~2.1 GB of
+        # HBM, so a count bound could pin most of the chip's memory
+        nb = int(np.prod(Hi.shape)) * Hi.dtype.itemsize
+        while _REFOCUS_OP_CACHE and (sum(
+                int(np.prod(v.shape)) * v.dtype.itemsize
+                for v in _REFOCUS_OP_CACHE.values()) + nb
+                > _REFOCUS_OP_CACHE_MAX_BYTES):
             _REFOCUS_OP_CACHE.pop(next(iter(_REFOCUS_OP_CACHE)))
         _REFOCUS_OP_CACHE[key] = Hi
     y, _ = refocus_apply(chd.data, Hi, t0v, fs=float(chd.fs))
@@ -1173,6 +1180,8 @@ def _refocus(us, chd, seq: Optional[Sequence] = None, gamma: Optional[float] = N
 
 
 _REFOCUS_OP_CACHE: dict = {}
+_REFOCUS_OP_CACHE_MAX_BYTES = int(os.environ.get(
+    "QUPS_REFOCUS_CACHE_BYTES", str(3 * 1024**3)))
 
 
 def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
@@ -1801,7 +1810,12 @@ def _calc_hp(us, scan: Optional[Scan] = None, seq: Optional[Sequence] = None,
     # GBs of host compute + upload at imaging-grid scale)
     rmax = float(np.linalg.norm(np.maximum(
         np.abs(P.max(1) - pe.min(1)), np.abs(pe.max(1) - P.min(1)))))
-    tmin = 0.0 / c0 + fire.min() + wv.t0
+    # per-axis box gap -> a true lower bound on the min pixel-element
+    # distance (0 when the boxes overlap on that axis)
+    gap = np.maximum(np.maximum(P.min(1) - pe.max(1),
+                                pe.min(1) - P.max(1)), 0.0)
+    rmin = float(np.linalg.norm(gap))
+    tmin = rmin / c0 + fire.min() + wv.t0
     tmax = rmax / c0 + fire.max() + wv.tend
     n0 = math.floor(tmin * fs)
     T = math.ceil(tmax * fs) - n0 + 1

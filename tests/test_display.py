@@ -74,8 +74,19 @@ def test_scan_imagesc_volume_slice():
     vol = np.random.default_rng(0).random(scan.shape)
     h = scan_imagesc(scan, vol, index=1)          # default: slice Y
     assert h.get_array().shape == (6, 8)
+    assert h.axes.get_xlabel().startswith("x")
     h = scan_imagesc(scan, vol, slice="x", index=3)
     assert h.get_array().shape == (6, 4)
+    # slicing X leaves a z-y plane: each kept axis labeled by its OWN
+    # letter with its own extent (regression: y data under an 'x' label)
+    assert h.axes.get_xlabel().startswith("y")
+    assert h.axes.get_ylabel().startswith("z")
+    ext = h.get_extent()
+    assert ext[0] == -2.0 and ext[1] == 2.0      # y in mm
+    assert ext[2] == 20.0 and ext[3] == 10.0     # z in mm, depth down
+    h = scan_imagesc(scan, vol, slice="z", index=2)
+    assert h.axes.get_xlabel().startswith("y")
+    assert h.axes.get_ylabel().startswith("x")
 
 
 def test_scan_vol3d():
@@ -92,4 +103,16 @@ def test_scan_vol3d():
     hs = scan_vol3d(scan, vol)
     assert len(hs) == 3
     hs = scan_vol3d(scan, vol, mode="alpha")
+    assert len(hs) == 4
+    # regressions: ny<4 must clamp per-pixel alpha into [0,1], and a
+    # numpy array of axes (what plt.subplots returns) must be accepted
+    import matplotlib.pyplot as plt
+    scan2 = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 8),
+                            y=np.linspace(-1e-3, 1e-3, 2),
+                            z=np.linspace(10e-3, 20e-3, 6))
+    vol2 = np.random.default_rng(2).random(scan2.shape)
+    hs = scan_vol3d(scan2, vol2, mode="alpha")
+    assert len(hs) == 2
+    _, axs = plt.subplots(1, 3)
+    hs = scan_vol3d(scan, vol, axs=axs, mode="alpha")
     assert len(hs) == 4
