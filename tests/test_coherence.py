@@ -95,3 +95,30 @@ def test_pwznxcorr_detects_shift():
     best = lags[int(np.argmax(mid))]
     assert abs(best) == 3
     assert mid.max() > 0.95
+
+
+def test_coherence_image_mesh_matches_fallback():
+    """system.coherence_image: the fused in-mesh arm (explicit mesh ->
+    interpret-mode kernels on the CPU mesh) matches the two-step
+    DAS(keep_rx) + reduction fallback, for cohfac and slsc."""
+    import jax
+    import qups_tpu as q
+    from qups_tpu.parallel import make_mesh
+
+    xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=3e6)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=8),
+        scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                             z=np.linspace(18e-3, 22e-3, 8)),
+        fs=12e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+    chd = us.greens(scat)
+    mesh = make_mesh(jax.devices()[:2], axes=("rx", "tx"))
+    for post, lags in (("cohfac", None), ("slsc", 2)):
+        ref = np.asarray(us.coherence_image(chd, post=post, lags=lags))
+        got = np.asarray(us.coherence_image(chd, post=post, lags=lags,
+                                            mesh=mesh, precision="f32"))
+        assert ref.shape == got.shape == us.scan.shape
+        scale = max(np.abs(ref).max(), 1e-12)
+        assert np.abs(got - ref).max() / scale < 5e-3, (post, np.abs(
+            got - ref).max() / scale)
