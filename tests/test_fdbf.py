@@ -96,3 +96,40 @@ def test_bf_migration_native_grid():
     iz, ix = np.unravel_index(bm.argmax(), bm.shape)
     assert abs(bscan.z[iz] - TARGET[2]) < TOL
     assert abs(bscan.x[ix] - TARGET[0]) < TOL
+
+
+def test_geom_delays_matches_host():
+    """Device-built delay tables == host f64 norm within f32 tolerance
+    (the bfAdjoint tables moved on-device after a 207 s/frame host-upload
+    diagnosis; semantics must not drift)."""
+    from qups_tpu.ops.fdbf import geom_delays
+    rng = np.random.default_rng(0)
+    pi = rng.uniform(-2e-2, 4e-2, (100, 3)).astype(np.float32)
+    pos = rng.uniform(-1e-2, 1e-2, (7, 3)).astype(np.float32)
+    got = np.asarray(geom_delays(pi, pos, np.float32(1 / 1540.0)))
+    ref = np.linalg.norm(pi.astype(np.float64)[:, None, :]
+                         - pos.astype(np.float64)[None], axis=-1) / 1540.0
+    assert got.shape == (100, 7)
+    assert np.abs(got - ref).max() < 1e-9
+
+
+def test_refocus_op_cache_reused():
+    """system.refocus memoizes the data-independent decode operator per
+    sequence (repeated decodes measured 0.19 s vs 5.68 s at headline
+    scale): the second call must hit the cache, and the decode must be
+    unchanged by caching (linearity check: 2x data -> 2x decode)."""
+    from qups_tpu.system import _REFOCUS_OP_CACHE
+    seq = q.Sequence(type="FSA", numpulse=32, c0=C0)
+    us = make_us(seq)  # 32-element probe: FSA decodes 32 pulses
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((64, 3, 32)).astype(np.float32)
+    chd = q.ChannelData(data=x, fs=us.fs, t0=0.0)
+    _REFOCUS_OP_CACHE.clear()
+    d1 = us.refocus(chd, seq, gamma=0.0)
+    assert len(_REFOCUS_OP_CACHE) == 1
+    d2 = us.refocus(chd.replace(data=2.0 * x), seq, gamma=0.0)
+    assert len(_REFOCUS_OP_CACHE) == 1  # cache hit, no second entry
+    import jax.numpy as jnp
+    a1 = np.asarray(jnp.abs(d1.data))
+    a2 = np.asarray(jnp.abs(d2.data))
+    assert np.allclose(a2, 2.0 * a1, rtol=1e-5, atol=1e-6)
