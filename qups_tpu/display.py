@@ -6,8 +6,10 @@ imagesc/gif`` ``src/Scan.m:288-593``, ``Medium.imagesc`` ``src/Medium.m:701``,
 All functions accept an optional ``ax`` and return the artist; animation
 helpers return a ``matplotlib.animation.FuncAnimation`` (save with
 ``anim.save(path, writer='pillow')`` — the ``frame2gif`` analog). Pure
-host-side: device arrays are pulled with ``np.asarray`` (real) or displayed
-as log-envelope via :func:`qups_tpu.utils.mod2db`.
+host-side: device arrays are pulled with :func:`qups_tpu.utils.cpx.to_host`
+(complex downloads ride the ri format — raw complex host<->device transfer
+is unimplemented on some TPU runtimes) and displayed as log-envelope via
+:func:`qups_tpu.utils.mod2db`.
 """
 from __future__ import annotations
 
@@ -20,6 +22,7 @@ from .core.medium import Medium
 from .core.scan import Scan, ScanCartesian, ScanPolar
 from .core.scat import Scatterers
 from .core.xdc import Transducer
+from .utils.cpx import to_host
 from .utils.maths import mod2db
 
 
@@ -31,8 +34,25 @@ def _get_ax(ax=None):
 
 
 def _host_abs(x):
-    x = np.asarray(x)
-    return np.abs(x) if np.iscomplexobj(x) else np.abs(x)
+    return np.abs(to_host(x))
+
+
+def _image_host(b, scan: Scan, ri=None):
+    """Pull a beamformed image to host, joining a trailing ri channel.
+
+    On TPU backends the beamformers default to ``out='ri'`` (real
+    ``(..., 2)`` pairs — complex host<->device transfer is unimplemented
+    there), so a trailing size-2 axis beyond the scan's dims is treated as
+    the ri channel (the repo-wide convention; see ``utils/cpx.py``). Pass
+    ``ri=False`` if that axis is genuinely two frames, or ``ri=True`` to
+    force the join."""
+    x = to_host(b)
+    if ri is None:
+        ri = (not np.iscomplexobj(x) and x.ndim > len(scan.shape)
+              and x.shape[-1] == 2)
+    if ri and not np.iscomplexobj(x):
+        x = x[..., 0] + 1j * x[..., 1]
+    return x
 
 
 # --------------------------------------------------------------------- data
@@ -41,7 +61,7 @@ def chd_imagesc(chd: ChannelData, m: int = 0, frame: int = 0, ax=None,
     """Display one transmit's channel traces (time x rx), the
     ``ChannelData.imagesc`` analog (``src/ChannelData.m:1497``)."""
     ax = _get_ax(ax)
-    x = np.asarray(chd.data)
+    x = to_host(chd.data)
     while x.ndim > 3:
         x = x[..., frame]
     img = x[:, :, m]
@@ -65,7 +85,7 @@ def chd_gif(chd: ChannelData, ax=None, db: bool = True, interval: int = 100):
     h = chd_imagesc(chd, 0, ax=ax, db=db)
 
     def update(m):
-        x = np.asarray(chd.data)
+        x = to_host(chd.data)
         while x.ndim > 3:
             x = x[..., 0]
         img = x[:, :, m]
@@ -81,15 +101,17 @@ def chd_gif(chd: ChannelData, ax=None, db: bool = True, interval: int = 100):
 # -------------------------------------------------------------------- image
 def scan_imagesc(scan: Scan, b, ax=None, dbr: Optional[float] = 60.0,
                  slice: Optional[str] = None, index: int = 0,
-                 **imshow_kw):
+                 ri=None, **imshow_kw):
     """Display a beamformed image on its scan's axes (``Scan.imagesc``,
     ``src/Scan.m:288``): cartesian scans use the physical extent; polar
     scans are scan-converted first. ``dbr``: dynamic range in dB (None for
     linear amplitude). For VOLUMES, ``slice``/``index`` pick the plane to
     display (an axis letter of ``scan.order``, default the first axis of
-    size > 1 beyond the two image axes — ``Scan.m:385-406``)."""
+    size > 1 beyond the two image axes — ``Scan.m:385-406``). A trailing
+    size-2 axis on real data is joined as the TPU ri channel (see
+    :func:`_image_host`; override with ``ri=``)."""
     ax = _get_ax(ax)
-    img = np.asarray(b)
+    img = _image_host(b, scan, ri=ri)
     img = img.reshape(tuple(scan.shape) + (-1,))[..., 0]
     if isinstance(scan, ScanCartesian) and scan.ny > 1:
         # volumetric: slice along the named (default elevational) axis and
@@ -151,7 +173,7 @@ def scan_plot(scan: Scan, ax=None, **plot_kw):
 
 
 def scan_vol3d(scan: Scan, b, axs=None, dbr: Optional[float] = 60.0,
-               mode: str = "mip", **imshow_kw):
+               mode: str = "mip", ri=None, **imshow_kw):
     """3-D volume display (``Scan.vol3d``, ``src/Scan.m:512-562``). The
     reference stacks translucent image planes (the FileExchange ``vol3d``
     renderer); the headless-friendly analog here renders the volume as
@@ -162,7 +184,8 @@ def scan_vol3d(scan: Scan, b, axs=None, dbr: Optional[float] = 60.0,
     import matplotlib.pyplot as plt
 
     assert isinstance(scan, ScanCartesian), "vol3d expects a cartesian scan"
-    vol = _host_abs(np.asarray(b).reshape(tuple(scan.shape) + (-1,))[..., 0])
+    vol = np.abs(_image_host(b, scan, ri=ri).reshape(
+        tuple(scan.shape) + (-1,))[..., 0])
     if dbr is not None:
         vol = np.asarray(mod2db(vol + 1e-30))
         vmax = float(np.nanmax(vol))
@@ -212,7 +235,7 @@ def image_gif(scan: Scan, frames, ax=None, dbr: float = 60.0,
     (``Scan.gif``, ``src/Scan.m:423``)."""
     from matplotlib import animation
     ax = _get_ax(ax)
-    fr = np.asarray(frames)
+    fr = to_host(frames)
     h = scan_imagesc(scan, fr[..., 0], ax=ax, dbr=dbr)
 
     def update(i):

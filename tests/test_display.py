@@ -116,3 +116,29 @@ def test_scan_vol3d():
     _, axs = plt.subplots(1, 3)
     hs = scan_vol3d(scan, vol, axs=axs, mode="alpha")
     assert len(hs) == 4
+
+
+def test_scan_imagesc_ri_channel():
+    """A trailing size-2 axis on real data is the TPU ri convention
+    (``out='ri'``): the display must show the complex envelope, not
+    ``|real part|`` (regression — the demo's DAS output is ri on TPU)."""
+    scan = q.ScanCartesian(x=np.linspace(-5e-3, 5e-3, 32), y=[0.0],
+                           z=np.linspace(0, 20e-3, 64))
+    rng = np.random.default_rng(3)
+    re = rng.standard_normal(tuple(scan.shape)).astype(np.float32)
+    im = rng.standard_normal(tuple(scan.shape)).astype(np.float32)
+    bri = np.stack([re, im], axis=-1)            # (64, 32, 1, 2)
+    h = scan.imagesc(bri, dbr=None)
+    env = np.abs(re + 1j * im)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(h.get_array()), env, rtol=1e-6)
+    # explicit override: ri=False keeps the frame interpretation
+    h2 = scan.imagesc(bri, dbr=None, ri=False)
+    np.testing.assert_allclose(np.asarray(h2.get_array()),
+                               np.abs(re)[:, :, 0], rtol=1e-6)
+    # vol3d joins the same convention
+    scan3 = q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 8),
+                            y=np.linspace(-2e-3, 2e-3, 4),
+                            z=np.linspace(0, 8e-3, 8))
+    b3 = rng.standard_normal(tuple(scan3.shape) + (2,)).astype(np.float32)
+    hs = q.display.scan_vol3d(scan3, b3, dbr=None)
+    assert len(hs) == 3
