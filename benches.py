@@ -342,8 +342,12 @@ def bench_adjoint():
     k0 = int(round(fc / fs * T))
     bins = np.arange(k0 - nb // 2, k0 + nb - nb // 2, dtype=np.int32)
 
+    # kernel='auto' rides the fused Pallas engine on TPU (0.58 s vs 4.0 s
+    # XLA at this config); QUPS_BENCH_ADJ_KERNEL=xla times the XLA engine
+    kern = os.environ.get("QUPS_BENCH_ADJ_KERNEL", "auto")
+
     def run():
-        b = us.bfAdjoint(chd, bins=bins)
+        b = us.bfAdjoint(chd, bins=bins, kernel=kern)
         return float(jnp.sum(jnp.abs(b)))
     try:
         run()  # compile
@@ -356,7 +360,7 @@ def bench_adjoint():
     # per-bin work: two complex GEMMs, (I,N)x(N,1)-ish steering products
     _emit({"bench": "adjoint", "metric": "s/frame", "value": dt,
            "n_px_side": n, "T": T, "N": N, "M": M, "bins": int(bins.size),
-           "pix_bins_per_s": n * n * bins.size / dt})
+           "kernel": kern, "pix_bins_per_s": n * n * bins.size / dt})
 
 
 def bench_refocus():

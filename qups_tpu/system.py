@@ -1134,11 +1134,18 @@ UltrasoundSystem.ap_cosine_angle = _ap_cosine_angle
 # ----------------------------------------------------------------------------
 def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
                 fthresh_db: float = -40.0, max_bins: Optional[int] = None,
-                keep_rx: bool = False, keep_tx: bool = False, bins=None):
+                keep_rx: bool = False, keep_tx: bool = False, bins=None,
+                kernel: str = "auto", precision: str = "bf16"):
     """Frequency-domain adjoint beamformer (``UltrasoundSystem.bfAdjoint``,
     ``src/UltrasoundSystem.m:3770-4050``): per-frequency steering-vector
     matrix products (batched complex GEMMs on the MXU). Returns the image
     shaped ``(*scan.shape, N', M')``.
+
+    ``kernel``: 'auto' (fused Pallas engine on TPU — phasors and
+    intermediates VMEM-resident, 0.58 s vs 4.0 s XLA at the 1024^2 x
+    256x256 x 64-bin headline; XLA elsewhere), 'pallas', or 'xla'.
+    ``precision`` (Pallas engine only): 'bf16' in-kernel dots (default,
+    ~0.7% image rel err) or 'f32'.
 
     Frequency-bin selection is shape-affecting and therefore host-side
     (one small (T,) spectrum download per call); pass ``bins`` (int32
@@ -1164,12 +1171,28 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
 
     c0v = float(c0 if c0 is not None else self_c0(us))
     # delay tables built ON DEVICE: only the (I, 3) pixel array is
-    # uploaded; host-f64 (I, E) tables cost GBs of upload per call
+    # uploaded; host-f64 (I, E) tables cost GBs of upload per call.
+    # They are data-independent, so repeated frames reuse them from a
+    # byte-bounded cache (~0.4 s of the 1.16 s headline call)
+    import hashlib
     pi32 = np.ascontiguousarray(us._pixels(), np.float32)
-    tau_rx = geom_delays(pi32, np.asarray(us.rx.positions().T, np.float32),
-                         np.float32(1.0 / c0v))
-    tau_tx = geom_delays(pi32, np.asarray(us.tx.positions().T, np.float32),
-                         np.float32(1.0 / c0v))
+    prx = np.ascontiguousarray(us.rx.positions().T, np.float32)
+    ptx = np.ascontiguousarray(us.tx.positions().T, np.float32)
+    tkey = (hashlib.sha1(pi32.tobytes() + prx.tobytes()
+                         + ptx.tobytes()).hexdigest(), c0v)
+    cached = _ADJ_TAU_CACHE.get(tkey)
+    if cached is None:
+        tau_rx = geom_delays(pi32, prx, np.float32(1.0 / c0v))
+        tau_tx = geom_delays(pi32, ptx, np.float32(1.0 / c0v))
+        nb = 4 * int(tau_rx.size + tau_tx.size)
+        while _ADJ_TAU_CACHE and (sum(
+                4 * int(a.size + b.size)
+                for a, b in _ADJ_TAU_CACHE.values()) + nb
+                > _ADJ_TAU_CACHE_MAX_BYTES):
+            _ADJ_TAU_CACHE.pop(next(iter(_ADJ_TAU_CACHE)))
+        _ADJ_TAU_CACHE[tkey] = (tau_rx, tau_tx)
+    else:
+        tau_rx, tau_tx = cached
     del_tx = us.seq.delays(us.tx)          # (M, V)
     apod_tx = us.seq.apodization(us.tx)    # (M, V)
     t0_off = np.broadcast_to(us.seq.t0_offset(), (us.seq.num_pulse,))
@@ -1189,10 +1212,21 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
             keep = np.argsort(lev[sel])[::-1][:max_bins]
             sel = np.sort(sel[keep])
 
-    b = bf_adjoint(chd.data, tau_rx, tau_tx, del_tx, apod_tx,
-                   chd.t0_host, t0_off, sel.astype(np.int32),
-                   fs=float(chd.fs), fmod=float(fmod),
-                   keep_rx=keep_rx, keep_tx=keep_tx)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    use_pallas = kernel == "pallas" or (
+        kernel == "auto" and on_tpu and chd.data.ndim == 3)
+    if use_pallas:
+        from .ops.fdbf_pallas import bf_adjoint_tiled
+        b = bf_adjoint_tiled(chd.data, tau_rx, tau_tx, del_tx, apod_tx,
+                             chd.t0_host, t0_off, sel.astype(np.int32),
+                             fs=float(chd.fs), fmod=float(fmod),
+                             keep_rx=keep_rx, keep_tx=keep_tx,
+                             precision=precision, interpret=not on_tpu)
+    else:
+        b = bf_adjoint(chd.data, tau_rx, tau_tx, del_tx, apod_tx,
+                       chd.t0_host, t0_off, sel.astype(np.int32),
+                       fs=float(chd.fs), fmod=float(fmod),
+                       keep_rx=keep_rx, keep_tx=keep_tx)
     if keep_rx:
         return b.reshape(us.scan.shape + (chd.N, 1))
     if keep_tx:
@@ -1261,6 +1295,10 @@ def _refocus(us, chd, seq: Optional[Sequence] = None, gamma: Optional[float] = N
 _REFOCUS_OP_CACHE: dict = {}
 _REFOCUS_OP_CACHE_MAX_BYTES = int(os.environ.get(
     "QUPS_REFOCUS_CACHE_BYTES", str(3 * 1024**3)))
+# bfAdjoint (I, N)/(I, M) delay tables — ~2 GB at the headline config
+_ADJ_TAU_CACHE: dict = {}
+_ADJ_TAU_CACHE_MAX_BYTES = int(os.environ.get(
+    "QUPS_ADJ_TAU_CACHE_BYTES", str(4 * 1024**3)))
 
 
 def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,

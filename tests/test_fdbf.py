@@ -133,3 +133,54 @@ def test_refocus_op_cache_reused():
     a1 = np.asarray(jnp.abs(d1.data))
     a2 = np.asarray(jnp.abs(d2.data))
     assert np.allclose(a2, 2.0 * a1, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas adjoint engine (ops/fdbf_pallas.py) vs the XLA engine
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("mode", ["sum", "rx", "tx"])
+@pytest.mark.parametrize("binspec", ["uniform", "stride2", "ragged"])
+def test_bf_adjoint_tiled_parity(mode, binspec):
+    """Interpret-mode parity of the fused engine (phasor recurrence on
+    uniformly spaced bins; direct sin/cos on ragged sets) against
+    ops.fdbf.bf_adjoint, all keep modes (ref UltrasoundSystem.m:4015-4027)."""
+    from qups_tpu.ops.fdbf import bf_adjoint
+    from qups_tpu.ops.fdbf_pallas import bf_adjoint_tiled
+
+    rng = np.random.default_rng(7)
+    T, N, M, V, I = 128, 8, 6, 9, 40
+    x = rng.standard_normal((T, N, V)).astype(np.float32)
+    tau_rx = rng.uniform(0, 2e-6, (I, N)).astype(np.float32)
+    tau_tx = rng.uniform(0, 2e-6, (I, M)).astype(np.float32)
+    del_tx = rng.uniform(0, 3e-7, (M, V)).astype(np.float32)
+    apod = rng.standard_normal((M, V)).astype(np.float32)
+    t0 = rng.uniform(0, 1e-6, (V,)).astype(np.float32)
+    t0o = rng.uniform(0, 1e-7, (V,)).astype(np.float32)
+    fs = 40e6
+    bins = {"uniform": np.arange(5, 17),
+            "stride2": np.arange(5, 29, 2),
+            "ragged": np.array([5, 9, 10, 11, 17])}[binspec].astype(np.int32)
+    kw = {"keep_rx": mode == "rx", "keep_tx": mode == "tx"}
+    b0 = np.asarray(bf_adjoint(x, tau_rx, tau_tx, del_tx, apod,
+                               t0, t0o, bins, fs=fs, fmod=1e6, **kw))
+    b1 = np.asarray(bf_adjoint_tiled(x, tau_rx, tau_tx, del_tx, apod,
+                                     t0, t0o, bins, fs=fs, fmod=1e6,
+                                     precision="f32", BI=16,
+                                     interpret=True, **kw))
+    assert b1.shape == b0.shape
+    rel = np.linalg.norm(b1 - b0) / np.linalg.norm(b0)
+    assert rel < 2e-4, (mode, binspec, rel)
+
+
+def test_bf_adjoint_kernel_pallas_system():
+    """System-level: kernel='pallas' (interpret off-TPU) localizes the
+    scatterer like the XLA engine."""
+    seq = q.Sequence(type="FSA", numpulse=32, c0=C0)
+    us = make_us(seq)
+    scat = q.Scatterers(pos=TARGET.reshape(3, 1), c0=C0)
+    chd = us.greens(scat)
+    b = us.bfAdjoint(chd, fthresh_db=-30, kernel="pallas",
+                     precision="f32")
+    p = peak_pos(us, b)
+    assert abs(p[0] - TARGET[0]) < TOL, p
+    assert abs(p[2] - TARGET[2]) < TOL, p

@@ -78,3 +78,72 @@ def body(fk, tr, tt, dl, ap, xf):
 
 
 tm("full_body", scan_wrap(body), tau_rx, tau_tx, del_tx, apod, Xf)
+
+
+# ---- round-4 experiments: bf16 ri-split GEMMs + phasor recurrence ----
+def cmm_bf16(ar, ai, br, bi):
+    """Complex GEMM as 4 real bf16 MXU dots with f32 accumulation."""
+    f32 = jnp.float32
+    b16 = jnp.bfloat16
+    ar, ai, br, bi = (v.astype(b16) for v in (ar, ai, br, bi))
+    cr = (jnp.dot(ar, br, preferred_element_type=f32)
+          - jnp.dot(ai, bi, preferred_element_type=f32))
+    ci = (jnp.dot(ar, bi, preferred_element_type=f32)
+          + jnp.dot(ai, br, preferred_element_type=f32))
+    return cr, ci
+
+
+def body_bf16(fk, tr, tt, dl, ap, xf):
+    th_t = -2 * np.pi * fk * tt
+    wtr, wti = jnp.cos(th_t), jnp.sin(th_t)
+    th_s = 2 * np.pi * fk * dl
+    sr, si = ap * jnp.cos(th_s), ap * jnp.sin(th_s)
+    a_r, a_i = cmm_bf16(wtr, wti, sr, si)
+    nrm = jnp.sqrt(jnp.sum(a_r * a_r + a_i * a_i, axis=1, keepdims=True))
+    nrm = jnp.where(nrm == 0, 1.0, nrm)
+    ahr, ahi = a_r / nrm, a_i / nrm
+    th_r = 2 * np.pi * fk * tr
+    wrr, wri = jnp.cos(th_r), jnp.sin(th_r)
+    yr, yi = cmm_bf16(wrr, wri, jnp.real(xf), jnp.imag(xf))
+    # sum_v (y * conj(Ah))
+    br = jnp.sum(yr * ahr + yi * ahi, axis=1)
+    bi = jnp.sum(yi * ahr - yr * ahi, axis=1)
+    return jax.lax.complex(br, bi)
+
+
+tm("full_body_bf16", scan_wrap(body_bf16),
+   tau_rx, tau_tx, del_tx, apod, Xf)
+
+
+def run_recur(tr, tt, dl, ap, xf):
+    """Contiguous-bin recurrence: W_{k+1} = W_k * G, no per-bin exp."""
+    f0 = fb[0].astype(jnp.float32) * df
+    wt0 = cexp(-2 * np.pi * f0 * tt)
+    wr0 = cexp(2 * np.pi * f0 * tr)
+    gt = cexp(-2 * np.pi * df * tt)
+    gr = cexp(2 * np.pi * df * tr)
+
+    def step(carry, k):
+        wt, wr = carry
+        fk = k.astype(jnp.float32) * df
+        S = ap * cexp(2 * np.pi * fk * dl)
+        A = wt @ S.astype(jnp.complex64)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=1, keepdims=True))
+        Ah = A / jnp.where(nrm == 0, 1.0, nrm)
+        y = jnp.sum((wr @ xf) * jnp.conj(Ah), axis=1)
+        return (wt * gt, wr * gr), y
+
+    (_, _), ys = jax.lax.scan(step, (wt0, wr0), fb)
+    return jnp.sum(ys, axis=0)
+
+
+tm("full_body_recur", run_recur, tau_rx, tau_tx, del_tx, apod, Xf)
+
+# parity of bf16 vs f32 on the accumulated image
+f = jax.jit(scan_wrap(body))
+r0 = f(tau_rx, tau_tx, del_tx, apod, Xf)
+f1 = jax.jit(scan_wrap(body_bf16))
+r1 = f1(tau_rx, tau_tx, del_tx, apod, Xf)
+num = jax.jit(lambda a, b: (jnp.linalg.norm(a - b), jnp.linalg.norm(a)))
+d, n0 = num(r0, r1)
+print(json.dumps({"op": "bf16_rel_err", "rel": float(d / n0)}), flush=True)
