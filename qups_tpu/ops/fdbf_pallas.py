@@ -267,6 +267,19 @@ def _join(v):
     return jax.lax.complex(v[0], v[1])
 
 
+def _uniform_df(sel_h: np.ndarray, df: float) -> float:
+    """Recurrence spacing for uniformly spaced bins (0 = ragged set —
+    direct per-bin sin/cos). Honors QUPS_ADJ_RECUR=0."""
+    import os
+
+    if sel_h.size <= 1 or os.environ.get("QUPS_ADJ_RECUR", "1") == "0":
+        return 0.0
+    steps = np.diff(sel_h)
+    if (steps == steps[0]).all() and steps[0] != 0:
+        return float(steps[0]) * df
+    return 0.0
+
+
 def bf_adjoint_tiled(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off,
                      fbins, *, fs: float, fmod: float = 0.0,
                      keep_rx: bool = False, keep_tx: bool = False,
@@ -301,11 +314,7 @@ def bf_adjoint_tiled(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off,
     fvals = sel.astype(jnp.float32) * jnp.float32(df)
     # uniformly spaced bins ride the in-VMEM phasor recurrence (one
     # complex multiply instead of 2 x (BI, N+M) sin/cos per bin)
-    dfr = 0.0
-    if K > 1 and os.environ.get("QUPS_ADJ_RECUR", "1") != "0":
-        steps = np.diff(sel_h)
-        if (steps == steps[0]).all() and steps[0] != 0:
-            dfr = float(steps[0]) * df
+    dfr = _uniform_df(sel_h, df)
 
     Xk = _prep_spectra(x, t0, t0_off, sel, fs=float(fs), fmod=float(fmod))
     s_ri, x_ri = _pack(Xk, jnp.asarray(del_tx, jnp.float32),

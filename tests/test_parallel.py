@@ -544,3 +544,33 @@ def test_greens_freq_sharded_attenuation():
     got = np.asarray(greens_freq_sharded(mesh, kern, ps, amp, pn, pv,
                                          engine="xla", **kw))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["sum", "rx", "tx"])
+def test_bf_adjoint_sharded_matches_single(mode):
+    """Pixel-sharded fused adjoint == the single-device XLA engine
+    (zero-collective composition: pixels shard, spectra replicate)."""
+    from qups_tpu.ops.fdbf import bf_adjoint
+    from qups_tpu.parallel import bf_adjoint_sharded
+
+    rng = np.random.default_rng(11)
+    T, N, M, V, I = 128, 8, 6, 9, 83  # I non-divisible by 8 devices
+    x = rng.standard_normal((T, N, V)).astype(np.float32)
+    tau_rx = rng.uniform(0, 2e-6, (I, N)).astype(np.float32)
+    tau_tx = rng.uniform(0, 2e-6, (I, M)).astype(np.float32)
+    del_tx = rng.uniform(0, 3e-7, (M, V)).astype(np.float32)
+    apod = rng.standard_normal((M, V)).astype(np.float32)
+    t0 = rng.uniform(0, 1e-6, (V,)).astype(np.float32)
+    t0o = rng.uniform(0, 1e-7, (V,)).astype(np.float32)
+    fs = 40e6
+    bins = np.arange(5, 17, dtype=np.int32)
+    kw = {"keep_rx": mode == "rx", "keep_tx": mode == "tx"}
+    b0 = np.asarray(bf_adjoint(x, tau_rx, tau_tx, del_tx, apod,
+                               t0, t0o, bins, fs=fs, fmod=1e6, **kw))
+    mesh = make_mesh(jax.devices(), axes=("rx", "tx"), shape=(2, 4))
+    b1 = np.asarray(bf_adjoint_sharded(
+        mesh, x, tau_rx, tau_tx, del_tx, apod, t0, t0o, bins, fs=fs,
+        fmod=1e6, precision="f32", BI=8, interpret=True, **kw))
+    assert b1.shape == b0.shape
+    rel = np.linalg.norm(b1 - b0) / np.linalg.norm(b0)
+    assert rel < 2e-4, (mode, rel)
