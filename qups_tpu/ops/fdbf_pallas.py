@@ -175,8 +175,9 @@ def _adj_call(fvals, taur, taut, s_ri, x_ri, *, BI: int, bf16: str,
     elif keep == "tx":
         oshape, oblock = (2, Ip, Vp), (2, BI, Vp)
     else:
-        # the summed image accumulates into 128 lane slots (k % 128) to
-        # keep the store tiled; reduced after the call
+        # the summed image broadcast-accumulates the same (BI, 1) sums
+        # into a full 128-lane block (a narrow store would break the
+        # (8, 128) tiling); the caller reads lane 0
         oshape, oblock = (2, Ip, 128), (2, BI, 128)
 
     grid = (nP, K)
@@ -307,7 +308,18 @@ def bf_adjoint_tiled(x, tau_rx, tau_tx, del_tx, apod_tx, t0, t0_off,
     x = jnp.asarray(x)
     T, N, V = x.shape[:3]
     M = np.shape(tau_tx)[1]
+    # the XLA engine's fbins convention: negative entries are padding
+    # ("pad with -1 to skip") — drop them host-side (bin selection is
+    # shape-affecting anyway)
     sel_h = np.asarray(fbins, np.int64).reshape(-1)
+    sel_h = sel_h[sel_h >= 0]
+    if sel_h.size == 0:  # no bins selected -> zero image (XLA parity)
+        from ..utils.cpx import czeros
+
+        I = np.shape(tau_rx)[0]
+        oshape = (I, N) if keep == "rx" else ((I, V) if keep == "tx"
+                                              else (I,))
+        return czeros(oshape)
     sel = jnp.asarray(sel_h, jnp.int32)
     K = int(sel.shape[0])
     df = fs / T

@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.das import das
+from ..utils.backend import is_tpu_backend
 from ..ops.greens import greens_splat
 
 
@@ -440,7 +441,7 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
     pvs_j = jnp.asarray(arrays["pvs"])
     I1, I2, I3 = im_shape
     I2f = I2 * I3  # volumetric C-order flatten (prep_sharded)
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    on_tpu = is_tpu_backend()
 
     def run(xr, xi):
         if iq:
@@ -741,7 +742,7 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
         res.append(o)
     if nch == 1:
         return res[0]
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    on_tpu = is_tpu_backend()
     if out == "ri" or (out == "auto" and on_tpu):
         return jnp.stack(res, axis=-1)
     return (res[0] + 1j * res[1]).astype(jnp.complex64)
@@ -876,23 +877,33 @@ def bf_adjoint_sharded(mesh: Mesh, x, tau_rx, tau_tx, del_tx, apod_tx,
 
     if keep_rx and keep_tx:
         raise ValueError("keep_rx and keep_tx are mutually exclusive here")
+    if precision not in ("bf16", "f32"):
+        raise ValueError(f"precision {precision!r} not in bf16|f32")
     keep = "rx" if keep_rx else ("tx" if keep_tx else "")
     x = jnp.asarray(x)
     T, N, V = x.shape[:3]
     M = np.shape(tau_tx)[1]
     I = np.shape(tau_rx)[0]
     sel_h = np.asarray(fbins, np.int64).reshape(-1)
+    sel_h = sel_h[sel_h >= 0]  # the XLA engine's "-1 = skip" padding
+    if sel_h.size == 0:  # no bins -> zero image (XLA parity)
+        from ..utils.cpx import czeros
+
+        oshape = (I, N) if keep == "rx" else ((I, V) if keep == "tx"
+                                              else (I,))
+        return czeros(oshape)
     df = fs / T
     dfr = _uniform_df(sel_h, df)
     axes = tuple(mesh.axis_names)
     ndev = int(np.prod([mesh.shape[a] for a in axes]))
     pad = (-I) % ndev
-    BI = min(int(BI), (I + pad) // ndev)
+    import os
+    BI = min(int(os.environ.get("QUPS_ADJ_BI", BI)), (I + pad) // ndev)
 
     key = ("adj", tuple(mesh.shape.items()),
            tuple(id(d) for d in mesh.devices.flat), sel_h.tobytes(),
            (T, N, V, M, I), float(fs), float(fmod), keep, precision,
-           BI, bool(interpret))
+           BI, bool(interpret), dfr)
     f = _PLAN_CACHE.get(key)
     if f is None:
         f = _adjoint_sharded_jit(mesh, axes, sel_h=sel_h, T=T, N=N, V=V,

@@ -28,6 +28,7 @@ from .core.seq import Sequence
 from .core.xdc import Transducer, TransducerArray, TransducerConvex, TransducerMatrix
 from .ops.das import das, das_lut, delay_tables
 from .ops.greens import greens_dense, greens_splat
+from .utils.backend import is_tpu_backend
 from .utils.maths import box_rbounds
 
 
@@ -704,7 +705,7 @@ class UltrasoundSystem:
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
         if method == "auto":
             method = "cubic"
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        on_tpu = is_tpu_backend()
         from .ops.das_pallas import Fused
         base_ok = (all(isinstance(a, Fused) for a in apod_t)
                    and np.ndim(cinv) == 0 and chd.data.ndim == 3
@@ -755,7 +756,7 @@ class UltrasoundSystem:
                 # trailing axes into the kernel's 128-lane rows)
                 and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
                 and method in ("nearest", "linear", "cubic", "lanczos3")
-                and jax.devices()[0].platform not in ("cpu",))
+                and is_tpu_backend())
 
     def _das_block(self, chd: ChannelData, pv, nv, model, cinv, apod_t,
                    *, fmod, keep_tx, keep_rx, method, kernel, out,
@@ -764,7 +765,7 @@ class UltrasoundSystem:
         from .ops.das_pallas import Fused, das_tiled
         t0 = chd.t0_host
         fused_ok = all(isinstance(a, Fused) for a in apod_t)
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        on_tpu = is_tpu_backend()
         eligible = self._pallas_das_eligible(chd.data.ndim, apod_t, cinv,
                                              keep_rx, keep_tx, method)
         if (kernel == "auto" and on_tpu and cinv.ndim > 0 and not apod_t
@@ -899,7 +900,7 @@ class UltrasoundSystem:
         """
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        on_tpu = is_tpu_backend()
         if method == "auto":
             method = "cubic"
         # keep_rx & keep_tx (BF mode) and arbitrary trailing frame dims
@@ -1185,12 +1186,13 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
         tau_rx = geom_delays(pi32, prx, np.float32(1.0 / c0v))
         tau_tx = geom_delays(pi32, ptx, np.float32(1.0 / c0v))
         nb = 4 * int(tau_rx.size + tau_tx.size)
-        while _ADJ_TAU_CACHE and (sum(
-                4 * int(a.size + b.size)
-                for a, b in _ADJ_TAU_CACHE.values()) + nb
-                > _ADJ_TAU_CACHE_MAX_BYTES):
-            _ADJ_TAU_CACHE.pop(next(iter(_ADJ_TAU_CACHE)))
-        _ADJ_TAU_CACHE[tkey] = (tau_rx, tau_tx)
+        if nb <= _ADJ_TAU_CACHE_MAX_BYTES:  # 0 disables caching
+            while _ADJ_TAU_CACHE and (sum(
+                    4 * int(a.size + b.size)
+                    for a, b in _ADJ_TAU_CACHE.values()) + nb
+                    > _ADJ_TAU_CACHE_MAX_BYTES):
+                _ADJ_TAU_CACHE.pop(next(iter(_ADJ_TAU_CACHE)))
+            _ADJ_TAU_CACHE[tkey] = (tau_rx, tau_tx)
     else:
         tau_rx, tau_tx = cached
     del_tx = us.seq.delays(us.tx)          # (M, V)
@@ -1212,7 +1214,7 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
             keep = np.argsort(lev[sel])[::-1][:max_bins]
             sel = np.sort(sel[keep])
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    on_tpu = is_tpu_backend()
     use_pallas = kernel == "pallas" or (
         kernel == "auto" and on_tpu and chd.data.ndim == 3)
     if use_pallas:
@@ -1336,7 +1338,7 @@ def _bf_migration(us, chd, c0: Optional[float] = None, fmod: float = 0.0,
     # On TPU backends that cannot transfer complex across a program
     # boundary (utils/cpx contract), every device result rides an ri pair
     # and the complex image is assembled HOST-side (numpy).
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    on_tpu = is_tpu_backend()
     use_ri = out == "ri" or (out == "auto" and on_tpu)
     b = stolt_migration(chd.data, t0, del_tx, tuple(angles),
                         fs=float(chd.fs), c0=c0v, pitch=float(us.xdc.pitch),

@@ -1,4 +1,5 @@
 from .dataclasses import pytree_dataclass, static_field, field
+from .backend import is_tpu_backend
 from .cpx import ri_split, ri_join, to_host, to_device, to_device_ri
 from .profiling import trace, Timer, annotate
 from .maths import (
@@ -8,6 +9,7 @@ from .maths import (
 
 __all__ = [
     "pytree_dataclass", "static_field", "field",
+    "is_tpu_backend",
     "ri_split", "ri_join", "to_host", "to_device", "to_device_ri",
     "trace", "Timer", "annotate",
     "mod2db", "db2pow", "pow2db", "nan2zero", "rsqrt", "isalmostn",

@@ -184,3 +184,41 @@ def test_bf_adjoint_kernel_pallas_system():
     p = peak_pos(us, b)
     assert abs(p[0] - TARGET[0]) < TOL, p
     assert abs(p[2] - TARGET[2]) < TOL, p
+
+
+def test_bf_adjoint_tiled_bin_padding_and_empty():
+    """The XLA engine's fbins conventions carry over: -1 entries are
+    skipped (not wrapped to bin T-1), and an empty set returns zeros."""
+    from qups_tpu.ops.fdbf import bf_adjoint
+    from qups_tpu.ops.fdbf_pallas import bf_adjoint_tiled
+    from qups_tpu.parallel import bf_adjoint_sharded, make_mesh
+    import jax
+
+    rng = np.random.default_rng(5)
+    T, N, M, V, I = 64, 4, 4, 4, 24
+    x = rng.standard_normal((T, N, V)).astype(np.float32)
+    tau_rx = rng.uniform(0, 2e-6, (I, N)).astype(np.float32)
+    tau_tx = rng.uniform(0, 2e-6, (I, M)).astype(np.float32)
+    del_tx = rng.uniform(0, 3e-7, (M, V)).astype(np.float32)
+    apod = rng.standard_normal((M, V)).astype(np.float32)
+    t0 = np.zeros(V, np.float32)
+    fs = 40e6
+    args = (x, tau_rx, tau_tx, del_tx, apod, t0, t0)
+    padded = np.array([5, 6, 7, -1, -1], np.int32)
+    b0 = np.asarray(bf_adjoint(*args, padded, fs=fs))
+    b1 = np.asarray(bf_adjoint_tiled(*args, padded, fs=fs,
+                                     precision="f32", BI=8,
+                                     interpret=True))
+    rel = np.linalg.norm(b1 - b0) / np.linalg.norm(b0)
+    assert rel < 2e-4, rel
+    # empty set -> zeros, same shape as the XLA engine's
+    be = np.asarray(bf_adjoint_tiled(*args, np.zeros(0, np.int32), fs=fs,
+                                     interpret=True))
+    assert be.shape == (I,) and not be.any()
+    mesh = make_mesh(jax.devices(), axes=("rx", "tx"))
+    bs = np.asarray(bf_adjoint_sharded(mesh, *args, np.zeros(0, np.int32),
+                                       fs=fs, interpret=True))
+    assert bs.shape == (I,) and not bs.any()
+    with pytest.raises(ValueError):
+        bf_adjoint_sharded(mesh, *args, padded, fs=fs, precision="fp32",
+                           interpret=True)

@@ -41,8 +41,6 @@ for a in (sys.argv[2:] or ["pallas_bf16", "pallas_f32", "xla"]):
         run("pallas_bf16", lambda: bf_adjoint_tiled(*args, fs=fs, precision="bf16"))
     elif a == "pallas_f32":
         run("pallas_f32", lambda: bf_adjoint_tiled(*args, fs=fs, precision="f32"))
-    elif a == "pallas_f32x3":
-        run("pallas_f32x3", lambda: bf_adjoint_tiled(*args, fs=fs, precision="f32x3"))
     elif a.startswith("bi"):
         bi = int(a[2:])
         run(f"pallas_bf16_BI{bi}", lambda: bf_adjoint_tiled(*args, fs=fs, precision="bf16", BI=bi))
