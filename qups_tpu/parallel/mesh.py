@@ -872,6 +872,28 @@ def bf_adjoint_sharded(mesh: Mesh, x, tau_rx, tau_tx, del_tx, apod_tx,
     as ONE jitted program cached per (mesh, shapes, bins, statics) —
     an eager shard_map re-traces per call (measured 11 s vs the 0.6 s
     kernel at the headline config).
+
+    Example:
+        import jax
+        import numpy as np
+        from qups_tpu.parallel import make_mesh, bf_adjoint_sharded
+        rng = np.random.default_rng(0)
+        T, N, M, V, I = 64, 4, 4, 4, 24
+        x = rng.standard_normal((T, N, V)).astype(np.float32)
+        tau_rx = rng.uniform(0, 2e-6, (I, N)).astype(np.float32)
+        tau_tx = rng.uniform(0, 2e-6, (I, M)).astype(np.float32)
+        del_tx = np.zeros((M, V), np.float32)
+        apod = np.eye(M, dtype=np.float32)
+        mesh = make_mesh(jax.devices(), axes=("rx", "tx"))
+        interp = jax.devices()[0].platform == "cpu"
+        b = bf_adjoint_sharded(
+            mesh, x, tau_rx, tau_tx, del_tx, apod,
+            np.zeros(V, np.float32), np.zeros(V, np.float32),
+            np.arange(4, 12, dtype=np.int32), fs=20e6,
+            precision="f32", BI=8, interpret=interp)
+        assert b.shape == (I,)
+        assert np.isfinite(np.abs(np.asarray(jax.jit(
+            lambda v: abs(v))(b)))).all()
     """
     from ..ops.fdbf_pallas import _uniform_df
 
