@@ -1215,25 +1215,39 @@ def _bf_adjoint(us, chd, apod=(), fmod: float = 0.0, c0: Optional[float] = None,
             sel = np.sort(sel[keep])
 
     on_tpu = is_tpu_backend()
-    use_pallas = kernel == "pallas" or (
-        kernel == "auto" and on_tpu and chd.data.ndim == 3)
-    if use_pallas:
-        from .ops.fdbf_pallas import bf_adjoint_tiled
-        b = bf_adjoint_tiled(chd.data, tau_rx, tau_tx, del_tx, apod_tx,
-                             chd.t0_host, t0_off, sel.astype(np.int32),
-                             fs=float(chd.fs), fmod=float(fmod),
-                             keep_rx=keep_rx, keep_tx=keep_tx,
-                             precision=precision, interpret=not on_tpu)
+    use_pallas = kernel == "pallas" or (kernel == "auto" and on_tpu)
+
+    def engine(x3):
+        if use_pallas:
+            from .ops.fdbf_pallas import bf_adjoint_tiled
+            return bf_adjoint_tiled(
+                x3, tau_rx, tau_tx, del_tx, apod_tx, chd.t0_host, t0_off,
+                sel.astype(np.int32), fs=float(chd.fs), fmod=float(fmod),
+                keep_rx=keep_rx, keep_tx=keep_tx, precision=precision,
+                interpret=not on_tpu)
+        return bf_adjoint(
+            x3, tau_rx, tau_tx, del_tx, apod_tx, chd.t0_host, t0_off,
+            sel.astype(np.int32), fs=float(chd.fs), fmod=float(fmod),
+            keep_rx=keep_rx, keep_tx=keep_tx)
+
+    data = chd.data
+    if data.ndim > 3:
+        # trailing frame dims (F...) fold to one axis; each frame reuses
+        # the compiled engine (kern/das_spec.m:180-181's F threading)
+        fdims = data.shape[3:]
+        dataF = data.reshape(data.shape[:3] + (-1,))
+        b = jnp.stack([engine(dataF[..., f])
+                       for f in range(dataF.shape[-1])], axis=-1)
+        b = b.reshape(b.shape[:-1] + fdims)
+        ftail = fdims
     else:
-        b = bf_adjoint(chd.data, tau_rx, tau_tx, del_tx, apod_tx,
-                       chd.t0_host, t0_off, sel.astype(np.int32),
-                       fs=float(chd.fs), fmod=float(fmod),
-                       keep_rx=keep_rx, keep_tx=keep_tx)
+        b = engine(data)
+        ftail = ()
     if keep_rx:
-        return b.reshape(us.scan.shape + (chd.N, 1))
+        return b.reshape(us.scan.shape + (chd.N, 1) + ftail)
     if keep_tx:
-        return b.reshape(us.scan.shape + (1, chd.M))
-    return b.reshape(us.scan.shape + (1, 1))
+        return b.reshape(us.scan.shape + (1, chd.M) + ftail)
+    return b.reshape(us.scan.shape + (1, 1) + ftail)
 
 
 def self_c0(us) -> float:

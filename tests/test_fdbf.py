@@ -222,3 +222,28 @@ def test_bf_adjoint_tiled_bin_padding_and_empty():
     with pytest.raises(ValueError):
         bf_adjoint_sharded(mesh, *args, padded, fs=fs, precision="fp32",
                            interpret=True)
+
+
+def test_bf_adjoint_frames():
+    """Trailing frame dims (F...) thread through bfAdjoint per-frame
+    (kern/das_spec.m:180-181's F convention) and match the 3-D call."""
+    seq = q.Sequence(type="FSA", numpulse=32, c0=C0)
+    us = make_us(seq)
+    scat = q.Scatterers(pos=TARGET.reshape(3, 1), c0=C0)
+    chd = us.greens(scat)
+    x4 = np.stack([np.asarray(chd.data)] * 2, axis=-1)  # (T, N, M, 2)
+    x4[..., 1] *= 2.0
+    chd4 = q.ChannelData(data=x4, fs=chd.fs, t0=chd.t0_host)
+    b4 = np.asarray(us.bfAdjoint(chd4, fthresh_db=-30))
+    b1 = np.asarray(us.bfAdjoint(chd, fthresh_db=-30))
+    assert b4.shape == b1.shape + (2,)
+    np.testing.assert_allclose(np.abs(b4[..., 0]), np.abs(b1),
+                               rtol=2e-3, atol=1e-8)
+    np.testing.assert_allclose(np.abs(b4[..., 1]), 2 * np.abs(b1),
+                               rtol=2e-3, atol=1e-8)
+    # 5-D (F1, F2) unfolds on return
+    x5 = x4.reshape(x4.shape[:3] + (2, 1))
+    chd5 = q.ChannelData(data=x5, fs=chd.fs, t0=chd.t0_host)
+    b5 = np.asarray(us.bfAdjoint(chd5, fthresh_db=-30, kernel="pallas",
+                                 precision="f32"))
+    assert b5.shape == b1.shape + (2, 1)
