@@ -1,0 +1,108 @@
+"""Single-chip degenerate measurements of the SHARDED compositions.
+
+Usage:  python tools/measure_sharded.py [lut|adjoint]
+
+'lut'     — das_lut_sharded_pallas on a 1-device mesh at the full
+            1024^2 x 256x256 config (linear, bf16pair, summed output).
+            The sharded LUT path carries per-shard lut_tiles packed
+            bounds; single-chip it should match the plain das_lut_tiled
+            lut_tiles rate (0.717 s / 9.6e10 sums/s, NOTES.md).
+'adjoint' — bf_adjoint_sharded on a 1-device mesh at the adjoint
+            headline config (1024^2 px, 256x256, 64 bins, bf16);
+            the plain fused engine measured 0.58 s kernel (NOTES.md).
+
+Solo-process timings only (NOTES.md). Tables upload once (plan cache +
+device-resident arrays); the first call pays upload + compile.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from qups_tpu.parallel import make_mesh  # noqa: E402
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "lut"
+dev = jax.devices()[0]
+interp = dev.platform == "cpu"
+n = 1024 if not interp else 64
+T, N, M = (4096, 256, 256) if not interp else (512, 16, 8)
+c0 = 1540.0
+rng = np.random.default_rng(0)
+
+xs = np.linspace(-12e-3, 12e-3, n)
+zs = np.linspace(5e-3, 45e-3, n)
+Z, X = np.meshgrid(zs, xs, indexing="ij")
+pi = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()], -1).astype(np.float32)
+pr = np.stack([np.linspace(-12e-3, 12e-3, N), np.zeros(N), np.zeros(N)],
+              -1).astype(np.float32)
+th = np.radians(np.linspace(-9, 9, M))
+nv = np.stack([np.sin(th), np.zeros(M), np.cos(th)], -1).astype(np.float32)
+tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
+          / c0).astype(np.float32)
+tau_tx = (pi @ nv.T / c0 + 2 * 5e-3 / c0).astype(np.float32)
+x = rng.standard_normal((T, N, M)).astype(np.float32)
+
+print(json.dumps({"phase": "start", "mode": mode, "device": str(dev),
+                  "shapes": [T, N, M, n]}), flush=True)
+mesh = make_mesh([dev], axes=("rx", "tx"))
+t_up = time.time()
+xj = jnp.asarray(x)  # device-resident ONCE (tunnel re-upload trap)
+taur_j = jnp.asarray(tau_rx)
+taut_j = jnp.asarray(tau_tx)
+jax.block_until_ready((xj, taur_j, taut_j))
+print(json.dumps({"phase": "uploaded", "s": time.time() - t_up,
+                  "GB": (x.nbytes + tau_rx.nbytes + tau_tx.nbytes) / 1e9}),
+      flush=True)
+
+if mode == "lut":
+    from qups_tpu.parallel import das_lut_sharded_pallas
+
+    def run():
+        b = das_lut_sharded_pallas(
+            mesh, xj, taur_j, taut_j, np.zeros(M, np.float32),
+            fs=31.25e6, im_shape=(n, n, 1), method="linear",
+            interpret=interp, precision="bf16pair" if not interp else "f32")
+        return float(jnp.sum(b))
+    work = n * n * N * M
+    unit = "sums_per_s"
+elif mode == "adjoint":
+    from qups_tpu.parallel import bf_adjoint_sharded
+
+    K = 64 if not interp else 8
+    kf0 = T // 8
+    fbins = np.arange(kf0, kf0 + K, dtype=np.int32)
+    del_tx = np.zeros((M, M), np.float32)
+    apod_tx = np.eye(M, dtype=np.float32)
+    t0v = np.full(M, 2 * 5e-3 / c0, np.float32)
+
+    def run():
+        b = bf_adjoint_sharded(
+            mesh, xj, taur_j, taut_j, del_tx, apod_tx, t0v,
+            np.zeros(M, np.float32), fbins, fs=31.25e6,
+            precision="bf16" if not interp else "f32", interpret=interp)
+        return float(jnp.sum(jnp.abs(b)))
+    work = n * n * len(fbins)
+    unit = "pixbins_per_s"
+else:
+    raise SystemExit(f"unknown mode {mode!r}")
+
+t0c = time.time()
+chk = run()
+compile_s = time.time() - t0c
+print(json.dumps({"phase": "compiled+first-run", "s": compile_s}),
+      flush=True)
+times = []
+for _ in range(2):
+    t1 = time.time()
+    run()
+    times.append(time.time() - t1)
+dt = min(times)
+print(json.dumps({
+    "bench": "sharded_1dev", "mode": mode, "s_per_frame": dt,
+    unit: work / dt, "compile_s": compile_s, "check": chk,
+    "device": str(dev)}))
