@@ -503,6 +503,43 @@ def test_das_lut_sharded_pallas(kw):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
+def test_das_lut_sharded_pallas_eager_plan_cache():
+    """Repeated eager das_lut_sharded_pallas calls with the same tables
+    reuse the cached plan — no re-plan (a re-plan re-downloads/re-tiles/
+    re-uploads ~2 GB of tables at the full config: measured 98 s/call)."""
+    import jax
+    from qups_tpu.parallel import make_mesh, das_lut_sharded_pallas
+    from qups_tpu.parallel import mesh as mesh_mod
+
+    x, pi, pr, pv, nv, t0 = _shard_problem()
+    mesh = make_mesh(jax.devices()[:8], axes=("rx", "tx"), shape=(4, 2))
+    tau_rx = (np.linalg.norm(pi[:, None, :] - pr[None], axis=-1)
+              / 1540.0).astype(np.float32)
+    tau_tx = (pi @ nv.T / 1540.0).astype(np.float32)
+    calls = {"n": 0}
+    orig = mesh_mod.das_lut_sharded_pallas_plan
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    mesh_mod.das_lut_sharded_pallas_plan, bak = counting, orig
+    try:
+        mesh_mod._PLAN_CACHE.clear()
+        a1 = np.asarray(das_lut_sharded_pallas(
+            mesh, x, tau_rx, tau_tx, t0, fs=4e6, interpret=True))
+        a2 = np.asarray(das_lut_sharded_pallas(
+            mesh, 2 * x, tau_rx, tau_tx, t0, fs=4e6, interpret=True))
+        assert calls["n"] == 1  # second call hit the cache
+        # different statics -> new plan
+        das_lut_sharded_pallas(mesh, x, tau_rx, tau_tx, t0, fs=4e6,
+                               interpret=True, method="nearest")
+        assert calls["n"] == 2
+    finally:
+        mesh_mod.das_lut_sharded_pallas_plan = bak
+    assert np.allclose(a2, 2 * a1, atol=1e-4 * np.abs(a1).max())
+
+
 def test_das_sharded_pallas_single_axis_mesh():
     """A mesh with only an 'rx' axis (the 1-chip sharding-tax config,
     QUPS_BENCH_MESH=rx1) compiles and matches."""
