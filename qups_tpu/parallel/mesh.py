@@ -487,7 +487,7 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
     return apply
 
 
-_ARRAY_HASH_MEMO = None  # lazy WeakKeyDictionary: jax.Array -> digest
+_ARRAY_HASH_MEMO: dict = {}  # id(jax.Array) -> digest; evicted by finalizer
 
 
 def _array_digest(a) -> bytes:
@@ -495,29 +495,27 @@ def _array_digest(a) -> bytes:
     the other side of the tunnel, so the digest is memoized per object —
     jax arrays are immutable, making object identity a sound cache key;
     repeated-frame loops then never pay the device->host copy again.
-    Host numpy arrays hash directly (cheap) and are NOT memoized (they
-    are mutable)."""
-    global _ARRAY_HASH_MEMO
+    jax Arrays are UNhashable, so the memo is keyed by ``id(a)`` in a
+    plain dict with a ``weakref.finalize`` evicting the entry when the
+    array dies (id reuse is otherwise unsound). Host numpy arrays hash
+    directly (cheap) and are NOT memoized (they are mutable)."""
     import hashlib
     is_dev = isinstance(a, jnp.ndarray) and not isinstance(a, np.ndarray)
     if is_dev:
-        if _ARRAY_HASH_MEMO is None:
-            import weakref
-            _ARRAY_HASH_MEMO = weakref.WeakKeyDictionary()
-        try:
-            hit = _ARRAY_HASH_MEMO.get(a)
-        except TypeError:  # un-weakref-able
-            hit = None
+        hit = _ARRAY_HASH_MEMO.get(id(a))
         if hit is not None:
             return hit
     ah = np.asarray(a)
     d = hashlib.sha1(str((ah.dtype.str, ah.shape)).encode()
                      + np.ascontiguousarray(ah).tobytes()).digest()
     if is_dev:
+        import weakref
         try:
-            _ARRAY_HASH_MEMO[a] = d
-        except TypeError:
+            weakref.finalize(a, _ARRAY_HASH_MEMO.pop, id(a), None)
+        except TypeError:  # un-weakref-able: never memoize (id may recycle)
             pass
+        else:
+            _ARRAY_HASH_MEMO[id(a)] = d
     return d
 
 
@@ -546,6 +544,22 @@ def _content_key(*items):
 
 _PLAN_CACHE: dict = {}
 _PLAN_CACHE_MAX = 8
+
+
+def _plan_cache_get(key):
+    """LRU lookup: a hit moves the plan to the back of the eviction
+    order so hot plans (which can close over multi-GB padded device
+    tables) outlive stale ones."""
+    hit = _PLAN_CACHE.pop(key, None)
+    if hit is not None:
+        _PLAN_CACHE[key] = hit
+    return hit
+
+
+def _plan_cache_put(key, val):
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:  # LRU eviction
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = val
 
 
 def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
@@ -579,7 +593,7 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
         interpret, precision, method, tuple(apod), orientations, lat,
         keep_rx, keep_tx, fmod, out, post,
         tuple(np.atleast_1d(lags).tolist()) if lags is not None else None)
-    apply = _PLAN_CACHE.get(key)
+    apply = _plan_cache_get(key)
     if apply is None:
         apply = das_sharded_pallas_plan(
             mesh, pi, pr, pv, nv, t0, cinv, fs=fs, T=T, N=N, M=M, Fn=Fn,
@@ -587,9 +601,7 @@ def das_sharded_pallas(mesh: Mesh, x, pi, pr, pv, nv, t0, cinv, *,
             interpret=interpret, precision=precision, method=method,
             apod=apod, orientations=orientations, lat=lat, keep_rx=keep_rx,
             keep_tx=keep_tx, fmod=fmod, out=out, post=post, lags=lags)
-        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:  # FIFO eviction
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[key] = apply
+        _plan_cache_put(key, apply)
     if cplx:
         if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
             xh = np.asarray(x)
@@ -800,16 +812,14 @@ def das_lut_sharded_pallas(mesh: Mesh, x, tau_rx, tau_tx, t0, *, fs: float,
         tuple(im_shape) if im_shape is not None else None,
         interpret, precision, method, keep_rx, keep_tx, fmod, out, post,
         tuple(np.atleast_1d(lags).tolist()) if lags is not None else None)
-    apply = _PLAN_CACHE.get(key)
+    apply = _plan_cache_get(key)
     if apply is None:
         apply = das_lut_sharded_pallas_plan(
             mesh, tau_rx, tau_tx, t0, fs=fs, T=T, N=N, M=M, iq=cplx,
             im_shape=im_shape, method=method, keep_rx=keep_rx,
             keep_tx=keep_tx, fmod=fmod, interpret=interpret,
             precision=precision, out=out, post=post, lags=lags)
-        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:  # FIFO eviction
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[key] = apply
+        _plan_cache_put(key, apply)
     if cplx:
         if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
             xh = np.asarray(x)
@@ -999,16 +1009,14 @@ def bf_adjoint_sharded(mesh: Mesh, x, tau_rx, tau_tx, del_tx, apod_tx,
            tuple(id(d) for d in mesh.devices.flat), sel_h.tobytes(),
            (T, N, V, M, I), float(fs), float(fmod), keep, precision,
            BI, bool(interpret), dfr)
-    f = _PLAN_CACHE.get(key)
+    f = _plan_cache_get(key)
     if f is None:
         f = _adjoint_sharded_jit(mesh, axes, sel_h=sel_h, T=T, N=N, V=V,
                                  M=M, I=I, pad=pad, fs=float(fs),
                                  fmod=float(fmod), keep=keep,
                                  precision=precision, BI=BI, dfr=dfr,
                                  interpret=interpret)
-        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[key] = f
+        _plan_cache_put(key, f)
     return f(x, jnp.asarray(tau_rx, jnp.float32),
              jnp.asarray(tau_tx, jnp.float32),
              jnp.asarray(del_tx, jnp.float32),

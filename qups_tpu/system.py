@@ -548,7 +548,7 @@ class UltrasoundSystem:
             c0: Optional[Union[float, np.ndarray]] = None,
             keep_tx: bool = False, keep_rx: bool = False,
             method: str = "auto", kernel: str = "auto", out: str = "auto",
-            precision: str = "f32", bsize: Optional[int] = None):
+            precision: str = "auto", bsize: Optional[int] = None):
         """Compute-optimized delay-and-sum beamformer
         (``UltrasoundSystem.DAS``, ``UltrasoundSystem.m:3172-3372``).
 
@@ -573,10 +573,13 @@ class UltrasoundSystem:
         ri-format image ``(..., 2)`` on TPU Pallas paths and a complex
         image elsewhere (see ``qups_tpu/utils/cpx.py``).
 
-        ``precision``: 'f32' | 'bf16pair' (Pallas path only). 'bf16pair'
-        stores traces as packed bf16 tap pairs so both linear-interp taps
-        ride one 32-bit gather — the TPU analog of the reference's half2
-        trace mode (``bf.cu:170``); ~0.2% max rel error, ~10% faster.
+        ``precision``: 'auto' | 'f32' | 'bf16pair'. 'bf16pair' stores
+        traces as packed bf16 tap pairs so both interp taps ride one
+        32-bit gather — the TPU analog of the reference's half2 trace
+        mode (``bf.cu:170``); ~0.2% max rel error, ~10% faster. 'auto'
+        (default) resolves to 'bf16pair' on the TPU Pallas fast path —
+        the published benchmark mode — and 'f32' everywhere else; pass
+        'f32' explicitly for full-precision traces.
 
         ``bsize``: if set, stream the traces through the device ``bsize``
         transmits at a time, keeping the full data host-resident and
@@ -790,7 +793,8 @@ class UltrasoundSystem:
             tau_tx = np.asarray(dv * cv)
             return self.bfDASLUT(chd, tau_rx, tau_tx, fmod=fmod,
                                  keep_tx=keep_tx, keep_rx=keep_rx,
-                                 method=method, out=out)
+                                 method=method, out=out,
+                                 precision=precision)
         if kernel == "auto" and on_tpu and not eligible:
             import warnings
             warnings.warn(
@@ -800,6 +804,11 @@ class UltrasoundSystem:
                 f" method={method!r}); this is ~100x slower on TPU",
                 stacklevel=2)
         if kernel == "pallas" or (kernel == "auto" and eligible):
+            if precision == "auto":
+                # the headline benchmark mode: packed bf16 tap pairs on
+                # the TPU Pallas path (~0.2% max rel err, ~10% faster —
+                # ``bf.cu:170``'s half-trace mode analog); f32 elsewhere
+                precision = "bf16pair" if on_tpu else "f32"
             if out == "auto":
                 out = "ri" if on_tpu else "complex"
             th, _, _, _, _ = self.rx.orientations()
@@ -869,7 +878,8 @@ class UltrasoundSystem:
     def bfDASLUT(self, chd: ChannelData, tau_rx, tau_tx, apod=(),
                  fmod: float = 0.0, keep_tx: bool = False,
                  keep_rx: bool = False, method: str = "auto",
-                 kernel: str = "auto", out: str = "auto"):
+                 kernel: str = "auto", out: str = "auto",
+                 precision: str = "auto"):
         """Beamform from arbitrary rx/tx delay tables — the "bring your own
         delays" API (``UltrasoundSystem.bfDASLUT``,
         ``UltrasoundSystem.m:4476-4673``).
@@ -880,6 +890,10 @@ class UltrasoundSystem:
         tables — all four samplers in-kernel); everything else uses the
         XLA ``das_lut`` path. ``kernel``: 'auto' | 'pallas' | 'xla'.
         ``method='auto'`` resolves to 'cubic', the reference default.
+        ``precision``: 'auto' | 'f32' | 'bf16pair' — 'auto' resolves to
+        'bf16pair' (packed bf16 tap pairs, ~0.2% max rel err, the
+        published benchmark mode) on the TPU fast path (see
+        :meth:`DAS`).
 
         Example:
             import numpy as np
@@ -915,10 +929,13 @@ class UltrasoundSystem:
             from .ops.das_pallas import das_lut_tiled
             if out == "auto":
                 out = "ri" if on_tpu else "complex"
+            if precision == "auto":
+                # headline benchmark mode on TPU (see :meth:`DAS`)
+                precision = "bf16pair" if on_tpu else "f32"
             img = das_lut_tiled(chd.data, tau_rx, tau_tx, t0,
                                 fs=float(chd.fs), fmod=float(fmod),
                                 keep_rx=keep_rx, keep_tx=keep_tx,
-                                method=method,
+                                method=method, precision=precision,
                                 im_shape=tuple(self.scan.shape), out=out)
         else:
             img = das_lut(chd.data, tau_rx, tau_tx, t0, fs=float(chd.fs),

@@ -60,14 +60,21 @@ print(json.dumps({"phase": "uploaded", "s": time.time() - t_up,
       flush=True)
 
 if mode == "lut":
-    from qups_tpu.parallel import das_lut_sharded_pallas
+    # Plan ONCE outside the timed loop (table tiling + upload happen
+    # here); time apply(x) only — the eager wrapper's content key would
+    # otherwise put table hashing inside the loop on a cold memo.
+    from qups_tpu.parallel import das_lut_sharded_pallas_plan
+
+    t_pl = time.time()
+    apply_lut = das_lut_sharded_pallas_plan(
+        mesh, taur_j, taut_j, np.zeros(M, np.float32),
+        fs=31.25e6, T=T, N=N, M=M, im_shape=(n, n, 1), method="linear",
+        interpret=interp, precision="bf16pair" if not interp else "f32")
+    print(json.dumps({"phase": "planned", "s": time.time() - t_pl}),
+          flush=True)
 
     def run():
-        b = das_lut_sharded_pallas(
-            mesh, xj, taur_j, taut_j, np.zeros(M, np.float32),
-            fs=31.25e6, im_shape=(n, n, 1), method="linear",
-            interpret=interp, precision="bf16pair" if not interp else "f32")
-        return float(jnp.sum(b))
+        return float(jnp.sum(apply_lut(xj)))
     work = n * n * N * M
     unit = "sums_per_s"
 elif mode == "adjoint":
