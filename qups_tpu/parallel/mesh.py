@@ -1060,3 +1060,74 @@ def _adjoint_sharded_jit(mesh, axes, *, sel_h, T, N, V, M, I, pad, fs,
         return _join(out)
 
     return run
+
+
+def fdtd_sharded(mesh: Mesh, c, rho, src_idx, src_sig_tx, *, steps: int,
+                 dt: float, dx: float, c_ref: float, record_rows,
+                 alpha0=None, alpha_power: float = 1.5, bona=None,
+                 axis: str = "tx"):
+    """Transmit-sharded PSTD full-wave simulation: the reference's primary
+    cluster axis for k-Wave-class sims is a parfor over transmits
+    (``UltrasoundSystem.m:2648``, one sim per pulse); the mesh-native
+    analog shards the transmit axis and runs the k-space stepper
+    (:func:`qups_tpu.sim.fdtd.kspace_sim_2d` / ``_3d``) sequentially per
+    local transmit (``lax.map`` — one live field per device), with ZERO
+    collectives: property maps and source nodes replicate, only the
+    (Mtx, steps, Q) per-transmit source signals shard.
+
+    Args:
+      c, rho: (Nz, Nx[, Ny]) property maps (PML included).
+      src_idx: (nd, Q) int source node indices — the UNION of source
+        nodes across transmits (inactive nodes carry zero signal).
+      src_sig_tx: (Mtx, steps, Q) per-transmit source signals; sharded
+        over ``axis`` (zero-padded to the axis size, cropped on return).
+      remaining args as :func:`qups_tpu.sim.fdtd.kspace_sim_2d`.
+
+    Returns (Mtx, steps, R, Nx[, Ny]) recorded pressure, tx-sharded.
+
+    Example:
+        import jax, numpy as np
+        from qups_tpu.parallel import make_mesh, fdtd_sharded
+        c = np.full((64, 64), 1500.0); rho = np.full((64, 64), 1000.0)
+        sig = np.zeros((3, 40, 2), np.float32); sig[:, 5, :] = 1.0
+        idx = np.array([[20, 20], [30, 34]])
+        mesh = make_mesh(jax.devices()[:2], axes=("tx",))
+        rec = fdtd_sharded(mesh, c, rho, idx, sig, steps=40, dt=4e-8,
+                           dx=2e-4, c_ref=1500.0, record_rows=(40,))
+        assert rec.shape == (3, 40, 1, 64)
+    """
+    from ..sim.fdtd import kspace_sim_2d, kspace_sim_3d
+
+    shard_map = jax.shard_map
+    vol = np.ndim(c) == 3
+    sig = np.asarray(src_sig_tx, np.float32)
+    Mtx = sig.shape[0]
+    ntx = mesh.shape.get(axis, 1)
+    pm = (-Mtx) % ntx
+    if pm:
+        sig = np.pad(sig, ((0, pm),) + ((0, 0),) * (sig.ndim - 1))
+    idx = np.asarray(src_idx)
+    kw = dict(steps=int(steps), dt=float(dt), dx=float(dx),
+              c_ref=float(c_ref),
+              record_rows=tuple(int(r) for r in record_rows),
+              alpha_power=float(alpha_power))
+    cj = jnp.asarray(c, jnp.float32)
+    rj = jnp.asarray(rho, jnp.float32)
+    aj = None if alpha0 is None else jnp.asarray(alpha0, jnp.float32)
+    bj = None if bona is None else jnp.asarray(bona, jnp.float32)
+
+    def local(cl, rl, sig_l):
+        def one(s):
+            if vol:
+                return kspace_sim_3d(cl, rl, idx, s, alpha0=aj, bona=bj,
+                                     **kw)
+            return kspace_sim_2d(cl, rl, jnp.asarray(idx[0]),
+                                 jnp.asarray(idx[1]), s, alpha0=aj,
+                                 bona=bj, **kw)
+        return jax.lax.map(one, sig_l)
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(), P(), P(axis)),
+                  out_specs=P(axis), check_vma=False)
+    rec = jax.jit(f)(cj, rj, jnp.asarray(sig))
+    return rec[:Mtx]

@@ -1638,7 +1638,7 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
                         tmax: Optional[float] = None,
                         el_proj: str = "nearest", el_sub: int = 0,
                         record: str = "elements", field_stride: int = 8,
-                        bg_subtract: bool = False):
+                        bg_subtract: bool = False, mesh=None):
     """Full-wave simulation through a heterogeneous Medium via the native
     k-space PSTD stepper (``UltrasoundSystem.kspaceFirstOrder``,
     ``src/UltrasoundSystem.m:2458-3170``): builds the grid + PML, a
@@ -1672,7 +1672,13 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
     second simulation per transmit through the iso-impedance ambient medium
     (``c0``/``rho0`` everywhere) and subtracts it, isolating the scattered
     field — the reference's background-subtraction option
-    (``UltrasoundSystem.m:2555``)."""
+    (``UltrasoundSystem.m:2555``).
+
+    ``mesh``: optional :class:`jax.sharding.Mesh` with a 'tx' axis — the
+    per-transmit simulations shard over it
+    (:func:`qups_tpu.parallel.fdtd_sharded`; the reference's parfor over
+    transmits, ``UltrasoundSystem.m:2648``). ``record='elements'`` only;
+    'field' mode falls back to the sequential loop."""
     from .sim.fdtd import kspace_sim_2d
 
     if el_proj in ("karray-direct", "karray-depend"):
@@ -1830,14 +1836,12 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
             cols.append(v @ w_)
         return np.stack(cols, axis=1)  # (steps, N)
 
-    chds = []
-    fields = []
-    for v in range(M):
+    def tx_sources(v):
+        """Per-transmit raw source node/signal assembly (pre-dedup)."""
         act = np.where(np.abs(apod[:, v]) > 0)[0]
         maxdel = float(delays[act, v].max()) if act.size else 0.0
         t0_sim = -maxdel + wv.t0
         s = np.arange(steps) * dt
-        # assemble the (deduplicated) source node set with weighted signals
         all_nodes = []
         all_sig = []
         for n in act:
@@ -1846,8 +1850,48 @@ def _kspace_first_order(us, medium, cgrd: Optional[ScanCartesian] = None,
             nodes_, w_ = tx_proj[n]
             all_nodes.append(nodes_)
             all_sig.append(sn[:, None] * w_[None, :])
-        nodes_cat = np.concatenate(all_nodes, 0)
-        sig_cat = np.concatenate(all_sig, 1)  # (steps, Qall)
+        return (np.concatenate(all_nodes, 0),
+                np.concatenate(all_sig, 1).astype(np.float32), t0_sim)
+
+    chds = []
+    fields = []
+    if mesh is not None and not want_field:
+        # transmit-sharded path: one UNION source-node set across all
+        # transmits (inactive nodes carry zero signal, contributing
+        # nothing) so the per-tx programs are shape-uniform for shard_map
+        from .parallel import fdtd_sharded
+
+        per = [tx_sources(v) for v in range(M)]
+        uniq = np.unique(np.concatenate([p[0] for p in per], 0), axis=0)
+        qof = {tuple(u): i for i, u in enumerate(uniq)}
+        sig_tx = np.zeros((M, steps, uniq.shape[0]), np.float32)
+        for v, (nodes_v, sig_v, _) in enumerate(per):
+            cols = np.array([qof[tuple(r)] for r in nodes_v], int)
+            np.add.at(sig_tx[v].T, cols, sig_v.T)
+        kwm = dict(steps=steps, dt=dt, dx=h, c_ref=cmax,
+                   record_rows=rec_rows, axis="tx",
+                   alpha_power=float(medium.alpha_power))
+        rec_all = np.asarray(fdtd_sharded(
+            mesh, cmap, rmap, uniq.T, sig_tx, alpha0=phys["alpha0"],
+            bona=phys["bona"], **kwm))
+        if bg_subtract:
+            a_bg = b_bg = None
+            if phys["alpha0"] is not None:
+                a_bg = np.full_like(
+                    cmap, float(np.nan_to_num(medium.alpha0)))
+            if phys["bona"] is not None:
+                b_bg = np.full_like(
+                    cmap, float(np.nan_to_num(medium.bona0)))
+            rec_all = rec_all - np.asarray(fdtd_sharded(
+                mesh, cmap_bg, rmap_bg, uniq.T, sig_tx, alpha0=a_bg,
+                bona=b_bg, **kwm))
+        for v in range(M):
+            chds.append((sense(rec_all[v])[::k], per[v][2]))
+        M_done = True
+    else:
+        M_done = False
+    for v in range(M) if not M_done else ():
+        nodes_cat, sig_cat, t0_sim = tx_sources(v)
         uniq, inv = np.unique(nodes_cat, axis=0, return_inverse=True)
         sig = np.zeros((steps, uniq.shape[0]), np.float32)
         np.add.at(sig.T, inv, sig_cat.T.astype(np.float32))

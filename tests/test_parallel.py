@@ -611,3 +611,54 @@ def test_bf_adjoint_sharded_matches_single(mode):
     assert b1.shape == b0.shape
     rel = np.linalg.norm(b1 - b0) / np.linalg.norm(b0)
     assert rel < 2e-4, (mode, rel)
+
+
+def test_fdtd_sharded_matches_single():
+    """Transmit-sharded PSTD sim == per-transmit loop (the reference's
+    parfor-over-transmits axis, UltrasoundSystem.m:2648), including a
+    non-divisible transmit count (padding transmits cropped)."""
+    from qups_tpu.parallel import fdtd_sharded
+    from qups_tpu.sim.fdtd import kspace_sim_2d
+
+    rng = np.random.default_rng(5)
+    c = np.full((64, 64), 1500.0, np.float32)
+    rho = np.full((64, 64), 1000.0, np.float32)
+    rho[40:44, 30:34] = 2000.0  # a scatterer so the field is non-trivial
+    Mtx, steps, Q = 5, 48, 3  # 5 % 4 != 0: exercises the tx padding
+    sig = rng.standard_normal((Mtx, steps, Q)).astype(np.float32)
+    idx = np.array([[12, 12, 12], [20, 32, 44]])
+    mesh = make_mesh(jax.devices()[:4], axes=("tx",))
+    rec = np.asarray(fdtd_sharded(
+        mesh, c, rho, idx, sig, steps=steps, dt=4e-8, dx=2e-4,
+        c_ref=1500.0, record_rows=(8, 50)))
+    assert rec.shape == (Mtx, steps, 2, 64)
+    for v in range(Mtx):
+        ref = np.asarray(kspace_sim_2d(
+            c, rho, idx[0], idx[1], sig[v], steps=steps, dt=4e-8,
+            dx=2e-4, c_ref=1500.0, record_rows=(8, 50)))
+        assert np.abs(rec[v] - ref).max() <= 1e-6 * np.abs(ref).max(), v
+
+
+def test_kspace_first_order_mesh_matches_loop():
+    """us.kspaceFirstOrder(mesh=...) == the sequential per-transmit loop
+    through the full system wrapper (element projection, union source
+    set, t0 conventions, fs downsampling)."""
+    c0, fc = 1500.0, 2e6
+    lam = c0 / fc
+    xdc = q.TransducerArray(numel=6, pitch=lam / 2, fc=fc)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=6, c0=c0),
+        scan=q.ScanCartesian(x=np.linspace(-2e-3, 2e-3, 8),
+                             z=np.linspace(1e-3, 6e-3, 8)), fs=4 * fc)
+    blob = lambda P: (np.hypot(P[0], P[2] - 4e-3) < lam / 4)
+    med = q.Medium(c0=c0, rho0=1000.0, pertreg=((blob, {"rho": 2000.0}),))
+    cgrd = q.ScanCartesian(x=np.arange(-3e-3, 3e-3, lam / 5), y=[0.0],
+                           z=np.arange(-0.5e-3, 6.5e-3, lam / 5))
+    chd0 = us.kspaceFirstOrder(med, cgrd)
+    mesh = make_mesh(jax.devices(), axes=("tx",))
+    chd1 = us.kspaceFirstOrder(med, cgrd, mesh=mesh)
+    d0, d1 = np.asarray(chd0.data), np.asarray(chd1.data)
+    assert d0.shape == d1.shape
+    assert np.abs(d0 - d1).max() <= 1e-5 * np.abs(d0).max()
+    assert np.abs(np.asarray(chd0.t0_host)
+                  - np.asarray(chd1.t0_host)).max() == 0.0

@@ -241,3 +241,41 @@ def test_volumetric_sharded_das():
         method="linear", im_shape=scan.shape, interpret=True))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_fdtd_sim_to_beamform_psf():
+    """The sim->image seam for the PSTD simulator: k-space FirstOrder
+    channel data through DAS and bfEikonal must localize a point
+    scatterer — the reference crosses k-Wave with its beamformers when
+    available (test/USTest.m:36-54, test/BFTest.m:294-316). Exactly where
+    transducer-grid projection or t0-convention bugs would hide; the
+    tolerance is the k-Wave-grade 10 grid steps."""
+    c0 = 1500.0
+    fc = 2e6
+    lam = c0 / fc
+    h = lam / 6
+    xdc = q.TransducerArray(numel=16, pitch=lam / 2, fc=fc)
+    z_t = 8e-3
+    scan = q.ScanCartesian(x=np.linspace(-3e-3, 3e-3, 31),
+                           z=np.linspace(5e-3, 11e-3, 41))
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc,
+        seq=q.Sequence(type="PW", focus=[[0.0], [0.0], [1.0]], c0=c0),
+        scan=scan, fs=4 * fc)
+    blob = lambda P: (np.hypot(P[0], P[2] - z_t) < lam / 4)
+    med = q.Medium(c0=c0, rho0=1000.0, pertreg=((blob, {"rho": 2000.0}),))
+    cgrd = q.ScanCartesian(x=np.arange(-5e-3, 5e-3, h), y=[0.0],
+                           z=np.arange(-0.5e-3, 11.5e-3, h))
+    chd = us.kspaceFirstOrder(med, cgrd)
+    tol = 10 * h  # SimTest's k-Wave tolerance class (10 grid steps)
+    P = us.scan.positions().reshape(3, -1)
+    imgs = {
+        "DAS": us.DAS(chd),
+        "bfEikonal": us.bfEikonal(chd, q.Medium(c0=c0), cgrd),
+    }
+    for name, b in imgs.items():
+        a = np.abs(np.asarray(b)).squeeze()
+        assert a.shape == us.scan.shape[:2] and np.isfinite(a).all(), name
+        k = int(a.reshape(-1).argmax())
+        err = np.linalg.norm(P[:, k] - [0.0, 0.0, z_t])
+        assert err < tol, (name, P[:, k], err, tol)
