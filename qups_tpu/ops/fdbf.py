@@ -176,18 +176,26 @@ def focus_tx_freq(x, t2, w, *, fs: float):
 
 @partial(jax.jit, static_argnames=("T", "fs", "method", "gamma"))
 def refocus_op(tau, apd, *, T: int, fs: float,
-               gamma: Optional[float] = None, method: str = "tikhonov"):
+               gamma: Optional[float] = None, method: str = "tikhonov",
+               f=None):
     """The data-INDEPENDENT REFoCUS decode operator ``Hi (K, M, V)``:
     per frequency, the (whitened) inverse of the encoding matrix
     ``H[v, m] = apd[m, v] exp(+2j pi f tau[m, v])``
     (``UltrasoundSystem.m:3696-3719``). The batched spectral norm + solve
     is the expensive half of a decode (~5 s of the 5.8 s headline
     decode), so it is split out for reuse across frames — the analog of
-    the reference hot-pathing ``Hi`` once per sequence."""
+    the reference hot-pathing ``Hi`` once per sequence.
+
+    ``f``: optional explicit frequency values (K,) [Hz] replacing the
+    full fftfreq(T) grid — the per-bin solves are independent, so a
+    caller can shard the bin axis (``parallel.refocus_op_sharded``)."""
     M = tau.shape[0]
     if gamma is None:
         gamma = 10.0 * (M / 10.0) ** 2
-    f = (jnp.fft.fftfreq(T) * fs).astype(jnp.float32)  # (T,)
+    if f is None:
+        f = (jnp.fft.fftfreq(T) * fs).astype(jnp.float32)  # (T,)
+    else:
+        f = jnp.asarray(f, jnp.float32).reshape(-1)
     tauT = jnp.asarray(tau, jnp.float32).T  # (V, M)
     aT = jnp.asarray(apd, jnp.float32).T    # (V, M)
     H = aT[None] * cexp(+2 * np.pi * f[:, None, None] * tauT[None])  # (K,V,M)

@@ -1131,3 +1131,148 @@ def fdtd_sharded(mesh: Mesh, c, rho, src_idx, src_sig_tx, *, steps: int,
                   out_specs=P(axis), check_vma=False)
     rec = jax.jit(f)(cj, rj, jnp.asarray(sig))
     return rec[:Mtx]
+
+
+def _flat_axes(mesh: Mesh):
+    """All mesh axis names as one tuple (shard one array axis over every
+    device) and the total device count."""
+    axes = tuple(mesh.axis_names)
+    return axes, int(np.prod([mesh.shape[a] for a in axes]))
+
+
+def refocus_op_sharded(mesh: Mesh, tau, apd, *, T: int, fs: float,
+                       gamma=None, method: str = "tikhonov"):
+    """Build the REFoCUS decode operator ``Hi (T, M, V)`` with the
+    frequency-bin axis sharded over EVERY mesh axis — the per-bin
+    whitened solves are independent, so the expensive half of a decode
+    (~5 s of the 5.8 s headline; the reference blocks the same loop over
+    frequencies, ``UltrasoundSystem.m:3696-3735``) scales linearly with
+    ZERO collectives. Returns the bin-sharded device array.
+
+    Example:
+        import jax, numpy as np
+        from qups_tpu.parallel import make_mesh, refocus_op_sharded
+        tau = np.zeros((4, 4), np.float32)
+        apd = np.eye(4, dtype=np.float32)
+        mesh = make_mesh(jax.devices()[:4], axes=("tx",))
+        Hi = refocus_op_sharded(mesh, tau, apd, T=64, fs=8e6)
+        assert Hi.shape == (64, 4, 4)
+    """
+    from ..ops.fdbf import refocus_op
+
+    shard_map = jax.shard_map
+    axes, ndev = _flat_axes(mesh)
+    f_all = (np.fft.fftfreq(int(T)) * fs).astype(np.float32)
+    pk = (-T) % ndev
+    f_pad = np.pad(f_all, (0, pk))
+    tau = jnp.asarray(tau, jnp.float32)
+    apd = jnp.asarray(apd, jnp.float32)
+
+    def local(fl, tl, al):
+        return refocus_op(tl, al, T=int(T), fs=float(fs), gamma=gamma,
+                          method=method, f=fl)
+
+    hi = shard_map(local, mesh=mesh,
+                   in_specs=(P(axes), P(None, None), P(None, None)),
+                   out_specs=P(axes, None, None), check_vma=False)(
+        jnp.asarray(f_pad), tau, apd)
+    return hi[:T]
+
+
+def refocus_sharded(mesh: Mesh, x, tau, apd, t0, *, fs: float, gamma=None,
+                    method: str = "tikhonov", Hi=None):
+    """Multi-chip REFoCUS decode: the operator build shards the frequency
+    bins (:func:`refocus_op_sharded`), the apply shards the RECEIVE axis —
+    FFT over time, per-bin transmit GEMM and inverse FFT are all
+    per-channel independent, so the apply runs with zero collectives (one
+    implicit Hi all-gather at the boundary; Hi is built once per
+    sequence). Mirrors :func:`qups_tpu.ops.fdbf.refocus`
+    (``UltrasoundSystem.m:3505-3768``; the reference splices the same
+    computation over frequency blocks on one GPU).
+
+    ``Hi``: optionally pass a prebuilt operator (e.g. cached across
+    frames) to skip the solve.
+
+    Returns ``(y (T, N, M), t0min)`` like ``refocus_apply``.
+
+    Example:
+        import jax, numpy as np
+        from qups_tpu.parallel import make_mesh, refocus_sharded
+        rng = np.random.default_rng(0)
+        T, N, M, V = 64, 8, 4, 4
+        x = rng.standard_normal((T, N, V)).astype(np.float32)
+        tau = rng.uniform(0, 1e-6, (M, V)).astype(np.float32)
+        apd = np.ones((M, V), np.float32)
+        mesh = make_mesh(jax.devices()[:4], axes=("tx",))
+        y, t0m = refocus_sharded(mesh, x, tau, apd,
+                                 np.zeros(V, np.float32), fs=8e6)
+        assert y.shape == (T, N, M)
+    """
+    from ..ops.fdbf import refocus_apply
+
+    shard_map = jax.shard_map
+    axes, ndev = _flat_axes(mesh)
+    x = jnp.asarray(x)
+    T, N = x.shape[0], x.shape[1]
+    if Hi is None:
+        Hi = refocus_op_sharded(mesh, tau, apd, T=T, fs=fs, gamma=gamma,
+                                method=method)
+    pn = (-N) % ndev
+    if pn:
+        x = jnp.pad(x, [(0, 0), (0, pn)] + [(0, 0)] * (x.ndim - 2))
+
+    def local(xl, hil, t0l):
+        return refocus_apply(xl, hil, t0l, fs=float(fs))
+
+    y, t0min = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axes, *((None,) * (x.ndim - 2))),
+                  P(None, None, None), P(None)),
+        out_specs=(P(None, axes, *((None,) * (x.ndim - 2))), P()),
+        check_vma=False)(x, Hi,
+                         jnp.asarray(t0, jnp.float32).reshape(-1))
+    return y[:, :N], t0min
+
+
+def focus_tx_freq_sharded(mesh: Mesh, x, t2, w, *, fs: float):
+    """Receive-sharded frequency-domain transmit synthesis
+    (:func:`qups_tpu.ops.fdbf.focus_tx_freq`; the reference splices
+    ``focusTx`` over transmit blocks, ``UltrasoundSystem.m:3488``): the
+    FFT / per-bin transmit GEMM / inverse FFT factor per receive
+    channel, so the composition shards N over every mesh axis with zero
+    collectives (the (K, M, M') steering tensor replicates).
+
+    Example:
+        import jax, numpy as np
+        from qups_tpu.parallel import make_mesh, focus_tx_freq_sharded
+        rng = np.random.default_rng(0)
+        T, N, M, Mp = 64, 8, 4, 6
+        x = rng.standard_normal((T, N, M)).astype(np.float32)
+        t2 = rng.uniform(0, 1e-6, (M, Mp)).astype(np.float32)
+        w = np.ones((M, Mp), np.float32)
+        mesh = make_mesh(jax.devices()[:4], axes=("tx",))
+        y = focus_tx_freq_sharded(mesh, x, t2, w, fs=8e6)
+        assert y.shape == (T, N, Mp)
+    """
+    from ..ops.fdbf import focus_tx_freq
+
+    shard_map = jax.shard_map
+    axes, ndev = _flat_axes(mesh)
+    x = jnp.asarray(x)
+    N = x.shape[1]
+    pn = (-N) % ndev
+    if pn:
+        x = jnp.pad(x, [(0, 0), (0, pn)] + [(0, 0)] * (x.ndim - 2))
+    t2 = jnp.asarray(t2, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+
+    def local(xl, t2l, wl):
+        return focus_tx_freq(xl, t2l, wl, fs=float(fs))
+
+    tail = (None,) * (x.ndim - 2)
+    y = shard_map(local, mesh=mesh,
+                  in_specs=(P(None, axes, *tail), P(None, None),
+                            P(None, None)),
+                  out_specs=P(None, axes, *tail), check_vma=False)(
+        x, t2, w)
+    return y[:, :N]

@@ -662,3 +662,44 @@ def test_kspace_first_order_mesh_matches_loop():
     assert np.abs(d0 - d1).max() <= 1e-5 * np.abs(d0).max()
     assert np.abs(np.asarray(chd0.t0_host)
                   - np.asarray(chd1.t0_host)).max() == 0.0
+
+
+def test_refocus_sharded_matches_single():
+    """Bin-sharded operator build + rx-sharded decode == the single-device
+    refocus (UltrasoundSystem.m:3505-3768), non-divisible N."""
+    from qups_tpu.ops.fdbf import refocus_op, refocus_apply
+    from qups_tpu.parallel import refocus_op_sharded, refocus_sharded
+
+    rng = np.random.default_rng(7)
+    T, N, M, V = 96, 10, 4, 6
+    x = rng.standard_normal((T, N, V)).astype(np.float32)
+    tau = rng.uniform(0, 1e-6, (M, V)).astype(np.float32)
+    apd = np.ones((M, V), np.float32)
+    t0 = np.linspace(0, 1e-6, V).astype(np.float32)
+    mesh = make_mesh(jax.devices(), axes=("rx", "tx"), shape=(4, 2))
+    Hi0 = np.asarray(refocus_op(tau, apd, T=T, fs=8e6))
+    Hi1 = np.asarray(refocus_op_sharded(mesh, tau, apd, T=T, fs=8e6))
+    assert np.abs(Hi0 - Hi1).max() <= 1e-5 * np.abs(Hi0).max()
+    y0, t0m0 = refocus_apply(x, jnp.asarray(Hi0), t0, fs=8e6)
+    y1, t0m1 = refocus_sharded(mesh, x, tau, apd, t0, fs=8e6)
+    assert float(t0m0) == float(t0m1)
+    assert np.abs(np.asarray(y0) - np.asarray(y1)).max() \
+        <= 1e-5 * np.abs(np.asarray(y0)).max()
+
+
+def test_focus_tx_freq_sharded_matches_single():
+    """Rx-sharded frequency-domain transmit synthesis == single-device
+    focus_tx_freq, with trailing frame dims."""
+    from qups_tpu.ops.fdbf import focus_tx_freq
+    from qups_tpu.parallel import focus_tx_freq_sharded
+
+    rng = np.random.default_rng(8)
+    T, N, M, Mp = 64, 10, 4, 5
+    xf = rng.standard_normal((T, N, M, 3)).astype(np.float32)
+    t2 = rng.uniform(0, 1e-6, (M, Mp)).astype(np.float32)
+    w = rng.standard_normal((M, Mp)).astype(np.float32)
+    mesh = make_mesh(jax.devices(), axes=("rx", "tx"), shape=(2, 4))
+    z0 = np.asarray(focus_tx_freq(xf, t2, w, fs=8e6))
+    z1 = np.asarray(focus_tx_freq_sharded(mesh, xf, t2, w, fs=8e6))
+    assert z1.shape == z0.shape
+    assert np.abs(z0 - z1).max() <= 1e-5 * np.abs(z0).max()
