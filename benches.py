@@ -443,6 +443,62 @@ def bench_fdtd():
            "steps": steps, "value": dtw / steps * 1e3, "s_total": dtw})
 
 
+def bench_eikonal():
+    """MSFM travel-time maps: ms/map vs grid size (the bfEikonal delay
+    backbone; the reference logs every kernel family,
+    ``ParTest.m:244-318``). Host C++/numpy solver — grid-size sweep."""
+    from qups_tpu.ops.eikonal import msfm
+
+    sizes = (64, 128) if _tiny() else (128, 256, 512, 1024)
+    t_stop = time.time() + _budget()
+    for n in sizes:
+        if time.time() > t_stop:
+            _emit({"bench": "eikonal", "skipped": n, "reason": "budget"})
+            break
+        F = np.full((n, n), 1540.0)
+        F[n // 3:, :] = 1650.0  # heterogeneous layer
+        src = np.array([[0, n // 2]])
+        msfm(F, 0.2e-3, src)  # warm (native .so load / fallback trace)
+        reps = 3
+        t1 = time.time()
+        for _ in range(reps):
+            msfm(F, 0.2e-3, src)
+        dt = (time.time() - t1) / reps
+        _emit({"bench": "eikonal", "metric": "ms/map", "grid": [n, n],
+               "value": dt * 1e3, "cells_per_s": n * n / dt})
+
+
+def bench_migration():
+    """Stolt f-k migration s/frame at the PW headline scale
+    (``UltrasoundSystem.m:4740-4860``)."""
+    import jax.numpy as jnp
+    from qups_tpu.ops.fdbf import stolt_migration
+    from qups_tpu.utils.cpx import ri_split
+
+    T, N, M = (512, 64, 4) if _tiny() else (4096, 256, 16)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    th = np.linspace(-9.0, 9.0, M)
+    del_tx = np.zeros((N, M), np.float32)
+    import jax
+
+    @jax.jit
+    def run(xj):
+        img = stolt_migration(xj, 0.0, del_tx, tuple(th), fs=31.25e6,
+                              c0=1540.0, pitch=0.15e-3, out="complex")
+        return ri_split(img)
+
+    xj = jnp.asarray(x)
+    jax.block_until_ready(run(xj))  # compile + warm
+    reps = 3
+    t1 = time.time()
+    for _ in range(reps):
+        jax.block_until_ready(run(xj))
+    dt = (time.time() - t1) / reps
+    _emit({"bench": "migration", "metric": "s/frame", "shape": [T, N, M],
+           "value": dt, "pix_tx_per_s": T * N * M / dt})
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("das", "all"):
@@ -461,6 +517,10 @@ def main():
         bench_refocus()
     if which in ("fdtd", "all"):
         bench_fdtd()
+    if which in ("eikonal", "all"):
+        bench_eikonal()
+    if which in ("migration", "all"):
+        bench_migration()
 
 
 if __name__ == "__main__":

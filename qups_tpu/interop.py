@@ -29,6 +29,40 @@ TPU-native counterpart of the reference's interop layer (SURVEY.md L4):
 
 Like the reference's InteropTest, tests round-trip synthetic fixtures and
 skip gracefully when external files are absent (``test/InteropTest.m:30-76``).
+
+UFF DIALECT ASSUMPTIONS (documented risk): no genuine USTB/PICMUS file is
+available in this environment (zero egress; the reference ships no data
+files), so every UFF fixture is written by the tests themselves to the
+conventions read out of the reference importer. The exact on-disk
+assumptions, each with its provenance:
+
+1. 'class'/'name' node ATTRIBUTES identify types ('uff.channel_data',
+   'uff.wave', 'uff.linear_scan', ...) and may be stored as str, bytes,
+   or MATLAB uint16 char-code arrays (``src/ChannelData.m:86-116`` reads
+   them via h5readatt). Read case-insensitively here (warning on
+   non-canonical casing).
+2. char DATASETS are uint16 code-point arrays with class='char'
+   (``src/Sequence.m:560`` string decode).
+3. complex values are groups holding 'real'/'imag' datasets with
+   class='complex' (``src/ChannelData.m:128-141``).
+4. arrays are column-major: MATLAB writes (F, M, N, T)-ordered
+   channel-data that h5py presents reversed; the reader permutes to
+   (T, N, M, F) (``src/ChannelData.m:120-127``).
+5. uff.wave children carry 'wavefront' enum codes / 'uff.wavefront.*'
+   strings, 'source' uff.point groups (spherical azimuth/elevation/
+   distance with optional xyz), and per-wave 'delay'
+   (``src/Sequence.m:540-612``); FSA is detected by source==element
+   positions, the t0 transform follows ``src/ChannelData.m:219-230``.
+6. probe geometry under uff.linear_array/curvilinear_array/matrix_array
+   properties ('pitch', 'N', 'radius', ...) in SI units
+   (``src/Transducer.m:558-574``).
+7. scalar properties may appear as 0-d datasets OR 1x1 arrays (MATLAB
+   writes 1x1); all scalar reads squeeze.
+
+A genuine-file validation hook exists: set ``QUPS_UFF_FIXTURE=/path/to/
+file.uff`` (e.g. a PICMUS dataset) and ``tests/test_interop.py`` will
+load and sanity-check it at runtime, like the reference's
+environment-gated VSX tests.
 """
 from __future__ import annotations
 
@@ -542,10 +576,21 @@ def _uff_attr(node, name, default=""):
     return "".join(str(x) for x in a.reshape(-1))
 
 
+def _uff_class(node):
+    """Node 'class' attribute, canonicalized: USTB writes lowercase class
+    names; accept any casing with a warning (dialect-risk fallback)."""
+    c = _uff_attr(node, "class")
+    if c and not c.islower() and c.lower() != c:
+        import warnings
+        warnings.warn(f"UFF: non-canonical class attr casing {c!r}; "
+                      "reading case-insensitively", stacklevel=3)
+    return c.lower() if isinstance(c, str) else c
+
+
 def _uff_read_value(node):
     import h5py
     if isinstance(node, h5py.Group):
-        if _uff_attr(node, "class") == "complex" or \
+        if _uff_class(node) == "complex" or \
                 ("real" in node and "imag" in node):
             return np.asarray(node["real"]) + 1j * np.asarray(node["imag"])
         return {k: _uff_read_value(v) for k, v in node.items()}
@@ -554,7 +599,7 @@ def _uff_read_value(node):
         return v.decode()
     a = np.asarray(v)
     # USTB/MATLAB stores char arrays as uint16 code points
-    if _uff_attr(node, "class") == "char" and a.dtype.kind in "ui":
+    if _uff_class(node) == "char" and a.dtype.kind in "ui":
         return "".join(chr(int(c)) for c in a.reshape(-1))
     return a
 
@@ -622,7 +667,7 @@ def load_uff(path):
         groups = [g for g in f.values() if isinstance(g, h5py.Group)]
         g = None
         for cand in groups:
-            if _uff_attr(cand, "class") == "uff.channel_data":
+            if _uff_class(cand) == "uff.channel_data":
                 g = cand
                 break
         if g is None and groups:
@@ -638,7 +683,7 @@ def load_uff(path):
                 _uff_read_value(g["pulse"]["center_frequency"])))
         if "probe" in g:
             pg = g["probe"]
-            cls = _uff_attr(pg, "class") or "uff.probe"
+            cls = _uff_class(pg) or "uff.probe"
             geom = None
             if "geometry" in pg:
                 geom = np.asarray(_uff_read_value(pg["geometry"]))
@@ -712,7 +757,7 @@ def load_uff(path):
             sg = g["sequence"]
             wave_nodes = [v for k, v in sorted(sg.items())
                           if isinstance(v, h5py.Group)]
-            if not wave_nodes and _uff_attr(sg, "class") == "uff.wave":
+            if not wave_nodes and _uff_class(sg) == "uff.wave":
                 wave_nodes = [sg]
             waves = [_uff_read_value(w) for w in wave_nodes]
             if waves:
@@ -756,7 +801,7 @@ def load_uff(path):
                 out["fmod"] = fmod
         if "scan" in g:
             sg = g["scan"]
-            cls = _uff_attr(sg, "class")
+            cls = _uff_class(sg)
             if cls == "uff.linear_scan":
                 out["scan"] = ScanCartesian(
                     x=np.asarray(_uff_read_value(sg["x_axis"])).reshape(-1),

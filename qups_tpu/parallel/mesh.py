@@ -733,13 +733,17 @@ def das_lut_sharded_pallas_plan(mesh: Mesh, tau_rx, tau_tx, t0, *,
     I2f = I2 * I3
     on_tpu = is_tpu_backend()
 
-    def run(xr, xi):
+    # the tables enter the jit as ARGUMENTS, not closure constants:
+    # captured constants are baked into the lowered program (a ~2 GB
+    # serialization the tunnel pays at compile time and the executable
+    # carries forever); as device-array args they cost nothing per call
+    def run(rxb, txb, taur, taut, tv, xr, xi):
         if iq:
             xs = (prep_real(xr),
                   prep_real(jnp.zeros_like(xr) if xi is None else xi))
         else:
             xs = (prep_real(xr),)
-        outs = f(rxb_j, txb_j, taur_j, taut_j, tv_j, *xs)
+        outs = f(rxb, txb, taur, taut, tv, *xs)
         if post is not None:  # (I1p, I2p) real coherence image
             return outs[:I1, :I2f].reshape(I)
         outs = outs if nch > 1 else (outs,)
@@ -764,7 +768,8 @@ def das_lut_sharded_pallas_plan(mesh: Mesh, tau_rx, tau_tx, t0, *,
         """Beamform one (T, N, M) REAL trace set (plus optional
         quadrature part ``xi`` for IQ data) through the compiled sharded
         LUT program."""
-        return jrun(jnp.asarray(xr, jnp.float32),
+        return jrun(rxb_j, txb_j, taur_j, taut_j, tv_j,
+                    jnp.asarray(xr, jnp.float32),
                     None if xi is None else jnp.asarray(xi, jnp.float32))
 
     return apply

@@ -758,7 +758,8 @@ class UltrasoundSystem:
                 # iso-depth-major flatten (volumetric scans flatten the
                 # trailing axes into the kernel's 128-lane rows)
                 and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
-                and method in ("nearest", "linear", "cubic", "lanczos3")
+                and method in ("nearest", "linear", "cubic", "lanczos3",
+                               "cubic2x")
                 and is_tpu_backend())
 
     def _das_block(self, chd: ChannelData, pv, nv, model, cinv, apod_t,
@@ -766,6 +767,16 @@ class UltrasoundSystem:
                    precision):
         """One DAS dispatch over a (possibly tx-sliced) trace block."""
         from .ops.das_pallas import Fused, das_tiled
+        if method == "cubic2x":
+            # cubic-class accuracy on the 2x faster packed-linear kernel:
+            # one exact band-limited 2x trace upsample (~10 ms of HBM
+            # traffic at the headline config), then linear taps on the
+            # oversampled RF (the half-rate analog of the reference's
+            # resample-then-interp option, interpd.cu:89-113)
+            from .ops.interp import fft_upsample
+            chd = chd.replace(data=fft_upsample(chd.data, 2, axis=0),
+                              fs=chd.fs * 2.0)
+            method = "linear"
         t0 = chd.t0_host
         fused_ok = all(isinstance(a, Fused) for a in apod_t)
         on_tpu = is_tpu_backend()
@@ -774,7 +785,8 @@ class UltrasoundSystem:
         if (kernel == "auto" and on_tpu and cinv.ndim > 0 and not apod_t
                 and chd.data.ndim >= 3
                 and getattr(self.scan, "order", "Z")[0] in ("Z", "R")
-                and method in ("nearest", "linear", "cubic", "lanczos3")):
+                and method in ("nearest", "linear", "cubic", "lanczos3",
+                               "cubic2x")):
             # per-pixel sound-speed map (heterogeneous c,
             # ``kern/das_spec.m:169``): build per-pixel delay TABLES and
             # ride the Pallas LUT kernel — the fast path for
@@ -912,6 +924,11 @@ class UltrasoundSystem:
             b = us.bfDASLUT(chd, tau_rx, tau_tx)
             assert b.shape[:3] == us.scan.shape
         """
+        if method == "cubic2x":
+            from .ops.interp import fft_upsample
+            chd = chd.replace(data=fft_upsample(chd.data, 2, axis=0),
+                              fs=chd.fs * 2.0)
+            method = "linear"
         t0 = chd.t0_host
         apod_t = tuple(apod if isinstance(apod, (tuple, list)) else (apod,))
         on_tpu = is_tpu_backend()

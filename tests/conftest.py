@@ -32,6 +32,28 @@ def pytest_configure(config):
         if "xla_force_host_platform_device_count" not in flags:
             env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
         os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+    config.addinivalue_line(
+        "markers",
+        "full: exhaustive tier — deselected by default; run with "
+        "QUPS_TEST_TIER=full (or -m full) like the reference's "
+        "Github/full test tags (buildfile.m:57-76)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default run deselects ``full``-marked tests
+    (redundant parametrizations / exhaustive ablation rows — CI runs them
+    in one nightly/opt-in job); an explicit ``-m`` or
+    ``QUPS_TEST_TIER=full`` gets everything."""
+    if config.option.markexpr:
+        return
+    if os.environ.get("QUPS_TEST_TIER", "fast") == "full":
+        return
+    keep, drop = [], []
+    for it in items:
+        (drop if it.get_closest_marker("full") else keep).append(it)
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep
 
 
 if not _NEED_REEXEC:

@@ -271,3 +271,41 @@ def test_per_pixel_c_lut_tables_match_das():
                              fs=8e6, method="cubic"))
     # f32 distributivity: cinv*(dv+dr) != cinv*dv + cinv*dr to the ulp
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_cubic2x_cubic_class_accuracy():
+    """cubic2x (one band-limited 2x trace upsample + linear taps) must
+    deliver cubic-CLASS accuracy: against a quasi-exact sinc reference
+    (linear on 8x oversampled RF) its error stays within ~1.25x of true
+    cubic's, while plain linear is ~4x worse (the lever that runs on the
+    2x-faster packed-linear kernel; interpd.cu:89-113 half-rate analog)."""
+    import qups_tpu as q
+    from qups_tpu.ops.interp import fft_upsample
+
+    xdc = q.TransducerArray(numel=16, pitch=0.3e-3, fc=5e6)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=16),
+        scan=q.ScanCartesian(x=np.linspace(-4e-3, 4e-3, 48),
+                             z=np.linspace(17e-3, 23e-3, 48)), fs=25e6)
+    scat = q.Scatterers(pos=[[1e-3], [0.0], [20e-3]], c0=1540.0)
+    chd = us.greens(scat)
+    chd8 = chd.replace(data=fft_upsample(chd.data, 8, axis=0),
+                       fs=chd.fs * 8)
+    R = np.asarray(us.DAS(chd8, method="linear")).squeeze()
+    ref = np.abs(R).max()
+    err = {m: np.abs(np.asarray(us.DAS(chd, method=m)).squeeze()
+                     - R).max() / ref
+           for m in ("linear", "cubic", "cubic2x")}
+    assert err["cubic2x"] <= 1.25 * err["cubic"], err
+    assert err["cubic2x"] <= 0.5 * err["linear"], err
+    # PSF peak localization (BFTest oracle)
+    b = np.abs(np.asarray(us.DAS(chd, method="cubic2x"))).squeeze()
+    P = us.scan.positions().reshape(3, -1)
+    k = int(b.reshape(-1).argmax())
+    assert np.linalg.norm(P[:, k] - [1e-3, 0, 20e-3]) < 1.1e-3
+    # the LUT route resolves cubic2x identically
+    tau_rx, tau_tx = us.das_delay_tables()
+    l2 = np.asarray(us.bfDASLUT(chd, tau_rx, tau_tx,
+                                method="cubic2x")).squeeze()
+    d2 = np.asarray(us.DAS(chd, method="cubic2x")).squeeze()
+    assert np.abs(l2 - d2).max() <= 1e-4 * np.abs(d2).max()

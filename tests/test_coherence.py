@@ -97,6 +97,7 @@ def test_pwznxcorr_detects_shift():
     assert mid.max() > 0.95
 
 
+@pytest.mark.full
 def test_coherence_image_mesh_matches_fallback():
     """system.coherence_image: the fused in-mesh arm (explicit mesh ->
     interpret-mode kernels on the CPU mesh) matches the two-step

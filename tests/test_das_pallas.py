@@ -101,6 +101,7 @@ def test_keep_rx():
     assert np.abs(got - ref).max() / scale < 1e-4
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("variant", ["plain", "frames", "iq", "cubic"])
 def test_keep_rx_streaming_multichunk(variant, monkeypatch):
     """The streaming keep_rx path's VMEM-scratch accumulation across
@@ -309,6 +310,7 @@ def test_keep_tx():
     assert np.abs(got - ref).max() / scale < 1e-4
 
 
+@pytest.mark.full
 def test_allfast_planner_decision():
     """plan_allfast proves single-window coverage at low fs (fast arm) and
     rejects it when the per-tile delay spread exceeds one 128-lane window
@@ -343,6 +345,7 @@ def test_allfast_planner_decision():
     compare(x, pi, pr, pv, nv, t0, "plane", 16, 128, fs=64e6)
 
 
+@pytest.mark.full
 def test_noallfast_ablation_parity():
     """Force the aligned-window loop on an allfast-eligible config — keeps
     the slow arm covered now that small configs default to the fast arm."""
@@ -495,6 +498,7 @@ def test_methods_pair_precision(method):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
 
 
+@pytest.mark.full
 def test_cubic_keep_rx_and_fmod():
     x, pi, pr, pv, nv, t0 = problem(cplx=True)
     ref = np.asarray(das(x, pi, pr, pv, nv, t0, 1 / 1540.0, fs=4e6,
@@ -619,6 +623,7 @@ def test_multi_frame_dims_fold():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
+@pytest.mark.full
 def test_hostwin_parity(monkeypatch):
     """QUPS_DAS_HOSTWIN=1 (host-planned packed window bounds on the
     geometry kernel — the VERDICT-r3 static-window experiment) matches

@@ -93,6 +93,7 @@ def test_io_roundtrip(tmp_path):
     assert xdc2.fc == xdc.fc
 
 
+@pytest.mark.full
 def test_cheat_sheet_runs():
     """The cheat-sheet example executes end-to-end (``ExampleTest`` runs
     ``cheat_sheet.m``, ``test/ExampleTest.m:332-341``)."""

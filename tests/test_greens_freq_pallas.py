@@ -23,12 +23,14 @@ def test_matches_xla_engine():
     assert rel < 2e-4, rel
 
 
+@pytest.mark.full
 def test_matches_xla_engine_bf16():
     want, got = _pair(precision="bf16")
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 5e-3, rel
 
 
+@pytest.mark.full
 def test_odd_sizes_pad():
     # S/N/M far from tile multiples exercises the zero-weight padding
     want, got = _pair(S=13)
@@ -36,6 +38,7 @@ def test_odd_sizes_pad():
     assert rel < 2e-4, rel
 
 
+@pytest.mark.full
 def test_attenuation_matches_xla_engine():
     """alpha0 decay through the fused engine's phasor recurrence (the
     exp(-att_q q) magnitude fold) vs the XLA engine's weighted phasors."""

@@ -388,3 +388,24 @@ def test_load_uff_ustb_focused_vs(tmp_path):
     assert np.allclose(seq.focus_array, foci, atol=1e-9)
     want_t0 = 1e-6 - np.linalg.norm(foci, axis=0) / c0
     assert np.allclose(np.asarray(chd.t0_host).reshape(-1), want_t0)
+
+
+def test_genuine_uff_fixture_if_available():
+    """Environment-gated genuine-USTB validation (the reference's VSX-file
+    pattern, test/InteropTest.m:30-76): point QUPS_UFF_FIXTURE at a real
+    USTB/PICMUS .uff file and this test loads and sanity-checks it.
+    Skips when absent — the documented dialect risk stays open until a
+    genuine file can be supplied."""
+    import os
+    path = os.environ.get("QUPS_UFF_FIXTURE", "")
+    if not path or not os.path.exists(path):
+        pytest.skip("no genuine UFF fixture available (QUPS_UFF_FIXTURE)")
+    from qups_tpu.interop import load_uff
+    out = load_uff(path)
+    assert out, "nothing recognized in the genuine UFF file"
+    if "chd" in out:
+        chd = out["chd"]
+        assert chd.T > 0 and chd.N > 0 and chd.M > 0
+        assert np.isfinite(np.abs(np.asarray(chd.data))).any()
+    if "xdc" in out:
+        assert out["xdc"].numel > 0

@@ -195,6 +195,7 @@ def test_convd_middle_axis():
     assert np.allclose(got[1, :, 0], want, atol=1e-5)
 
 
+@pytest.mark.full
 def test_xcorr_matched_filter_peak():
     # matched filtering peaks at the embedded delay
     T = 128

@@ -93,6 +93,7 @@ def test_greens_sharded_matches_single():
     assert float(jnp.abs(got - ref).max()) < 1e-4 * float(jnp.abs(ref).max())
 
 
+@pytest.mark.full
 def test_greens_freq_sharded_matches_single():
     from qups_tpu.ops.greens_freq import greens_freq
     from qups_tpu.parallel import greens_freq_sharded
@@ -354,6 +355,7 @@ def test_das_sharded_pallas_keep_tx_frames():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
+@pytest.mark.full
 def test_das_pallas_rank4_single_frame():
     """Direct das_tiled on a rank-4 (T, N, M, F=1) operand: every grid/
     BlockSpec branch must key on the frame AXIS being present, not F > 1
@@ -460,6 +462,7 @@ def test_das_sharded_pallas_fused_apod():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
+@pytest.mark.full
 def test_das_sharded_pallas_frames_iq_fmod():
     """Frame batches + IQ data + in-kernel fmod on a 3-axis
     (rx, tx, frame) mesh."""
@@ -503,6 +506,7 @@ def test_das_lut_sharded_pallas(kw):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
+@pytest.mark.full
 def test_das_lut_sharded_pallas_eager_plan_cache():
     """Repeated eager das_lut_sharded_pallas calls with the same tables
     reuse the cached plan — no re-plan (a re-plan re-downloads/re-tiles/
@@ -540,6 +544,7 @@ def test_das_lut_sharded_pallas_eager_plan_cache():
     assert np.allclose(a2, 2 * a1, atol=1e-4 * np.abs(a1).max())
 
 
+@pytest.mark.full
 def test_das_sharded_pallas_single_axis_mesh():
     """A mesh with only an 'rx' axis (the 1-chip sharding-tax config,
     QUPS_BENCH_MESH=rx1) compiles and matches."""

@@ -1,5 +1,6 @@
 """Profiling utilities smoke tests (SURVEY §5 tracing subsystem)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from qups_tpu.utils import Timer, annotate, trace
@@ -16,6 +17,7 @@ def test_timer_and_annotation(tmp_path):
                       rtol=1e-6)
 
 
+@pytest.mark.full
 def test_trace_writes_logdir(tmp_path):
     d = str(tmp_path / "prof")
     with trace(d):
