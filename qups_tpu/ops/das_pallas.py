@@ -2006,6 +2006,11 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     frame axis for the kernel and unfold on return (the reference threads
     ``F x ...`` through every kernel, ``kern/das_spec.m:180-181``).
     """
+    if method == "cubic2x":  # see das_tiled: 2x upsample + linear taps
+        from .interp import fft_upsample
+        x = fft_upsample(jnp.asarray(x), 2, axis=0)
+        fs = float(fs) * 2.0
+        method = "linear"
     x, fdims = _fold_frames(x)
     T, N, M = x.shape[:3]
     Fn = x.shape[3] if np.ndim(x) >= 4 else None
@@ -2289,6 +2294,18 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         err = np.abs(np.asarray(img) - np.asarray(ref)).max()
         assert err < 1e-4 * np.abs(np.asarray(ref)).max()
     """
+    if method == "cubic2x":
+        # cubic-CLASS accuracy via linear taps on 2x band-limited
+        # upsampled traces (vs quasi-exact sinc: cubic2x 3.2% / cubic
+        # 3.0% / linear 12.8% — tests/test_bf.py). MEASURED SLOWER than
+        # true cubic on the TPU loop arm (2.13 vs 1.20 s/frame at the
+        # headline config): window count scales with span*fs, so 2x fs
+        # doubles the window sweeps (NOTES.md r5). Kept for the XLA
+        # paths and API parity; not a default anywhere.
+        from .interp import fft_upsample
+        x = fft_upsample(jnp.asarray(x), 2, axis=0)
+        fs = float(fs) * 2.0
+        method = "linear"
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
         raise ValueError(f"unknown method {method!r}")
     keep_both = keep_rx and keep_tx
