@@ -155,13 +155,16 @@ def _tx_apod_weight(kind, prm, lat, pz, px, pv_ref, m):
     raise ValueError(kind)
 
 
-def _method_exts(method: str, pair: bool):
+def _method_exts(method: str, pair: bool, quad: bool = False):
     """(lo_ext, hi_ext) window-bound extensions in samples for a sampler:
     how far the gather lanes extend below the tap base / above the planned
     hi index. linear gathers at [base, base+1] (pair: one packed gather at
     base); 4-tap methods gather at [base-1, base+2] (pair: two packed
-    gathers at base-1 and base+1)."""
+    gathers at base-1 and base+1; quad/'i8x4': ONE int8x4 gather at base —
+    all four taps ride the gathered 32-bit word)."""
     if method in ("cubic", "lanczos3"):
+        if quad:
+            return 0, 0
         return 1, (1 if pair else 2)
     if method == "nearest":
         return 0, 0
@@ -172,7 +175,8 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             tx_model: str, planar: bool, iq: bool, fmod: float,
             MC: int, NC: int, has_f: bool, keep_rx: bool, keep_tx: bool,
             rx_apods: tuple, tx_apods: tuple, has_lat: bool,
-            pair: bool = False, allfast: bool = False,
+            pair: bool = False, quad: bool = False,
+            allfast: bool = False,
             interp_mode: bool = False, lut: bool = False,
             method: str = "linear", vmax: float = 0.0,
             lut_tiles: bool = False, CB: int = 0,
@@ -598,7 +602,7 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             if "fixedwin" in _ABLATE:  # probe: scalar planning chain cost
                 lo_t = jnp.float32(0.0)
                 hi_t = jnp.float32(64.0)
-            lo_ext, hi_ext = _method_exts(method, pair)
+            lo_ext, hi_ext = _method_exts(method, pair, quad)
             lo_i = jnp.clip(lo_t.astype(jnp.int32) - lo_ext, 0, T - 2)
             hi_i = jnp.clip(hi_t.astype(jnp.int32) + 1, 0, T - 2)
             ws0 = lo_i
@@ -613,8 +617,12 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             assert W == 128
             four = method in ("cubic", "lanczos3")
             if four:
-                glanes = (TIS - 1, TIS + 1) if pair \
-                    else (TIS - 1, TIS, TIS + 1, TIS + 2)
+                if quad:  # 'i8x4': all 4 taps in one gathered word
+                    glanes = (TIS,)
+                elif pair:
+                    glanes = (TIS - 1, TIS + 1)
+                else:
+                    glanes = (TIS - 1, TIS, TIS + 1, TIS + 2)
             elif method == "nearest":
                 glanes = (TIS,)
             else:
@@ -686,7 +694,14 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                         # 2 gathers, the TPU analog of the reference's
                         # half2 4-tap path (``interpd.cu:89-113``)
                         acc = None
-                        if pair:
+                        if quad and four:
+                            # all four taps ride ONE int8x4 gather
+                            if "nogather" in _ABLATE:  # probe
+                                gi = srep
+                            else:
+                                gi = jnp.take_along_axis(srep, LJ, axis=1)
+                            acc = _quad_mix(gi, WS)
+                        elif pair:
                             if four:
                                 pairs = ((LJ - 1, WS[0], WS[1]),
                                          (LJ + 1, WS[2], WS[3]))
@@ -752,6 +767,21 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
             def jbody(j, part):
                 slabs = slab_at(q0 + j)
                 if method != "linear":
+                    if quad and four:
+                        # one int8x4 gather; mask all 4 tap weights on the
+                        # single gather lane's window id
+                        if "noloop" in _ABLATE:
+                            return part
+                        mq = wids[0] == q0 + j
+                        wsm = tuple(jnp.where(mq, w, 0.0) for w in WS)
+                        new = list(part)
+                        for ch in range(nch):
+                            srep = jnp.broadcast_to(
+                                slabs[ch][:, None, :],
+                                (8, 8, W)).reshape(64, W)
+                            gq = jnp.take_along_axis(srep, lids[0], axis=1)
+                            new[ch] = new[ch] + _quad_mix(gq, wsm)
+                        return tuple(new)
                     # generic per-gather window masks: each gather lane has
                     # its own window id; a gather contributes only in its
                     # matching window j
@@ -1244,6 +1274,39 @@ def _upload_trace(xh, pair: bool):
     return jnp.asarray(xh, jnp.float32)
 
 
+def _quad_mix(gi, ws):
+    """Unpack an int8x4 gathered word (4 signed taps, lowest byte = tap
+    t-1) and apply the 4-tap weights — the cubic-in-ONE-gather path
+    (``precision='i8x4'``): arithmetic shifts isolate each byte. (A
+    biased-byte exponent-bias/bitcast variant measured SLOWER: 1.043 vs
+    1.014 s at the full config — the int->f32 converts schedule fine.)"""
+    t0 = ((gi << 24) >> 24).astype(jnp.float32)
+    t1 = ((gi << 16) >> 24).astype(jnp.float32)
+    t2 = ((gi << 8) >> 24).astype(jnp.float32)
+    t3 = (gi >> 24).astype(jnp.float32)
+    return t0 * ws[0] + t1 * ws[1] + t2 * ws[2] + t3 * ws[3]
+
+
+@jax.jit
+def _pack_quads(xr):
+    """f32 ``(..., T)`` -> (int32 lanes, scale): lane ``t`` packs the
+    4-tap stencil ``int8(x[t-1]), int8(x[t]), int8(x[t+1]), int8(x[t+2])``
+    (edge-replicated), quantized by one global scale — cubic taps then
+    cost ONE 32-bit gather instead of two packed-pair gathers (measured
+    0.45 s of the 1.20 s cubic frame; NOTES.md r5). int8 traces are the
+    aggressive end of the reference's reduced-precision trace modes
+    (``interpd.cu`` halfT / ``bf.cu:170``); opt-in via
+    ``precision='i8x4'``."""
+    s = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.float32(1e-30))
+    q = jnp.clip(jnp.round(xr * (127.0 / s)), -127, 127).astype(
+        jnp.int32) & 0xFF
+    qm1 = jnp.concatenate([q[..., :1], q[..., :-1]], axis=-1)
+    qp1 = jnp.concatenate([q[..., 1:], q[..., -1:]], axis=-1)
+    qp2 = jnp.concatenate([q[..., 2:], q[..., -1:], q[..., -1:]], axis=-1)
+    return (qm1 | (q << 8) | (qp1 << 16) | (qp2 << 24)).astype(jnp.int32), \
+        s / 127.0
+
+
 @jax.jit
 def _pack_pairs(xr):
     """f32 ``(..., T)`` -> int32 bf16-pair lanes: lane ``t`` holds
@@ -1258,11 +1321,11 @@ def _pack_pairs(xr):
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "tx_model", "planar", "fmod", "keep_rx", "keep_tx", "rx_apods",
-    "tx_apods", "MC", "NC", "interpret", "pair", "allfast", "method",
-    "vmax", "hostwin", "acc16"))
+    "tx_apods", "MC", "NC", "interpret", "pair", "quad", "allfast",
+    "method", "vmax", "hostwin", "acc16"))
 def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
               tx_model, planar, fmod, keep_rx, keep_tx=False, rx_apods,
-              tx_apods, MC, NC, interpret=False, pair=False,
+              tx_apods, MC, NC, interpret=False, pair=False, quad=False,
               allfast=False, method="linear", vmax=0.0, hostwin=False,
               acc16=False):
     """One pallas_call covering the whole image: grid ([F,] NCc, MTc, RB,
@@ -1318,7 +1381,8 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
         _kernel, N=N, T=T, W=128, fs=fs, tx_model=tx_model, planar=planar,
         iq=iq, fmod=fmod, MC=MC, NC=NC, has_f=has_f, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=rx_apods, tx_apods=tx_apods,
-        has_lat=has_lat, pair=pair, allfast=allfast, interp_mode=interpret,
+        has_lat=has_lat, pair=pair, quad=quad, allfast=allfast,
+        interp_mode=interpret,
         method=method, vmax=vmax, stream_rx=stream_rx, stream_tx=stream_tx,
         hostwin=hostwin, lut_tiles=hostwin, CB=CB)
 
@@ -2259,7 +2323,15 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     bf16 ``dynamic_gather`` ("indices and result have different
     bitwidths"), so bf16 only runs in interpret mode today; it raises
     otherwise so the failure is explicit rather than a remote-compile
-    error.
+    error. 'bf16pair' packs both linear taps (or each 4-tap half) into
+    one 32-bit gather (~0.2% max rel err, ~10% faster — the half2 trace
+    mode of ``bf.cu:170``). 'i8x4' (4-tap methods only) packs the WHOLE
+    4-tap stencil as int8x4 with one global quantization scale, so cubic
+    taps ride ONE gather instead of two — measured 1.014 vs 1.195
+    s/frame at the full config (15% — the gather is ~38% of the cubic
+    kernel, but the byte unpack returns part of it); ~1.5% max rel err
+    on worst-case white-noise traces (int8 is the aggressive end of the
+    reference's reduced-precision trace modes) — opt-in.
 
     ``apod``: tuple of :class:`Fused` geometry-apodization descriptors,
     evaluated in-register (see module docstring). ``lat``: per-pixel
@@ -2309,8 +2381,13 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
         raise ValueError(f"unknown method {method!r}")
     keep_both = keep_rx and keep_tx
-    if precision not in ("f32", "bf16", "bf16pair"):
+    if precision not in ("f32", "bf16", "bf16pair", "i8x4"):
         raise ValueError(f"unknown precision {precision!r}")
+    if precision == "i8x4" and method not in ("cubic", "lanczos3"):
+        raise ValueError(
+            "precision='i8x4' packs the 4-tap stencil — use method="
+            "'cubic'/'lanczos3' (2-tap methods already ride one gather "
+            "via 'bf16pair')")
     if precision == "bf16" and not interpret:
         raise NotImplementedError(
             "precision='bf16' requires bf16 dynamic_gather, which the"
@@ -2321,6 +2398,8 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         if not isinstance(a, Fused):
             raise ValueError("das_tiled apodization must be Fused descriptors")
     pair = precision == "bf16pair"
+    quad = precision == "i8x4"
+    qscales = []  # per-channel int8 quantization scales (quad mode)
 
     x, fdims = _fold_frames(x)  # (T, N, M, F1, F2, ...) -> one F axis
     x_in = x
@@ -2477,6 +2556,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             xr = jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
         if precision == "bf16pair":
             xr = _pack_pairs(xr)
+        elif quad:
+            xr, sc = _pack_quads(xr)
+            qscales.append(sc)
         return xr
 
     def run(xr, xi=None):
@@ -2494,8 +2576,11 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             tx_model=tx_model, planar=planar, fmod=float(fmod),
             keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
-            pair=(precision == "bf16pair"), allfast=allfast,
+            pair=(precision == "bf16pair"), quad=quad, allfast=allfast,
             method=method, vmax=float(T), hostwin=hostwin, acc16=acc16)
+        if quad:  # undo the int8 quantization scale (global per channel)
+            outs = tuple(o * qscales[min(i, len(qscales) - 1)]
+                         for i, o in enumerate(outs))
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:

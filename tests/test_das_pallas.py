@@ -660,3 +660,46 @@ def test_acc16_keep_rx(monkeypatch):
                                interpret=True))
     assert got.dtype == np.float32 and got.shape == ref.shape
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2  # bf16
+
+
+def test_i8x4_quad_cubic():
+    """precision='i8x4': the 4-tap stencil packed as int8x4 so cubic taps
+    ride ONE 32-bit gather (measured 1.014 vs 1.195 s/frame bf16pair at
+    the full config). Parity vs f32 cubic within the int8 quantization
+    band on worst-case (white-noise) traces, all keep modes + IQ; the
+    physics oracle localizes the scatterer exactly like f32."""
+    import qups_tpu as q
+
+    x, pi, pr, pv, nv, t0 = problem()
+    kw = dict(fs=4e6, tx_model="plane", im_shape=(16, 128, 1),
+              interpret=True, out="ri")
+    for extra in ({}, {"keep_rx": True}, {"keep_tx": True}):
+        a = np.asarray(das_tiled(x, pi, pr, pv, nv, t0,
+                                 np.float32(1 / 1540.0), method="cubic",
+                                 precision="f32", **extra, **kw))
+        b = np.asarray(das_tiled(x, pi, pr, pv, nv, t0,
+                                 np.float32(1 / 1540.0), method="cubic",
+                                 precision="i8x4", **extra, **kw))
+        assert np.abs(a - b).max() <= 0.02 * np.abs(a).max(), extra
+    # 2-tap methods reject the quad pack explicitly
+    with pytest.raises(ValueError):
+        das_tiled(x, pi, pr, pv, nv, t0, np.float32(1 / 1540.0),
+                  method="linear", precision="i8x4", **kw)
+    # physics: point-scatterer PSF peak unmoved (BFTest oracle)
+    xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=5e6)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=8),
+        scan=q.ScanCartesian(x=np.linspace(-3e-3, 3e-3, 32),
+                             z=np.linspace(17e-3, 23e-3, 32)), fs=25e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+    chd = us.greens(scat)
+    pvs, nvs, model = us._tx_geometry()
+    img = np.asarray(das_tiled(
+        np.asarray(chd.data), us._pixels(), us.rx.positions().T, pvs, nvs,
+        chd.t0_host, np.float32(1 / 1540.0), fs=float(chd.fs),
+        tx_model=model, method="cubic", precision="i8x4",
+        im_shape=tuple(us.scan.shape), interpret=True, out="ri"))
+    mag = np.hypot(img[..., 0], img[..., 1]).reshape(-1)
+    P = us.scan.positions().reshape(3, -1)
+    k = int(mag.argmax())
+    assert np.linalg.norm(P[:, k] - [0, 0, 20e-3]) < 1.1e-3
