@@ -72,7 +72,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 from .core.channel_data import ChannelData
-from .core.scan import Scan, ScanCartesian, ScanPolar, ScanSpherical
+from .core.scan import (Scan, ScanCartesian, ScanGeneric,
+                        ScanPolar, ScanSpherical)
 from .core.seq import Sequence, SequenceRadial, SequenceGeneric
 from .core.waveform import Waveform
 from .core.xdc import (Transducer, TransducerArray, TransducerConvex,
@@ -493,12 +494,23 @@ def _uff_write_value(g, name, v):
 def save_uff(path, chd: Optional[ChannelData] = None,
              xdc: Optional[Transducer] = None,
              seq: Optional[Sequence] = None,
-             scan: Optional[Scan] = None, name: str = "channel_data"):
+             scan: Optional[Scan] = None, name: str = "channel_data",
+             us=None):
     """Write a UFF-style HDF5 file holding the bundle. The layout follows
     the USTB uff.channel_data convention (groups carry a 'class' attribute;
     complex arrays are real/imag pairs); geometry rides the uff.probe
-    'geometry' matrix (``src/Transducer.m:442-467``)."""
+    'geometry' matrix (``src/Transducer.m:442-467``).
+
+    ``us``: optionally pass a whole :class:`UltrasoundSystem` — its
+    rx transducer, sequence, and scan fill any of ``xdc``/``seq``/
+    ``scan`` not given explicitly (the one-call bundle export the
+    reference reaches through ``UltrasoundSystem.QUPS2USTB``,
+    ``src/UltrasoundSystem.m:887-947``)."""
     import h5py
+    if us is not None:
+        xdc = xdc if xdc is not None else us.rx
+        seq = seq if seq is not None else us.seq
+        scan = scan if scan is not None else us.scan
     with h5py.File(path, "w") as f:
         f.attrs["version"] = np.bytes_("v1.2.0-qups-tpu")
         g = f.create_group(name)
@@ -558,6 +570,33 @@ def save_uff(path, chd: Optional[ChannelData] = None,
                 _uff_write_value(sg, "azimuth_axis",
                                  np.radians(np.asarray(scan.a)))
                 _uff_write_value(sg, "origin", np.asarray(scan.origin))
+            elif isinstance(scan, ScanSpherical):
+                # USTB has no spherical class; the base uff.scan stores
+                # explicit per-pixel xyz (``uff/scan.m``) — write those
+                # plus the qups axes so our reader round-trips exactly
+                sg.attrs["class"] = np.bytes_("uff.scan")
+                P = scan.positions().reshape(3, -1)
+                _uff_write_value(sg, "x", P[0])
+                _uff_write_value(sg, "y", P[1])
+                _uff_write_value(sg, "z", P[2])
+                _uff_write_value(sg, "qups_type", "spherical")
+                _uff_write_value(sg, "depth_axis", np.asarray(scan.r))
+                _uff_write_value(sg, "azimuth_axis",
+                                 np.radians(np.asarray(scan.a)))
+                _uff_write_value(sg, "elevation_axis",
+                                 np.radians(np.asarray(scan.e)))
+                _uff_write_value(sg, "origin", np.asarray(scan.origin))
+            else:
+                # any other scan (ScanGeneric, subclasses): base uff.scan
+                # with explicit per-pixel xyz
+                sg.attrs["class"] = np.bytes_("uff.scan")
+                P = np.asarray(scan.positions()).reshape(3, -1)
+                _uff_write_value(sg, "x", P[0])
+                _uff_write_value(sg, "y", P[1])
+                _uff_write_value(sg, "z", P[2])
+                _uff_write_value(sg, "qups_type", "generic")
+                _uff_write_value(sg, "shape",
+                                 np.asarray(scan.shape, np.int64))
 
 
 def _uff_attr(node, name, default=""):
@@ -821,6 +860,29 @@ def load_uff(path):
                     r=np.asarray(_uff_read_value(sg["depth_axis"])).reshape(-1),
                     a=np.degrees(np.asarray(
                         _uff_read_value(sg["azimuth_axis"])).reshape(-1)))
+            elif cls == "uff.scan":
+                qt = _uff_read_value(sg["qups_type"]) \
+                    if "qups_type" in sg else ""
+                if qt == "spherical":
+                    org = np.asarray(
+                        _uff_read_value(sg["origin"])).reshape(-1)[:3] \
+                        if "origin" in sg else np.zeros(3)
+                    out["scan"] = ScanSpherical(
+                        origin=tuple(org),
+                        r=np.asarray(_uff_read_value(
+                            sg["depth_axis"])).reshape(-1),
+                        a=np.degrees(np.asarray(_uff_read_value(
+                            sg["azimuth_axis"])).reshape(-1)),
+                        e=np.degrees(np.asarray(_uff_read_value(
+                            sg["elevation_axis"])).reshape(-1)))
+                else:  # generic / genuine-USTB base scan: xyz points
+                    P = np.stack([np.asarray(
+                        _uff_read_value(sg[k])).reshape(-1)
+                        for k in ("x", "y", "z")])
+                    shp = tuple(np.asarray(_uff_read_value(
+                        sg["shape"])).reshape(-1).astype(int)) \
+                        if "shape" in sg else (P.shape[1], 1, 1)
+                    out["scan"] = ScanGeneric(pos=P.reshape((3,) + shp))
     return out
 
 

@@ -288,3 +288,102 @@ def kspace_sim_3d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
     out = jax.lax.fori_loop(0, steps, step_fn,
                             (z, z, z, z, z, z, z, rec0, fld0))
     return (out[-2], out[-1]) if field_stride else out[-2]
+
+
+@partial(jax.jit, static_argnames=("steps", "dt", "dx", "c_ref",
+                                   "record_rows", "alpha_power",
+                                   "field_stride"))
+def kspace_sim_1d(c, rho, src_idx, src_sig, *, steps: int, dt: float,
+                  dx: float, c_ref: float, record_rows: Tuple[int, ...],
+                  alpha0=None, alpha_power: float = 1.5, bona=None,
+                  field_stride: int = 0):
+    """1-D k-space PSTD simulation — completes the reference's
+    ``kspaceFirstOrder[123]D`` dimension sweep (``UltrasoundSystem.m:
+    3040``; the 1-D variant models plane-wave/through-transmission
+    columns). Same physics as :func:`kspace_sim_2d` reduced to one axis.
+
+    Args:
+      c, rho: (Nz,) property maps (PML included). src_idx: (Q,) int32
+      node indices. src_sig: (steps, Q). record_rows: cells recorded.
+
+    Returns (steps, len(record_rows)) pressure; with ``field_stride`` > 0,
+    ``(recorded, field)`` with field (ceil(steps/stride), Nz).
+
+    Example:
+        import numpy as np
+        from qups_tpu.sim.fdtd import kspace_sim_1d
+        c0, h = 1500.0, 0.2e-3
+        N, steps = 256, 300
+        dt = 0.3 * h / c0
+        t = np.arange(steps) * dt
+        sig = (np.exp(-((t - 1e-6) * 2e6 * 2) ** 2)
+               * np.sin(2 * np.pi * 2e6 * t))[:, None].astype(np.float32)
+        rec = kspace_sim_1d(np.full(N, c0), np.full(N, 1000.0),
+                            np.array([30]), sig, steps=steps, dt=dt,
+                            dx=h, c_ref=c0, record_rows=(140,))
+        t_pk = t[np.abs(np.asarray(rec)[:, 0]).argmax()]
+        want = 110 * h / c0 + 1e-6
+        assert abs(t_pk - want) < 4 * dt
+    """
+    c = jnp.asarray(c, jnp.float32)
+    rho = jnp.asarray(rho, jnp.float32)
+    Nz = c.shape[0]
+    kz = np.fft.fftfreq(Nz, dx) * 2 * np.pi
+    KZ = jnp.asarray(kz, jnp.float32)
+    Knp = np.abs(kz)
+    kappa = jnp.asarray(np.sinc(c_ref * Knp * dt / 2 / np.pi), jnp.float32)
+    ez_f = jnp.exp(+1j * KZ * dx / 2)
+    ez_b = jnp.exp(-1j * KZ * dx / 2)
+    npml = 10
+    alpha = 2.0 * c_ref / dx
+    pml_z = jnp.asarray(_pml_profile(Nz, npml, alpha, dt), jnp.float32)
+
+    rho0 = rho
+    c2 = c * c
+    absorbing = alpha0 is not None
+    if absorbing:
+        tau, eta, nab1, nab2 = _absorb_terms(alpha0, alpha_power, c, Knp)
+    nonlin = bona is not None
+    if nonlin:
+        bq = jnp.asarray(bona, jnp.float32) / (2.0 * rho0)
+
+    def ddz(f, stag):
+        F = jnp.fft.fft(f)
+        return jnp.real(jnp.fft.ifft(1j * KZ * kappa * stag * F))
+
+    def pressure(rho_t, divu):
+        pr = rho_t
+        if nonlin:
+            pr = pr + bq * rho_t * rho_t
+        if absorbing:
+            Fd = jnp.fft.fft(rho0 * divu)
+            Fr = jnp.fft.fft(rho_t)
+            pr = pr + tau * jnp.real(jnp.fft.ifft(nab1 * Fd)) \
+                + eta * jnp.real(jnp.fft.ifft(nab2 * Fr))
+        return c2 * pr
+
+    rows = jnp.asarray(np.asarray(record_rows, np.int32))
+    src = jnp.asarray(src_idx, jnp.int32).reshape(-1)
+    nsnap = -(-steps // field_stride) if field_stride else 0
+
+    def step_fn(i, state):
+        uz, rz, p, rec, fld = state
+        uz = pml_z * (pml_z * uz - dt / rho0 * ddz(p, ez_f))
+        dzu = ddz(uz, ez_b)
+        rz = pml_z * (pml_z * rz - dt * rho0 * dzu)
+        s = src_sig[i]
+        rz = rz.at[src].add(s / c2[src])
+        p = pressure(rz, dzu)
+        rec = rec.at[i].set(p[rows])
+        if field_stride:
+            fld = jax.lax.cond(
+                i % field_stride == 0,
+                lambda f: f.at[i // field_stride].set(p),
+                lambda f: f, fld)
+        return uz, rz, p, rec, fld
+
+    z = jnp.zeros((Nz,), jnp.float32)
+    rec0 = jnp.zeros((steps, len(record_rows)), jnp.float32)
+    fld0 = jnp.zeros((nsnap, Nz), jnp.float32)
+    out = jax.lax.fori_loop(0, steps, step_fn, (z, z, z, rec0, fld0))
+    return (out[-2], out[-1]) if field_stride else out[-2]

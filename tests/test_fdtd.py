@@ -360,3 +360,33 @@ def test_kspace_karray_projection_convex_tof():
     t_pk = t[sel][i_pk]
     tol = 5 * (lam / 6) / c0  # tighter than the 10-step nearest tolerance
     assert abs(t_pk - t_echo) < tol, (t_pk, t_echo, tol)
+
+
+def test_kspace_1d_tof_and_reflection():
+    """1-D PSTD (kspaceFirstOrder1D analog): free-field TOF at c and a
+    reflection off an impedance step arriving at the round-trip time."""
+    from qups_tpu.sim.fdtd import kspace_sim_1d
+    c0, h = 1500.0, 0.2e-3
+    N, steps = 512, 1900
+    dt = 0.3 * h / c0
+    fc = 2e6
+    t = np.arange(steps) * dt
+    sig = (np.exp(-((t - 1e-6) * fc * 2) ** 2)
+           * np.sin(2 * np.pi * fc * t))[:, None].astype(np.float32)
+    cmap = np.full(N, c0); rho = np.full(N, 1000.0)
+    rec = np.asarray(kspace_sim_1d(cmap, rho, np.array([40]), sig,
+                                   steps=steps, dt=dt, dx=h, c_ref=c0,
+                                   record_rows=(240,)))
+    t_pk = t[np.abs(rec[:, 0]).argmax()]
+    want = 200 * h / c0 + 1e-6
+    assert abs(t_pk - want) < 4 * dt, (t_pk, want)
+    # impedance step at cell 300: echo back at the source-side probe
+    rho2 = rho.copy(); rho2[300:] = 3000.0  # step at cell 300
+    rec2 = np.asarray(kspace_sim_1d(cmap, rho2, np.array([40]), sig,
+                                    steps=steps, dt=dt, dx=h, c_ref=c0,
+                                    record_rows=(60,)))
+    tr = rec2[:, 0]
+    t_ref = (260 + 240) * h / c0 + 1e-6  # 40->300->60 path (66.7 us)
+    sel = t > 0.7 * t_ref
+    t_echo = t[sel][np.abs(tr[sel]).argmax()]
+    assert abs(t_echo - t_ref) < 6 * dt, (t_echo, t_ref)
