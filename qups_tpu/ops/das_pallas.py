@@ -1568,11 +1568,11 @@ def _das_call(boxes, gbox, pz, px, py, lat, pr, pv, xs, accs, *, fs,
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "fmod", "keep_rx", "keep_tx", "MC", "NC", "interpret", "pair",
-    "allfast", "method", "vmax", "lut_tiles"))
+    "quad", "allfast", "method", "vmax", "lut_tiles"))
 def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
                   keep_rx=False, keep_tx=False, MC, NC, interpret=False,
-                  pair=False, allfast=False, method="linear", vmax=0.0,
-                  lut_tiles=False):
+                  pair=False, quad=False, allfast=False, method="linear",
+                  vmax=0.0, lut_tiles=False):
     """LUT-mode pallas_call: delay tables streamed as per-tile blocks.
 
     rxb (RB, G, 2) / txb (RB, MTc, 2): per-row-stripe LUT bounds (scalar
@@ -1612,7 +1612,8 @@ def _das_lut_call(rxb, txb, taur, taut, tv, xs, accs, *, fs, fmod=0.0,
         _kernel, N=N, T=T, W=128, fs=fs, tx_model="lut", planar=True,
         iq=iq, fmod=fmod, MC=MC, NC=NC, has_f=has_f, keep_rx=keep_rx,
         keep_tx=keep_tx, rx_apods=(), tx_apods=(), has_lat=False,
-        pair=pair, allfast=allfast, interp_mode=interpret, lut=True,
+        pair=pair, quad=quad, allfast=allfast, interp_mode=interpret,
+        lut=True,
         method=method, vmax=vmax, lut_tiles=lut_tiles, CB=CB,
         stream_rx=stream_rx, stream_tx=stream_tx)
 
@@ -1867,8 +1868,11 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
     ``keep_rx & keep_tx`` together (BF mode, ``bf.cu:129-140`` bits 3+4)
     keeps the full (I, N, M) volume — small configs only (output traffic
     is I*N*M floats)."""
-    if precision not in ("f32", "bf16pair"):
+    if precision not in ("f32", "bf16pair", "i8x4"):
         raise ValueError(f"unknown precision {precision!r}")
+    if precision == "i8x4" and method not in ("cubic", "lanczos3"):
+        raise ValueError("precision='i8x4' packs the 4-tap stencil — use "
+                         "method='cubic'/'lanczos3'")
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
         raise ValueError(f"unknown method {method!r}")
     four = method in ("cubic", "lanczos3")
@@ -1920,7 +1924,9 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
     tv[0, :M] = t0
 
     pair = precision == "bf16pair"
-    lo_ext, hi_ext = _method_exts(method, pair)
+    quad = precision == "i8x4"
+    qscales = []  # per-channel int8 quantization scales (quad mode)
+    lo_ext, hi_ext = _method_exts(method, pair, quad)
     tapext = 4 + 2 + lo_ext + hi_ext
 
     # per-TILE packed int16 bounds (lut_tiles mode): per-stripe bounds
@@ -1973,6 +1979,9 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
             xr = jnp.transpose(xr, (2, 1, 0))  # (M, N, T)
         if pair:
             xr = _pack_pairs(xr)
+        elif quad:
+            xr, sc = _pack_quads(xr)
+            qscales.append(sc)
         return xr
 
     # device-resident planning arrays: uploaded ONCE per plan (the tables
@@ -1991,8 +2000,12 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
         outs = _das_lut_call(
             rxb_j, txb_j, taur_j, taut_j, tv_j, xs, accs, fs=float(fs),
             fmod=float(fmod), keep_rx=keep_rx, keep_tx=keep_tx, MC=MC,
-            NC=NC, interpret=interpret, pair=pair, allfast=allfast,
+            NC=NC, interpret=interpret, pair=pair, quad=quad,
+            allfast=allfast,
             method=method, vmax=float(T), lut_tiles=lut_tiles)
+        if quad:  # undo the int8 quantization scale
+            outs = tuple(o * qscales[min(i, len(qscales) - 1)]
+                         for i, o in enumerate(outs))
         res = []
         for o in outs:
             if Fn:

@@ -573,13 +573,16 @@ class UltrasoundSystem:
         ri-format image ``(..., 2)`` on TPU Pallas paths and a complex
         image elsewhere (see ``qups_tpu/utils/cpx.py``).
 
-        ``precision``: 'auto' | 'f32' | 'bf16pair'. 'bf16pair' stores
-        traces as packed bf16 tap pairs so both interp taps ride one
-        32-bit gather — the TPU analog of the reference's half2 trace
-        mode (``bf.cu:170``); ~0.2% max rel error, ~10% faster. 'auto'
-        (default) resolves to 'bf16pair' on the TPU Pallas fast path —
-        the published benchmark mode — and 'f32' everywhere else; pass
-        'f32' explicitly for full-precision traces.
+        ``precision``: 'auto' | 'f32' | 'bf16pair' | 'i8x4'. 'bf16pair'
+        stores traces as packed bf16 tap pairs so both interp taps ride
+        one 32-bit gather — the TPU analog of the reference's half2
+        trace mode (``bf.cu:170``); ~0.2% max rel error, ~10% faster.
+        'i8x4' (4-tap methods only) packs the whole stencil as int8x4 so
+        cubic taps ride ONE gather — 15% faster than bf16pair cubic
+        (1.014 vs 1.195 s/frame at the headline config) at ~1.5% max rel
+        error on worst-case traces; opt-in. 'auto' (default) resolves to
+        'bf16pair' on the TPU Pallas fast path — the published benchmark
+        mode — and 'f32' everywhere else.
 
         ``bsize``: if set, stream the traces through the device ``bsize``
         transmits at a time, keeping the full data host-resident and

@@ -703,3 +703,18 @@ def test_i8x4_quad_cubic():
     P = us.scan.positions().reshape(3, -1)
     k = int(mag.argmax())
     assert np.linalg.norm(P[:, k] - [0, 0, 20e-3]) < 1.1e-3
+
+
+def test_i8x4_lut_path():
+    """i8x4 quad pack on the LUT (bring-your-own-delays) kernel."""
+    from qups_tpu.ops.das_pallas import das_lut_tiled
+    x, pi, pr, pv, nv, t0 = problem()
+    tau_rx = (np.linalg.norm(pi[:, None] - pr[None], axis=-1)
+              / 1540.0).astype(np.float32)
+    tau_tx = (pi @ nv.T / 1540.0 + t0[None, :]).astype(np.float32)
+    kw = dict(fs=4e6, im_shape=(16, 128, 1), interpret=True, out="ri")
+    a = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0, method="cubic",
+                                 precision="f32", **kw))
+    b = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0, method="cubic",
+                                 precision="i8x4", **kw))
+    assert np.abs(a - b).max() <= 0.02 * np.abs(a).max()
