@@ -264,7 +264,7 @@ def stolt_migration(x, t0, del_tx, angles_deg, *, fs: float, c0: float,
                     pitch: float, fmod: float = 0.0, keep_tx: bool = False,
                     method: str = "cubic", jacobian: bool = True,
                     nfft: Optional[Tuple[int, int]] = None,
-                    out: str = "complex"):
+                    out: str = "complex", gamma=None):
     """Stolt f-k migration for plane-wave data on a linear array
     (``UltrasoundSystem.bfMigration``, ``UltrasoundSystem.m:4740-4860``):
 
@@ -305,9 +305,14 @@ def stolt_migration(x, t0, del_tx, angles_deg, *, fs: float, c0: float,
         y = (y * kz) / (fkz + 1e-30)
     y = y * cexp(+2 * np.pi * fj * t0[None, None, :])
     b = jnp.fft.ifft(jnp.fft.ifftshift(y, axes=0), n=F, axis=0)
-    # lateral alignment for steered plane waves (Garcia PWI)
-    th = np.radians(np.asarray(angles_deg, np.float64))
-    gamma = (np.sin(th) / (2 - np.cos(th))).astype(np.float32)  # (M,)
+    # lateral alignment for steered plane waves (Garcia PWI). ``gamma``
+    # may be passed as a TRACED (M,) array instead of the static angle
+    # tuple — the angle-sharded composition (parallel.migration_sharded)
+    # feeds each shard its own alignment factors through one program.
+    if gamma is None:
+        th = np.radians(np.asarray(angles_deg, np.float64))
+        gamma = (np.sin(th) / (2 - np.cos(th))).astype(np.float32)  # (M,)
+    gamma = jnp.asarray(gamma, jnp.float32)
     tb = jnp.arange(F, dtype=jnp.float32)[:, None, None] / fs + t0[None, None, :]
     zax = c0 / 2 * tb  # (F, 1, M)
     b = b * cexp(2 * np.pi * kxj * jnp.asarray(gamma)[None, None, :] * zax)

@@ -1281,3 +1281,69 @@ def focus_tx_freq_sharded(mesh: Mesh, x, t2, w, *, fs: float):
                   out_specs=P(None, axes, *tail), check_vma=False)(
         x, t2, w)
     return y[:, :N]
+
+
+def migration_sharded(mesh: Mesh, x, t0, del_tx, angles_deg, *, fs: float,
+                      c0: float, pitch: float, fmod: float = 0.0,
+                      keep_tx: bool = False, method: str = "cubic",
+                      jacobian: bool = True, out: str = "complex"):
+    """Plane-wave-angle-sharded Stolt f-k migration: each device migrates
+    its transmit (angle) subset through
+    :func:`qups_tpu.ops.fdbf.stolt_migration` (Garcia ``gamma`` alignment
+    factors enter as a sharded traced array) and the summed image is one
+    psum — the reference splices ``bfMigration`` over frequency/transmit
+    blocks on one GPU (``UltrasoundSystem.m:4740-4860``). Zero-signal
+    padding angles make non-divisible M exact.
+
+    Example:
+        import jax, numpy as np
+        from qups_tpu.parallel import make_mesh, migration_sharded
+        rng = np.random.default_rng(0)
+        T, N, M = 64, 16, 3
+        x = rng.standard_normal((T, N, M)).astype(np.float32)
+        mesh = make_mesh(jax.devices()[:2], axes=("tx",))
+        b = migration_sharded(mesh, x, 0.0, np.zeros((N, M), np.float32),
+                              (-5.0, 0.0, 5.0), fs=8e6, c0=1540.0,
+                              pitch=0.3e-3, out="ri")
+        assert b.shape == (T, N, 1, 2)
+    """
+    from ..ops.fdbf import stolt_migration
+
+    shard_map = jax.shard_map
+    axes, ndev = _flat_axes(mesh)
+    x = jnp.asarray(x)
+    T, N, M = x.shape[:3]
+    th = np.radians(np.asarray(angles_deg, np.float64)).reshape(-1)
+    gamma = (np.sin(th) / (2 - np.cos(th))).astype(np.float32)
+    t0v = np.broadcast_to(np.asarray(t0, np.float32).reshape(-1),
+                          (M,)).copy()
+    pm = (-M) % ndev
+    if pm:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, pm)])
+        gamma = np.pad(gamma, (0, pm), mode="edge")
+        t0v = np.pad(t0v, (0, pm), mode="edge")
+        del_tx = np.pad(np.asarray(del_tx), ((0, 0), (0, pm)), mode="edge")
+
+    def local(xl, t0l, dl, gl):
+        b = stolt_migration(xl, t0l, dl, angles_deg=(), fs=fs, c0=c0,
+                            pitch=pitch, fmod=fmod, keep_tx=keep_tx,
+                            method=method, jacobian=jacobian, out=out,
+                            gamma=gl)
+        if not keep_tx:
+            b = jax.lax.psum(b, axes)
+        return b
+
+    mx = 2 if keep_tx else None
+    ospec = [None, None, axes if keep_tx else None]
+    if out == "ri":
+        ospec = ospec + [None]
+    y = shard_map(local, mesh=mesh,
+                  in_specs=(P(None, None, axes), P(axes),
+                            P(None, axes), P(axes)),
+                  out_specs=P(*ospec), check_vma=False)(
+        x, jnp.asarray(t0v), jnp.asarray(del_tx, jnp.float32),
+        jnp.asarray(gamma))
+    if keep_tx and pm:
+        y = y[:, :, :M]
+    del mx
+    return y

@@ -708,3 +708,27 @@ def test_focus_tx_freq_sharded_matches_single():
     z1 = np.asarray(focus_tx_freq_sharded(mesh, xf, t2, w, fs=8e6))
     assert z1.shape == z0.shape
     assert np.abs(z0 - z1).max() <= 1e-5 * np.abs(z0).max()
+
+
+def test_migration_sharded_matches_single():
+    """Angle-sharded Stolt migration == single device, both keep modes,
+    non-divisible angle count (UltrasoundSystem.m:4740-4860)."""
+    from qups_tpu.ops.fdbf import stolt_migration
+    from qups_tpu.parallel import migration_sharded
+
+    rng = np.random.default_rng(9)
+    T, N, M = 128, 16, 5
+    x = rng.standard_normal((T, N, M)).astype(np.float32)
+    th = tuple(np.linspace(-8.0, 8.0, M))
+    del_tx = rng.uniform(0, 1e-7, (N, M)).astype(np.float32)
+    t0 = np.linspace(0, 1e-6, M).astype(np.float32)
+    mesh = make_mesh(jax.devices()[:4], axes=("tx",))
+    for keep_tx in (False, True):
+        r0 = np.asarray(stolt_migration(
+            x, t0, del_tx, th, fs=8e6, c0=1540.0, pitch=0.3e-3,
+            keep_tx=keep_tx, out="ri"))
+        r1 = np.asarray(migration_sharded(
+            mesh, x, t0, del_tx, th, fs=8e6, c0=1540.0, pitch=0.3e-3,
+            keep_tx=keep_tx, out="ri"))
+        assert r0.shape == r1.shape
+        assert np.abs(r0 - r1).max() <= 1e-4 * np.abs(r0).max(), keep_tx

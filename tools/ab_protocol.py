@@ -130,18 +130,31 @@ def main():
         for name, env in order:
             spec = json.dumps({"env": env, "workload": exp["workload"],
                                "reps": reps, "size": size})
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", spec],
-                capture_output=True, text=True, cwd=REPO, timeout=1800)
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            r = json.loads(line)
+            r = None
+            for attempt in range(2):  # tunnel flakes: one retry per child
+                try:
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--child", spec],
+                        capture_output=True, text=True, cwd=REPO,
+                        timeout=900)
+                    lines = [ln for ln in out.stdout.splitlines()
+                             if ln.startswith("{")]
+                    if lines:
+                        r = json.loads(lines[-1])
+                        break
+                except subprocess.TimeoutExpired:
+                    pass
+                print(json.dumps({"session": s, "arm": name,
+                                  "attempt": attempt, "error": "no result"}),
+                      flush=True)
+            if r is None:
+                continue
             medians[name].append(r["median_s"])
             print(json.dumps({"session": s, "arm": name, **r}),
                   flush=True)
 
-    mom = {name: statistics.median(v) for name, v in medians.items()}
+    mom = {name: statistics.median(v) for name, v in medians.items() if v}
     (a, ta), (b, tb) = sorted(mom.items(), key=lambda kv: kv[1])
     margin = (tb - ta) / ta
     cur = exp["current_default"]
