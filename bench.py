@@ -173,6 +173,19 @@ def main():
         detail["linear"] = {"latency_s": dtl, "sums_per_s": sums / dtl,
                             "vs_baseline": sums / dtl / BASELINE_SUMS_PER_S,
                             "compile_s": compl, "check": chkl}
+    if os.environ.get("QUPS_BENCH_I8X4") == "1" and method == "cubic":
+        # opt-in: the int8x4 quad trace pack (cubic taps in ONE gather,
+        # ~1.5% max rel err worst-case — see ops/das_pallas._pack_quads)
+        prec_save = prec
+        prec = "i8x4"
+        try:
+            dtq, compq, chkq = bench_one("cubic")
+            detail["i8x4"] = {
+                "latency_s": dtq, "sums_per_s": sums / dtq,
+                "vs_baseline": sums / dtq / BASELINE_SUMS_PER_S,
+                "compile_s": compq, "check": chkq}
+        finally:
+            prec = prec_save
 
     print(json.dumps({
         "metric": "DAS beamform throughput (pixel*tx*rx sums/s per chip,"
