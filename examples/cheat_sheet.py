@@ -173,3 +173,35 @@ assert cf.shape[0] == us._pixels().shape[0]
 assert float(np.max(np.asarray(cf))) <= 1.0 + 1e-6
 
 print("cheat sheet OK")
+
+# ---------------------------------------------------------------- round 5
+# transmit-sharded full-wave sim: the reference's parfor-over-transmits
+# axis as a mesh (one PSTD stepper per local transmit, zero collectives)
+from qups_tpu.parallel import fdtd_sharded  # noqa: E402
+cmapf = np.full((48, 48), 1500.0, np.float32)
+rmapf = np.full((48, 48), 1000.0, np.float32)
+sigf = np.zeros((4, 32, 2), np.float32)
+sigf[:, 5, :] = 1.0
+recf = fdtd_sharded(make_mesh(jax.devices()[:1], axes=("tx",)),
+                    cmapf, rmapf, np.array([[12, 12], [16, 32]]), sigf,
+                    steps=32, dt=4e-8, dx=2e-4, c_ref=1500.0,
+                    record_rows=(40,))
+assert recf.shape == (4, 32, 1, 48)
+
+# REFoCUS decode with the bin-sharded operator + rx-sharded apply
+from qups_tpu.parallel import refocus_sharded  # noqa: E402
+xr5 = np.asarray(np.real(np.asarray(chd.data)), np.float32)
+V5 = xr5.shape[2]
+taur5 = np.zeros((V5, V5), np.float32)
+apdr5 = np.eye(V5, dtype=np.float32)
+y5, _ = refocus_sharded(make_mesh(jax.devices()[:1], axes=("rx",)),
+                        xr5, taur5, apdr5, np.zeros(V5, np.float32),
+                        fs=float(chd.fs))
+assert y5.shape[2] == V5
+
+# reduced-precision trace modes on the fused DAS kernel:
+#   'auto' -> bf16pair on TPU (the published benchmark mode, ~0.2% err);
+#   'i8x4' packs the whole 4-tap stencil in ONE gather (opt-in, ~1.5%
+#   worst-case) — cubic at 1.01 vs 1.20 s/frame at the headline config
+b_q = us.DAS(chd, method="cubic", precision="f32")  # explicit full f32
+assert np.isfinite(np.abs(np.asarray(b_q))).all()
