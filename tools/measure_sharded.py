@@ -95,6 +95,66 @@ elif mode == "adjoint":
         return float(jnp.sum(jnp.abs(b)))
     work = n * n * len(fbins)
     unit = "pixbins_per_s"
+elif mode == "refocus":
+    # bin-sharded operator + rx-sharded decode at the refocus headline
+    # (T=4096, 256 rx, 256 tx); the unsharded cached decode measured
+    # 5.7 s first / 0.19 s repeated (NOTES r4)
+    from qups_tpu.parallel import refocus_op_sharded, refocus_sharded
+
+    # V=128: the 1-device degenerate must hold Hi (K, M, V) c64 TWICE
+    # (the resident copy + the program's gathered copy) next to the
+    # (T, N, V) spectra — V=256 OOMs a single v5e, which is exactly the
+    # memory pressure the multi-chip sharding splits (per-chip X shrinks
+    # with the rx shard). The unsharded cached decode fits at V=256
+    # because nothing crosses a shard_map boundary.
+    Vr = min(M, 128) if not interp else M
+    taur = rng.uniform(0, 1e-6, (N, Vr)).astype(np.float32)
+    apdr = np.ones((N, Vr), np.float32)
+    t_op = time.time()
+    Hi = refocus_op_sharded(mesh, taur, apdr, T=T, fs=31.25e6)  # (T,N,Vr)
+    Hi.block_until_ready()
+    print(json.dumps({"phase": "op_built", "s": time.time() - t_op}),
+          flush=True)
+
+    # ONE jitted program (pad + shard_map decode + reduce): the eager
+    # composition's boundary copies of four (T, N, V) complex tensors
+    # exceed HBM at this scale; under jit XLA frees buffers between
+    # stages (same reason the unsharded cached decode fits)
+    xv = jax.block_until_ready(jnp.asarray(x[:, :, :Vr]))
+
+    @jax.jit
+    def _dec(xx, hi):
+        y, _ = refocus_sharded(mesh, xx, taur, apdr,
+                               np.zeros(Vr, np.float32), fs=31.25e6,
+                               Hi=hi)
+        return jnp.sum(jnp.abs(jnp.real(y)))
+
+    def run():
+        return float(_dec(xv, Hi))
+    work = T * N * Vr
+    unit = "samples_per_s"
+elif mode == "migration":
+    # PW-realistic angle count (16, the benches.py headline) and ONE
+    # jitted program per rep — an eager M=256 run measured 58.8 s/frame
+    # of pure retrace+remap overhead (not a kernel property)
+    from qups_tpu.parallel import migration_sharded
+
+    Mm = 16 if not interp else M
+    xm = jax.block_until_ready(jnp.asarray(x[:, :, :Mm]))
+    th_m = tuple(np.degrees(th)[:Mm])
+    del_m = np.zeros((N, Mm), np.float32)
+
+    @jax.jit
+    def _mig(xx):
+        b = migration_sharded(mesh, xx, np.zeros(Mm, np.float32), del_m,
+                              th_m, fs=31.25e6, c0=1540.0,
+                              pitch=24e-3 / N, out="ri")
+        return jnp.sum(jnp.abs(b))
+
+    def run():
+        return float(_mig(xm))
+    work = T * N * Mm
+    unit = "pix_tx_per_s"
 else:
     raise SystemExit(f"unknown mode {mode!r}")
 
