@@ -156,7 +156,7 @@ class UltrasoundSystem:
                R0: Optional[float] = None, method: str = "auto",
                impl: str = "auto", fsk: Optional[float] = None,
                block: int = 32, rtol: float = 1e-6,
-               precision: str = "highest") -> ChannelData:
+               precision: str = "highest", mesh=None) -> ChannelData:
         """Simulate echoes from point scatterers via a shifted Green's
         function, then apply the transmit Sequence via :meth:`focusTx`
         (``UltrasoundSystem.greens``, ``UltrasoundSystem.m:463-882``).
@@ -170,6 +170,14 @@ class UltrasoundSystem:
         XLA scatter-add path; 'dense' the O(T S N M) oracle. Complex
         kernels keep every jit boundary real (ri contract of
         ``utils/cpx.py``).
+
+        ``mesh``: optional :class:`jax.sharding.Mesh` with 'rx'/'tx'
+        axes — the simulation shards scatterers over 'tx' (worker axis)
+        and receive elements over 'rx'
+        (:func:`qups_tpu.parallel.greens_freq_sharded` /
+        :func:`~qups_tpu.parallel.greens_sharded`; the reference's
+        parfor-over-scatterer-blocks, ``UltrasoundSystem.m:566-882``).
+        Real-kernel sims only on the freq path's ri branch.
 
         ``precision`` (freq path): 'highest' (default) | 'default' |
         'bf16' — bf16 runs the per-bin GEMMs with bf16 phasor inputs and
@@ -251,7 +259,12 @@ class UltrasoundSystem:
                       R0=R0, fsr=fsk / fs, rtol=rtol, precision=precision,
                       alpha0=float(scat.alpha0))
             amp = np.asarray(scat.amp)
-            x = greens_freq(kern, ps.T, amp, pn, pv, out="auto", **kw)
+            if mesh is not None:
+                from .parallel import greens_freq_sharded
+                x = greens_freq_sharded(mesh, kern, ps.T, amp, pn, pv,
+                                        out="auto", **kw)
+            else:
+                x = greens_freq(kern, ps.T, amp, pn, pv, out="auto", **kw)
             if np.iscomplexobj(kern) or np.iscomplexobj(amp):
                 if x.ndim == 4 and x.shape[-1] == 2:  # ri pair (TPU)
                     # ONE jitted program combines ri -> complex and
@@ -303,9 +316,14 @@ class UltrasoundSystem:
                       R0=R0, fsr=fsk / fs, method=method)
         if impl == "splat":
             kwargs["block"] = block
-        x = fn(jnp.asarray(kern), jnp.asarray(ps.T, jnp.float32),
-               jnp.asarray(scat.amp), jnp.asarray(pn, jnp.float32),
-               jnp.asarray(pv, jnp.float32), **kwargs)
+        if mesh is not None and impl == "splat":
+            from .parallel import greens_sharded
+            x = greens_sharded(mesh, kern, ps.T, np.asarray(scat.amp),
+                               pn, pv, **kwargs)
+        else:
+            x = fn(jnp.asarray(kern), jnp.asarray(ps.T, jnp.float32),
+                   jnp.asarray(scat.amp), jnp.asarray(pn, jnp.float32),
+                   jnp.asarray(pv, jnp.float32), **kwargs)
 
         chd = ChannelData(data=x, fs=fs, t0=s0)
         return self.focusTx(chd, self.seq, method=fmethod)

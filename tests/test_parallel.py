@@ -732,3 +732,27 @@ def test_migration_sharded_matches_single():
             keep_tx=keep_tx, out="ri"))
         assert r0.shape == r1.shape
         assert np.abs(r0 - r1).max() <= 1e-4 * np.abs(r0).max(), keep_tx
+
+
+def test_greens_system_mesh_matches_single():
+    """us.greens(mesh=)/calc_scat_multi(mesh=): the system-level wiring of
+    the sharded simulators (closes the last simulator sharding seam —
+    the reference's parfor-over-scatterer-blocks/transmits,
+    UltrasoundSystem.m:566-882, :1899)."""
+    xdc = q.TransducerArray(numel=8, pitch=0.3e-3, fc=5e6)
+    us = q.UltrasoundSystem(
+        tx=xdc, rx=xdc, seq=q.Sequence(type="FSA", numpulse=8),
+        scan=q.ScanCartesian(x=np.linspace(-3e-3, 3e-3, 16),
+                             z=np.linspace(17e-3, 23e-3, 16)), fs=25e6)
+    scat = q.Scatterers(pos=[[0.0], [0.0], [20e-3]], c0=1540.0)
+    mesh = make_mesh(jax.devices(), axes=("rx", "tx"), shape=(2, 4))
+    for impl in ("freq", "splat"):
+        a = np.asarray(us.greens(scat, impl=impl).data)
+        b = np.asarray(us.greens(scat, impl=impl, mesh=mesh).data)
+        assert np.abs(a - b).max() <= 1e-4 * np.abs(a).max(), impl
+    us2 = us.replace(seq=q.SequenceRadial(type="PW", angles=[-5.0, 5.0],
+                                          c0=1540.0))
+    c1 = np.asarray(us2.calc_scat_multi(scat, method="cubic").data)
+    c2 = np.asarray(us2.calc_scat_multi(scat, method="cubic",
+                                        mesh=mesh).data)
+    assert np.abs(c1 - c2).max() <= 1e-4 * np.abs(c1).max()
