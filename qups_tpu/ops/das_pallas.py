@@ -1274,6 +1274,30 @@ def _upload_trace(xh, pair: bool):
     return jnp.asarray(xh, jnp.float32)
 
 
+def _upsample2x_any(x):
+    """2x band-limited trace upsample for the ``cubic2x`` sampler,
+    tolerant of every trace wire format das_tiled accepts: uint16
+    bf16-bits decode first; HOST complex numpy splits into two real
+    upsamples recombined on host (spectral zero-padding is linear, so
+    U(a + ib) == U(a) + i U(b); eager complex upload is
+    boundary-restricted on some TPU backends — utils/cpx contract);
+    device arrays (real or complex) upsample directly (complex INSIDE a
+    jit is fine everywhere)."""
+    from .interp import fft_upsample
+    if getattr(x, "dtype", None) == jnp.uint16:
+        x = jax.lax.bitcast_convert_type(
+            jnp.asarray(x), jnp.bfloat16).astype(jnp.float32)
+    host = isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray)
+    if host and np.iscomplexobj(np.asarray(x)):
+        xh = np.asarray(x)
+        re = np.asarray(fft_upsample(
+            jnp.asarray(np.ascontiguousarray(xh.real)), 2, axis=0))
+        im = np.asarray(fft_upsample(
+            jnp.asarray(np.ascontiguousarray(xh.imag)), 2, axis=0))
+        return (re + 1j * im).astype(xh.dtype)
+    return fft_upsample(jnp.asarray(x), 2, axis=0)
+
+
 def _quad_mix(gi, ws):
     """Unpack an int8x4 gathered word (4 signed taps, lowest byte = tap
     t-1) and apply the 4-tap weights — the cubic-in-ONE-gather path
@@ -1288,7 +1312,7 @@ def _quad_mix(gi, ws):
 
 
 @jax.jit
-def _pack_quads(xr):
+def _pack_quads(xr, scale=None):
     """f32 ``(..., T)`` -> (int32 lanes, scale): lane ``t`` packs the
     4-tap stencil ``int8(x[t-1]), int8(x[t]), int8(x[t+1]), int8(x[t+2])``
     (edge-replicated), quantized by one global scale — cubic taps then
@@ -1297,7 +1321,8 @@ def _pack_quads(xr):
     aggressive end of the reference's reduced-precision trace modes
     (``interpd.cu`` halfT / ``bf.cu:170``); opt-in via
     ``precision='i8x4'``."""
-    s = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.float32(1e-30))
+    s = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.float32(1e-30)) \
+        if scale is None else jnp.asarray(scale, jnp.float32)
     q = jnp.clip(jnp.round(xr * (127.0 / s)), -127, 127).astype(
         jnp.int32) & 0xFF
     qm1 = jnp.concatenate([q[..., :1], q[..., :-1]], axis=-1)
@@ -1925,7 +1950,12 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
 
     pair = precision == "bf16pair"
     quad = precision == "i8x4"
-    qscales = []  # per-channel int8 quantization scales (quad mode)
+    # PER-CALL shared quantization scale (quad): the reusable handle
+    # beamforms many frame sets — each apply() re-derives its own scale
+    # (a plan-level list would descale every frame with the FIRST
+    # frame's scale); one scale covers both IQ channels because the
+    # fmod rotation mixes them in-kernel
+    qcell = {"s": None}
     lo_ext, hi_ext = _method_exts(method, pair, quad)
     tapext = 4 + 2 + lo_ext + hi_ext
 
@@ -1980,8 +2010,7 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
         if pair:
             xr = _pack_pairs(xr)
         elif quad:
-            xr, sc = _pack_quads(xr)
-            qscales.append(sc)
+            xr, _ = _pack_quads(xr, scale=qcell["s"])
         return xr
 
     # device-resident planning arrays: uploaded ONCE per plan (the tables
@@ -2003,9 +2032,8 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
             NC=NC, interpret=interpret, pair=pair, quad=quad,
             allfast=allfast,
             method=method, vmax=float(T), lut_tiles=lut_tiles)
-        if quad:  # undo the int8 quantization scale
-            outs = tuple(o * qscales[min(i, len(qscales) - 1)]
-                         for i, o in enumerate(outs))
+        if quad:  # undo this call's shared int8 quantization scale
+            outs = tuple(o * (qcell["s"] / 127.0) for o in outs)
         res = []
         for o in outs:
             if Fn:
@@ -2035,6 +2063,14 @@ def das_lut_plan(tau_rx, tau_tx, t0, *, fs: float, T: int, N: int, M: int,
         return res[0]
 
     def apply(x_in):
+        if quad:
+            if isinstance(x_in, np.ndarray) \
+                    or not isinstance(x_in, jnp.ndarray):
+                qcell["s"] = jnp.float32(
+                    max(float(np.max(np.abs(np.asarray(x_in)))), 1e-30))
+            else:
+                qcell["s"] = jax.jit(lambda v: jnp.maximum(
+                    jnp.max(jnp.abs(v)), 1e-30).astype(jnp.float32))(x_in)
         if cplx:
             if isinstance(x_in, np.ndarray) \
                     or not isinstance(x_in, jnp.ndarray):
@@ -2084,8 +2120,7 @@ def das_lut_tiled(x, tau_rx, tau_tx, t0, *, fs: float,
     ``F x ...`` through every kernel, ``kern/das_spec.m:180-181``).
     """
     if method == "cubic2x":  # see das_tiled: 2x upsample + linear taps
-        from .interp import fft_upsample
-        x = fft_upsample(jnp.asarray(x), 2, axis=0)
+        x = _upsample2x_any(x)
         fs = float(fs) * 2.0
         method = "linear"
     x, fdims = _fold_frames(x)
@@ -2387,8 +2422,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         # headline config): window count scales with span*fs, so 2x fs
         # doubles the window sweeps (NOTES.md r5). Kept for the XLA
         # paths and API parity; not a default anywhere.
-        from .interp import fft_upsample
-        x = fft_upsample(jnp.asarray(x), 2, axis=0)
+        x = _upsample2x_any(x)
         fs = float(fs) * 2.0
         method = "linear"
     if method not in ("nearest", "linear", "cubic", "lanczos3"):
@@ -2412,9 +2446,20 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             raise ValueError("das_tiled apodization must be Fused descriptors")
     pair = precision == "bf16pair"
     quad = precision == "i8x4"
-    qscales = []  # per-channel int8 quantization scales (quad mode)
 
     x, fdims = _fold_frames(x)  # (T, N, M, F1, F2, ...) -> one F axis
+    qshared = None
+    if quad:
+        # ONE quantization scale for the whole invocation (both IQ
+        # channels and all frames): the in-kernel fmod rotation MIXES the
+        # re/im channels, so per-channel scales cannot be undone after
+        # the kernel; |complex| max bounds both channel maxes
+        if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
+            qshared = jnp.float32(max(float(np.max(np.abs(np.asarray(x)))),
+                                      1e-30))
+        else:
+            qshared = jax.jit(lambda v: jnp.maximum(
+                jnp.max(jnp.abs(v)), 1e-30).astype(jnp.float32))(x)
     x_in = x
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype", np.float32))))
     pi = np.asarray(pi, np.float32)
@@ -2570,8 +2615,7 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         if precision == "bf16pair":
             xr = _pack_pairs(xr)
         elif quad:
-            xr, sc = _pack_quads(xr)
-            qscales.append(sc)
+            xr, _ = _pack_quads(xr, scale=qshared)
         return xr
 
     def run(xr, xi=None):
@@ -2591,9 +2635,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
             pair=(precision == "bf16pair"), quad=quad, allfast=allfast,
             method=method, vmax=float(T), hostwin=hostwin, acc16=acc16)
-        if quad:  # undo the int8 quantization scale (global per channel)
-            outs = tuple(o * qscales[min(i, len(qscales) - 1)]
-                         for i, o in enumerate(outs))
+        if quad:  # undo the shared int8 quantization scale (s/127:
+            # packed units are round(x * 127 / s))
+            outs = tuple(o * (qshared / 127.0) for o in outs)
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:

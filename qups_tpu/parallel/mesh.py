@@ -331,6 +331,10 @@ def das_sharded_pallas_plan(mesh: Mesh, pi, pr, pv, nv, t0, cinv, *,
             interpret=interp, post="cohfac")
         assert cf.shape == (2048,) and float(np.max(np.asarray(cf))) <= 1.0
     """
+    if precision not in ("f32", "bf16pair"):
+        raise ValueError(
+            f"unknown precision {precision!r} for the sharded DAS plan "
+            "(supported: 'f32', 'bf16pair')")
     from ..ops.das_pallas import _das_call, _pack_pairs, prep_sharded
 
     if keep_rx and keep_tx:
@@ -641,6 +645,11 @@ def das_lut_sharded_pallas_plan(mesh: Mesh, tau_rx, tau_tx, t0, *,
 
     if keep_rx and keep_tx:
         raise ValueError("das_lut_sharded_pallas keeps at most one of rx/tx")
+    if precision not in ("f32", "bf16pair"):
+        raise ValueError(
+            f"unknown precision {precision!r} for the sharded LUT plan "
+            "(supported: 'f32', 'bf16pair'; 'i8x4' is single-chip only "
+            "for now — its global quantization scale is per-invocation)")
     N_true = N
     if post is not None:
         if keep_tx:
@@ -1333,7 +1342,6 @@ def migration_sharded(mesh: Mesh, x, t0, del_tx, angles_deg, *, fs: float,
             b = jax.lax.psum(b, axes)
         return b
 
-    mx = 2 if keep_tx else None
     ospec = [None, None, axes if keep_tx else None]
     if out == "ri":
         ospec = ospec + [None]
@@ -1345,5 +1353,4 @@ def migration_sharded(mesh: Mesh, x, t0, del_tx, angles_deg, *, fs: float,
         jnp.asarray(gamma))
     if keep_tx and pm:
         y = y[:, :, :M]
-    del mx
     return y

@@ -246,6 +246,10 @@ class UltrasoundSystem:
         if impl == "auto":
             impl = "freq" if jax.devices()[0].platform not in ("cpu",) \
                 else "splat"
+        if mesh is not None and impl not in ("freq", "splat"):
+            raise ValueError(
+                f"greens(mesh=...) shards impl='freq'|'splat' only; "
+                f"impl={impl!r} would silently run single-device")
 
         if impl != "freq" and float(scat.alpha0):
             import warnings

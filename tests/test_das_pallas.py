@@ -718,3 +718,54 @@ def test_i8x4_lut_path():
     b = np.asarray(das_lut_tiled(x, tau_rx, tau_tx, t0, method="cubic",
                                  precision="i8x4", **kw))
     assert np.abs(a - b).max() <= 0.02 * np.abs(a).max()
+
+
+def test_i8x4_scale_contracts():
+    """Review-found regressions (r5): (a) the reusable LUT plan handle
+    must re-derive the int8 quantization scale PER frame set (a stale
+    first-frame scale mis-scales later frames); (b) complex/IQ + fmod
+    must use ONE shared scale for both channels (the in-kernel
+    remodulation rotation mixes them); (c) the descale factor is s/127,
+    checked against the f32 ABSOLUTE reference, not self-consistency."""
+    from qups_tpu.ops.das_pallas import das_lut_plan, das_lut_tiled
+
+    x, pi, pr, pv, nv, t0 = problem()
+    x10 = (10.0 * x).astype(np.float32)
+    tau_rx = (np.linalg.norm(pi[:, None] - pr[None], axis=-1)
+              / 1540.0).astype(np.float32)
+    tau_tx = (pi @ nv.T / 1540.0 + t0[None, :]).astype(np.float32)
+    kwl = dict(fs=4e6, im_shape=(16, 128, 1), out="ri", interpret=True)
+    r32 = np.asarray(das_lut_tiled(x10, tau_rx, tau_tx, t0,
+                                   method="cubic", precision="f32", **kwl))
+    plan = das_lut_plan(tau_rx, tau_tx, t0, fs=4e6, T=x.shape[0],
+                        N=x.shape[1], M=x.shape[2],
+                        im_shape=(16, 128, 1), out="ri", method="cubic",
+                        precision="i8x4", interpret=True)
+    plan(x)  # frame 1 primes the handle with a DIFFERENT amplitude
+    a2 = np.asarray(plan(x10))
+    assert np.abs(a2 - r32).max() <= 0.02 * np.abs(r32).max()
+    # IQ + fmod with wildly different channel amplitudes
+    xc = (x + 1j * (0.05 * RNG.standard_normal(x.shape))).astype(
+        np.complex64)
+    kw = dict(fs=4e6, tx_model="plane", im_shape=(16, 128, 1),
+              interpret=True, out="ri", fmod=3e5)
+    af = np.asarray(das_tiled(xc, pi, pr, pv, nv, t0,
+                              np.float32(1 / 1540.0), method="cubic",
+                              precision="f32", **kw))
+    aq = np.asarray(das_tiled(xc, pi, pr, pv, nv, t0,
+                              np.float32(1 / 1540.0), method="cubic",
+                              precision="i8x4", **kw))
+    assert np.abs(af - aq).max() <= 0.02 * np.abs(af).max()
+
+
+def test_cubic2x_host_complex_and_wire_formats():
+    """Review-found regression (r5): cubic2x must decode/split the trace
+    wire formats BEFORE upsampling — host-complex input beamforms
+    without eager device-complex transfer."""
+    x, pi, pr, pv, nv, t0 = problem(cplx=True)
+    kw = dict(fs=4e6, tx_model="plane", im_shape=(16, 128, 1),
+              interpret=True, out="ri")
+    b = np.asarray(das_tiled(x, pi, pr, pv, nv, t0,
+                             np.float32(1 / 1540.0), method="cubic2x",
+                             **kw))
+    assert np.isfinite(b).all() and np.abs(b).max() > 0

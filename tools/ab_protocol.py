@@ -155,6 +155,12 @@ def main():
                   flush=True)
 
     mom = {name: statistics.median(v) for name, v in medians.items() if v}
+    if len(mom) < 2:
+        print(json.dumps({"experiment": exp_name,
+                          "median_of_medians": mom,
+                          "verdict": "INCOMPLETE: an arm produced no "
+                                     "successful sessions — no decision"}))
+        return
     (a, ta), (b, tb) = sorted(mom.items(), key=lambda kv: kv[1])
     margin = (tb - ta) / ta
     cur = exp["current_default"]
