@@ -433,3 +433,33 @@ def test_uff_spherical_generic_scan_roundtrip():
         P2 = np.asarray(s2.positions()).reshape(3, -1)
         assert s2.shape == scan.shape
         assert np.abs(P1 - P2).max() < 1e-9
+
+
+def test_uff_scalar_as_1x1_datasets():
+    """MATLAB writes scalars as 1x1 arrays; every scalar read must
+    squeeze (the second dialect risk enumerated in the interop module
+    note). Fixture mimics a USTB-written file: 1x1 scalars, char-code
+    class attrs with non-canonical casing."""
+    import tempfile
+    import h5py
+    from qups_tpu.interop import load_uff
+
+    with tempfile.NamedTemporaryFile(suffix=".uff") as tf:
+        with h5py.File(tf.name, "w") as f:
+            g = f.create_group("channel_data")
+            # class attr as uint16 char codes, mixed case
+            g.attrs["class"] = np.array(
+                [ord(c) for c in "UFF.Channel_Data"], np.uint16)
+            g.create_dataset("data", data=np.zeros((3, 2, 4, 8)))
+            g.create_dataset("sampling_frequency",
+                             data=np.array([[25e6]]))  # 1x1
+            g.create_dataset("initial_time", data=np.array([[1e-6]]))
+            g.create_dataset("sound_speed", data=np.array([[1540.0]]))
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # casing fallback warns
+            out = load_uff(tf.name)
+    assert "chd" in out
+    chd = out["chd"]
+    assert float(chd.fs) == 25e6
+    assert abs(float(np.asarray(chd.t0_host).reshape(-1)[0]) - 1e-6) < 1e-12
