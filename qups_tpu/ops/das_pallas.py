@@ -578,6 +578,14 @@ def _kernel(boxes_ref, gbox_ref, *refs, N: int, T: int, W: int, fs: float,
                 # fold the mask directly into the tap weights
                 WS = tuple(jnp.where(VAL, 1.0 if w is None else w, 0.0)
                            for w in raw_w)
+            if quad and not lut:
+                # per-TRANSMIT int8 quantization scale (s_m / 127, pv row
+                # 8): folded into the tap weights so dequantization costs
+                # nothing and per-tx amplitude variation (FSA geometric
+                # decay) keeps full int8 resolution per transmit. The LUT
+                # path has no pv block and keeps a per-call global scale.
+                scq = pv_ref[8, mtc * MC + c]  # scalar
+                WS = tuple(w * scq for w in WS)
             if not four and method != "nearest":
                 W0, W1 = WS  # legacy names for the linear fast/slow arms
             # scalar-core window range for THIS (group, transmit): the
@@ -2448,18 +2456,25 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     quad = precision == "i8x4"
 
     x, fdims = _fold_frames(x)  # (T, N, M, F1, F2, ...) -> one F axis
-    qshared = None
+    qstx = None
     if quad:
-        # ONE quantization scale for the whole invocation (both IQ
-        # channels and all frames): the in-kernel fmod rotation MIXES the
-        # re/im channels, so per-channel scales cannot be undone after
-        # the kernel; |complex| max bounds both channel maxes
+        # PER-TRANSMIT quantization scales (max |x| over time/rx/frames
+        # per transmit): FSA amplitude decays geometrically across
+        # transmits, so a global scale would bury weak transmits below
+        # the int8 floor. One scale covers BOTH IQ channels of a
+        # transmit (|complex| max bounds each; the in-kernel fmod
+        # rotation mixes the channels, so they must share a scale). The
+        # scales fold into the kernel's tap weights via pv row 8 —
+        # dequantization is free and the output needs no descale.
+        red = (0, 1) + ((3,) if np.ndim(x) >= 4 else ())
         if isinstance(x, np.ndarray) or not isinstance(x, jnp.ndarray):
-            qshared = jnp.float32(max(float(np.max(np.abs(np.asarray(x)))),
-                                      1e-30))
+            qstx = jnp.asarray(np.maximum(
+                np.max(np.abs(np.asarray(x)), axis=red), 1e-30),
+                jnp.float32)
         else:
-            qshared = jax.jit(lambda v: jnp.maximum(
-                jnp.max(jnp.abs(v)), 1e-30).astype(jnp.float32))(x)
+            qstx = jax.jit(lambda v: jnp.maximum(
+                jnp.max(jnp.abs(v), axis=red), 1e-30).astype(
+                    jnp.float32))(x)
     x_in = x
     cplx = bool(np.iscomplexobj(np.empty(0, dtype=getattr(x, "dtype", np.float32))))
     pi = np.asarray(pi, np.float32)
@@ -2526,7 +2541,9 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
     prk[5, N:] = 1.0
     prk[7, N:] = 1.0
 
-    pvk = np.zeros((8, Mpad), np.float32)
+    # 16 rows (two f32 sublane tiles): rows 0-7 as before, row 8 carries
+    # the per-transmit i8x4 quantization scale (set in run(), traced)
+    pvk = np.zeros((16, Mpad), np.float32)
     pvk[0, :M] = pv_np[:, 0]
     pvk[1, :M] = pv_np[:, 1]
     pvk[2, :M] = pv_np[:, 2]
@@ -2615,7 +2632,12 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         if precision == "bf16pair":
             xr = _pack_pairs(xr)
         elif quad:
-            xr, _ = _pack_quads(xr, scale=qshared)
+            # per-tx scale broadcast to the packed layout (M, N, T) /
+            # (F, M, N, T)
+            scv = qstx[:, None, None]
+            if xr.ndim == 4:
+                scv = scv[None]
+            xr, _ = _pack_quads(xr, scale=scv)
         return xr
 
     def run(xr, xi=None):
@@ -2625,19 +2647,19 @@ def das_tiled(x, pi, pr, pv, nv, t0, cinv, *, fs: float,
         oshape = ((Fn,) if Fn else ()) + keep_n + (I1p, I2p)
         kdt = jnp.bfloat16 if acc16 else jnp.float32
         accs = tuple(jnp.zeros(oshape, kdt) for _ in xs)
+        pv_dev = jnp.asarray(pvs)
+        if quad:  # row 8 = s_m / 127: dequantization rides the weights
+            pv_dev = pv_dev.at[8, :M].set(qstx / 127.0)
         outs = _das_call(
             jnp.asarray(boxes), jnp.asarray(gbox), jnp.asarray(pzs),
             jnp.asarray(pxs), jnp.asarray(pys),
             jnp.asarray(lat_tile) if lat_tile is not None else None,
-            jnp.asarray(prs), jnp.asarray(pvs), xs, accs, fs=float(fs),
+            jnp.asarray(prs), pv_dev, xs, accs, fs=float(fs),
             tx_model=tx_model, planar=planar, fmod=float(fmod),
             keep_rx=keep_rx, keep_tx=keep_tx, rx_apods=tuple(rx_apods),
             tx_apods=tuple(tx_apods), MC=MC, NC=NC, interpret=interpret,
             pair=(precision == "bf16pair"), quad=quad, allfast=allfast,
             method=method, vmax=float(T), hostwin=hostwin, acc16=acc16)
-        if quad:  # undo the shared int8 quantization scale (s/127:
-            # packed units are round(x * 127 / s))
-            outs = tuple(o * (qshared / 127.0) for o in outs)
         # crop to (I, N', M'[, F])
         res = []
         for o in outs:

@@ -769,3 +769,26 @@ def test_cubic2x_host_complex_and_wire_formats():
                              np.float32(1 / 1540.0), method="cubic2x",
                              **kw))
     assert np.isfinite(b).all() and np.abs(b).max() > 0
+
+
+def test_i8x4_per_transmit_scale_resolution():
+    """The i8x4 quantization scale is PER TRANSMIT (pv row 8, folded into
+    the tap weights): transmits spanning 60 dB of amplitude each keep
+    full int8 resolution — under a single global scale the weak
+    transmits would quantize to the int8 floor. keep_tx slices isolate
+    each transmit's own error."""
+    x, pi, pr, pv, nv, t0 = problem()
+    amps = np.array([1.0, 1e-1, 1e-2, 1e-3], np.float32)
+    xa = (x * amps[None, None, :]).astype(np.float32)
+    kw = dict(fs=4e6, tx_model="plane", im_shape=(16, 128, 1),
+              interpret=True, out="ri", keep_tx=True)
+    a = np.asarray(das_tiled(xa, pi, pr, pv, nv, t0,
+                             np.float32(1 / 1540.0), method="cubic",
+                             precision="f32", **kw))
+    b = np.asarray(das_tiled(xa, pi, pr, pv, nv, t0,
+                             np.float32(1 / 1540.0), method="cubic",
+                             precision="i8x4", **kw))
+    for m in range(4):
+        sl_a, sl_b = a[:, :, m], b[:, :, m]
+        err = np.abs(sl_a - sl_b).max() / np.abs(sl_a).max()
+        assert err < 0.02, (m, err)  # global scale: m=3 err would be ~1
