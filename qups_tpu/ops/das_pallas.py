@@ -1323,9 +1323,11 @@ def _quad_mix(gi, ws):
 def _pack_quads(xr, scale=None):
     """f32 ``(..., T)`` -> (int32 lanes, scale): lane ``t`` packs the
     4-tap stencil ``int8(x[t-1]), int8(x[t]), int8(x[t+1]), int8(x[t+2])``
-    (edge-replicated), quantized by one global scale — cubic taps then
-    cost ONE 32-bit gather instead of two packed-pair gathers (measured
-    0.45 s of the 1.20 s cubic frame; NOTES.md r5). int8 traces are the
+    (edge-replicated) — cubic taps then cost ONE 32-bit gather instead
+    of two packed-pair gathers (measured 0.45 s of the 1.20 s cubic
+    frame; NOTES.md r5). ``scale`` may be a broadcastable array: the
+    geometry path passes PER-TRANSMIT scales (folded back in-kernel via
+    pv row 8), the LUT path a per-call global. int8 traces are the
     aggressive end of the reference's reduced-precision trace modes
     (``interpd.cu`` halfT / ``bf.cu:170``); opt-in via
     ``precision='i8x4'``."""
